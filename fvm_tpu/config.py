@@ -1,0 +1,72 @@
+"""Global configuration for fvm_tpu.
+
+The reference selects its scalar type ("atype") at import time via
+``fvm.set_atype('double'|'tangent')`` (reference: src/fvm/lib/__init__.py:9-18).
+On TPU the equivalent choices are the floating dtype used for device state
+(float32 is the fast path on TPU; float64 is available — software-emulated on
+TPU, native on CPU — for golden-accuracy runs) and forward-mode AD, which we
+get for free from ``jax.jvp`` instead of a compile-time Tangent type.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+
+# Double precision must be enabled before any jax arrays are created.  We do
+# it unconditionally: with x64 enabled, explicitly-dtyped float32 arrays stay
+# float32 (weak-type promotion keeps python scalars from upcasting them), so
+# the TPU fast path is unaffected.
+jax.config.update("jax_enable_x64", True)
+
+_DTYPES = {
+    "float32": jnp.float32,
+    "float64": jnp.float64,
+    "f32": jnp.float32,
+    "f64": jnp.float64,
+}
+
+
+class Config:
+    """Process-wide numeric configuration.
+
+    Attributes
+    ----------
+    dtype:
+        Default floating dtype for device-side mesh/field state.
+    index_dtype:
+        Integer dtype for connectivity / gather indices (int32 is the TPU
+        fast path and addresses >2B entries per shard is out of scope).
+    """
+
+    def __init__(self) -> None:
+        env = os.environ.get("FVM_TPU_DTYPE", "")
+        if env:
+            self.dtype = _DTYPES[env]
+        else:
+            # Correctness-first default; benchmarks opt into float32.
+            self.dtype = jnp.float64
+        self.index_dtype = jnp.int32
+
+    def set_dtype(self, dtype) -> None:
+        if isinstance(dtype, str):
+            dtype = _DTYPES[dtype]
+        self.dtype = jnp.dtype(dtype).type
+
+
+config = Config()
+
+
+def set_default_dtype(dtype) -> None:
+    """Set the default floating dtype for subsequently created device state."""
+    config.set_dtype(dtype)
+
+
+def default_dtype():
+    return config.dtype
+
+
+def index_dtype():
+    return config.index_dtype

@@ -1,0 +1,3 @@
+from .base import LinearSolver, SolveStats, norm
+from .krylov import CG, BiCGStab, JacobiSolver
+from .amg import AMG, DirectSolver

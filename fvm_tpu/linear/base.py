@@ -1,0 +1,60 @@
+"""Linear solver interfaces.
+
+Mirrors the reference's ``LinearSolver`` base (reference: LinearSolver.h:15-35):
+relative/absolute tolerances, max iterations, verbosity.  Solvers here are
+functional at the core — ``solve_fn(A, b, x0) -> (x, stats)`` is jittable and
+usable inside larger jitted model steps; the object layer holds options and
+mirrors the reference driver API
+(``options.linearSolver = fvm_tpu.linear.AMG(...)``).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import struct
+
+from ..ops.ell import ELLMatrix
+
+
+@struct.dataclass
+class SolveStats:
+    iterations: jnp.ndarray  # int32 scalar
+    residual0: jnp.ndarray  # initial residual norm
+    residual: jnp.ndarray  # final residual norm
+    converged: jnp.ndarray  # bool scalar
+
+
+def norm(x: jnp.ndarray) -> jnp.ndarray:
+    """Frobenius norm over all components (reference uses per-field L2)."""
+    return jnp.sqrt(jnp.sum(x * x))
+
+
+class LinearSolver:
+    """Base options holder (reference: LinearSolver.h:22-35)."""
+
+    def __init__(
+        self,
+        relative_tolerance: float = 1e-8,
+        absolute_tolerance: float = 1e-50,
+        max_iterations: int = 100,
+        verbosity: int = 0,
+    ):
+        self.relativeTolerance = relative_tolerance
+        self.absoluteTolerance = absolute_tolerance
+        self.nMaxIterations = max_iterations
+        self.verbosity = verbosity
+
+    # subclasses implement: solve_fn(A, b, x0) -> (x, SolveStats)
+    def solve_fn(self, A: ELLMatrix, b: jnp.ndarray, x0: jnp.ndarray):
+        raise NotImplementedError
+
+    def solve(self, A: ELLMatrix, b: jnp.ndarray, x0: jnp.ndarray | None = None):
+        if x0 is None:
+            x0 = jnp.zeros_like(b)
+        x, stats = self.solve_fn(A, b, x0)
+        if self.verbosity > 0:
+            print(
+                f"{type(self).__name__}: iters={int(stats.iterations)} "
+                f"r0={float(stats.residual0):.3e} r={float(stats.residual):.3e}"
+            )
+        return x, stats

@@ -1,0 +1,183 @@
+"""Krylov solvers: CG and BiCGStab, jitted with lax.while_loop.
+
+TPU-native counterparts of the reference's CG (CG.h:20) and BCGStab
+(BCGStab.h:20).  Like the reference, each takes a preconditioner that is
+itself a LinearSolver (typically AMG or Jacobi); here the preconditioner
+exposes ``precond_fn(A, r) -> z`` applying a fixed number of cycles/sweeps.
+All reductions are jnp sums, which become ``psum`` collectives automatically
+when the arrays are sharded over a device mesh.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.ell import ELLMatrix
+from .base import LinearSolver, SolveStats, norm
+
+
+def _identity_precond(A: ELLMatrix, r: jnp.ndarray) -> jnp.ndarray:
+    return r
+
+
+def _dot(a, b):
+    return jnp.sum(a * b)
+
+
+class CG(LinearSolver):
+    """Preconditioned conjugate gradients (for SPD systems)."""
+
+    def __init__(self, preconditioner: LinearSolver | None = None, **kw):
+        super().__init__(**kw)
+        self.preconditioner = preconditioner
+
+    def precond_fn(self):
+        if self.preconditioner is None:
+            return _identity_precond
+        return self.preconditioner.precond_fn()
+
+    def solve_fn(self, A: ELLMatrix, b: jnp.ndarray, x0: jnp.ndarray):
+        M = self.precond_fn()
+        rtol = self.relativeTolerance
+        atol = self.absoluteTolerance
+        maxit = self.nMaxIterations
+
+        r0 = b - A.mv(x0)
+        z0 = M(A, r0)
+        rnorm0 = norm(r0)
+        target = jnp.maximum(rtol * rnorm0, atol)
+
+        def cond(state):
+            i, x, r, z, p, rz, rn = state
+            return (i < maxit) & (rn > target)
+
+        def body(state):
+            i, x, r, z, p, rz, rn = state
+            Ap = A.mv(p)
+            alpha = rz / _dot(p, Ap)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            z = M(A, r)
+            rz_new = _dot(r, z)
+            beta = rz_new / rz
+            p = z + beta * p
+            return (i + 1, x, r, z, p, rz_new, norm(r))
+
+        state = (jnp.int32(0), x0, r0, z0, z0, _dot(r0, z0), rnorm0)
+        i, x, r, *_ = jax.lax.while_loop(cond, body, state)
+        rn = norm(r)
+        return x, SolveStats(i, rnorm0, rn, rn <= target)
+
+
+class BiCGStab(LinearSolver):
+    """Preconditioned BiCGStab (general nonsymmetric systems)."""
+
+    def __init__(self, preconditioner: LinearSolver | None = None, **kw):
+        super().__init__(**kw)
+        self.preconditioner = preconditioner
+
+    def precond_fn(self):
+        if self.preconditioner is None:
+            return _identity_precond
+        return self.preconditioner.precond_fn()
+
+    def solve_fn(self, A: ELLMatrix, b: jnp.ndarray, x0: jnp.ndarray):
+        M = self.precond_fn()
+        rtol, atol, maxit = (
+            self.relativeTolerance,
+            self.absoluteTolerance,
+            self.nMaxIterations,
+        )
+        tiny = jnp.asarray(1e-300, b.dtype) if b.dtype == jnp.float64 else jnp.asarray(1e-30, b.dtype)
+
+        r0 = b - A.mv(x0)
+        rhat = r0
+        rnorm0 = norm(r0)
+        target = jnp.maximum(rtol * rnorm0, atol)
+
+        def cond(state):
+            i, x, r, p, v, rho, alpha, omega, rn = state
+            return (i < maxit) & (rn > target)
+
+        def body(state):
+            i, x, r, p, v, rho, alpha, omega, rn = state
+            rho_new = _dot(rhat, r)
+            beta = (rho_new / jnp.where(jnp.abs(rho) > tiny, rho, tiny)) * (
+                alpha / jnp.where(jnp.abs(omega) > tiny, omega, tiny)
+            )
+            p = r + beta * (p - omega * v)
+            phat = M(A, p)
+            v = A.mv(phat)
+            denom = _dot(rhat, v)
+            alpha = rho_new / jnp.where(jnp.abs(denom) > tiny, denom, tiny)
+            s = r - alpha * v
+            shat = M(A, s)
+            t = A.mv(shat)
+            tt = _dot(t, t)
+            omega = _dot(t, s) / jnp.where(tt > tiny, tt, tiny)
+            x = x + alpha * phat + omega * shat
+            r = s - omega * t
+            return (i + 1, x, r, p, v, rho_new, alpha, omega, norm(r))
+
+        one = jnp.asarray(1.0, b.dtype)
+        state = (
+            jnp.int32(0),
+            x0,
+            r0,
+            jnp.zeros_like(b),
+            jnp.zeros_like(b),
+            one,
+            one,
+            one,
+            rnorm0,
+        )
+        i, x, r, *_ = jax.lax.while_loop(cond, body, state)
+        rn = norm(r)
+        return x, SolveStats(i, rnorm0, rn, rn <= target)
+
+
+class JacobiSolver(LinearSolver):
+    """Damped-Jacobi relaxation solver / preconditioner
+    (reference: JacobiSolver.h:20)."""
+
+    def __init__(self, omega: float = 0.7, sweeps: int = 5, **kw):
+        super().__init__(**kw)
+        self.omega = omega
+        self.sweeps = sweeps
+
+    def precond_fn(self):
+        omega, sweeps = self.omega, self.sweeps
+
+        def M(A: ELLMatrix, r: jnp.ndarray) -> jnp.ndarray:
+            z = r / (A.diag if r.ndim == 1 else A.diag[:, None])
+            for _ in range(sweeps - 1):
+                z = z + omega * (
+                    (r - A.mv(z)) / (A.diag if r.ndim == 1 else A.diag[:, None])
+                )
+            return z
+
+        return M
+
+    def solve_fn(self, A: ELLMatrix, b: jnp.ndarray, x0: jnp.ndarray):
+        rtol, atol, maxit = (
+            self.relativeTolerance,
+            self.absoluteTolerance,
+            self.nMaxIterations,
+        )
+        omega = self.omega
+        r0 = b - A.mv(x0)
+        rnorm0 = norm(r0)
+        target = jnp.maximum(rtol * rnorm0, atol)
+
+        def cond(state):
+            i, x, rn = state
+            return (i < maxit) & (rn > target)
+
+        def body(state):
+            i, x, rn = state
+            x = A.jacobi_step(x, b, omega)
+            return (i + 1, x, norm(b - A.mv(x)))
+
+        i, x, rn = jax.lax.while_loop(cond, body, (jnp.int32(0), x0, rnorm0))
+        return x, SolveStats(i, rnorm0, rn, rn <= target)

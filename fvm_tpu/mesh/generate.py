@@ -1,0 +1,216 @@
+"""Structured mesh generators (quad / tri / hex), used by tests and benches.
+
+The reference ships checked-in Fluent cases (cav32.cas etc.); we additionally
+generate equivalent meshes programmatically so tests do not depend on binary
+assets and benches can scale to arbitrary cell counts (e.g. the 1M-cell
+cavity of BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .connectivity import CRConnectivity
+from .mesh import Mesh
+
+
+def quad_2d(
+    nx: int,
+    ny: int,
+    lx: float = 1.0,
+    ly: float = 1.0,
+    x0: float = 0.0,
+    y0: float = 0.0,
+    boundary_names=("left", "right", "bottom", "top"),
+) -> Mesh:
+    """Uniform quad mesh on [x0, x0+lx] x [y0, y0+ly], nx*ny cells.
+
+    Boundary groups: left (ident 1), right (2), bottom (3), top (4) —
+    mirrors the 4 wall zones of the reference's cavity cases (cav32.cas).
+    """
+    xs = x0 + lx * np.arange(nx + 1) / nx
+    ys = y0 + ly * np.arange(ny + 1) / ny
+    X, Y = np.meshgrid(xs, ys, indexing="ij")
+    coords = np.stack([X.ravel(), Y.ravel()], axis=1)
+
+    def nid(i, j):  # node index
+        return i * (ny + 1) + j
+
+    def cid(i, j):  # cell index
+        return i * ny + j
+
+    fn_rows = []
+    fc = []
+    groups_idx = {n: [] for n in boundary_names}
+    f = 0
+    # vertical faces (normal +-x): between cell (i-1,j) and (i,j)
+    for i in range(nx + 1):
+        for j in range(ny):
+            fn_rows.append([nid(i, j), nid(i, j + 1)])
+            if i == 0:
+                fc.append([cid(0, j), -1])
+                groups_idx[boundary_names[0]].append(f)
+            elif i == nx:
+                fc.append([cid(nx - 1, j), -1])
+                groups_idx[boundary_names[1]].append(f)
+            else:
+                fc.append([cid(i - 1, j), cid(i, j)])
+            f += 1
+    # horizontal faces (normal +-y)
+    for i in range(nx):
+        for j in range(ny + 1):
+            fn_rows.append([nid(i, j), nid(i + 1, j)])
+            if j == 0:
+                fc.append([cid(i, 0), -1])
+                groups_idx[boundary_names[2]].append(f)
+            elif j == ny:
+                fc.append([cid(i, ny - 1), -1])
+                groups_idx[boundary_names[3]].append(f)
+            else:
+                fc.append([cid(i, j - 1), cid(i, j)])
+            f += 1
+
+    face_nodes = CRConnectivity.from_rows(fn_rows, (nx + 1) * (ny + 1))
+    groups = [
+        (k + 1, name, "wall", np.asarray(groups_idx[name], dtype=np.int64))
+        for k, name in enumerate(boundary_names)
+    ]
+    return Mesh(2, coords, face_nodes, np.asarray(fc), groups)
+
+
+def tri_2d(nx: int, ny: int, lx: float = 1.0, ly: float = 1.0) -> Mesh:
+    """Triangulated uniform mesh: each quad split along its diagonal."""
+    quad = None  # build directly
+    xs = lx * np.arange(nx + 1) / nx
+    ys = ly * np.arange(ny + 1) / ny
+    X, Y = np.meshgrid(xs, ys, indexing="ij")
+    coords = np.stack([X.ravel(), Y.ravel()], axis=1)
+
+    def nid(i, j):
+        return i * (ny + 1) + j
+
+    # cells: quad (i,j) -> tri A (lower: n00,n10,n11) id 2*(i*ny+j),
+    #                      tri B (upper: n00,n11,n01) id 2*(i*ny+j)+1
+    def ta(i, j):
+        return 2 * (i * ny + j)
+
+    def tb(i, j):
+        return 2 * (i * ny + j) + 1
+
+    fn_rows, fc = [], []
+    gidx = {"left": [], "right": [], "bottom": [], "top": []}
+    f = 0
+    for i in range(nx + 1):  # vertical faces belong to tri A(i,.) right / B(i-1,.) ...
+        for j in range(ny):
+            fn_rows.append([nid(i, j), nid(i, j + 1)])
+            if i == 0:
+                fc.append([tb(0, j), -1])
+                gidx["left"].append(f)
+            elif i == nx:
+                fc.append([ta(nx - 1, j), -1])
+                gidx["right"].append(f)
+            else:
+                fc.append([ta(i - 1, j), tb(i, j)])
+            f += 1
+    for i in range(nx):  # horizontal faces
+        for j in range(ny + 1):
+            fn_rows.append([nid(i, j), nid(i + 1, j)])
+            if j == 0:
+                fc.append([ta(i, 0), -1])
+                gidx["bottom"].append(f)
+            elif j == ny:
+                fc.append([tb(i, ny - 1), -1])
+                gidx["top"].append(f)
+            else:
+                fc.append([tb(i, j - 1), ta(i, j)])
+            f += 1
+    for i in range(nx):  # diagonals n00 -> n11
+        for j in range(ny):
+            fn_rows.append([nid(i, j), nid(i + 1, j + 1)])
+            fc.append([ta(i, j), tb(i, j)])
+            f += 1
+
+    face_nodes = CRConnectivity.from_rows(fn_rows, (nx + 1) * (ny + 1))
+    groups = [
+        (k + 1, name, "wall", np.asarray(gidx[name], dtype=np.int64))
+        for k, name in enumerate(["left", "right", "bottom", "top"])
+    ]
+    return Mesh(2, coords, face_nodes, np.asarray(fc), groups)
+
+
+def hex_3d(
+    nx: int,
+    ny: int,
+    nz: int,
+    lx: float = 1.0,
+    ly: float = 1.0,
+    lz: float = 1.0,
+) -> Mesh:
+    """Uniform hex mesh; boundary groups xmin/xmax/ymin/ymax/zmin/zmax."""
+    xs = lx * np.arange(nx + 1) / nx
+    ys = ly * np.arange(ny + 1) / ny
+    zs = lz * np.arange(nz + 1) / nz
+    X, Y, Z = np.meshgrid(xs, ys, zs, indexing="ij")
+    coords = np.stack([X.ravel(), Y.ravel(), Z.ravel()], axis=1)
+
+    def nid(i, j, k):
+        return (i * (ny + 1) + j) * (nz + 1) + k
+
+    def cid(i, j, k):
+        return (i * ny + j) * nz + k
+
+    names = ["xmin", "xmax", "ymin", "ymax", "zmin", "zmax"]
+    fn_rows, fc = [], []
+    gidx = {n: [] for n in names}
+    f = 0
+    # x-normal faces
+    for i in range(nx + 1):
+        for j in range(ny):
+            for k in range(nz):
+                fn_rows.append(
+                    [nid(i, j, k), nid(i, j + 1, k), nid(i, j + 1, k + 1), nid(i, j, k + 1)]
+                )
+                if i == 0:
+                    fc.append([cid(0, j, k), -1]); gidx["xmin"].append(f)
+                elif i == nx:
+                    fc.append([cid(nx - 1, j, k), -1]); gidx["xmax"].append(f)
+                else:
+                    fc.append([cid(i - 1, j, k), cid(i, j, k)])
+                f += 1
+    # y-normal faces
+    for j in range(ny + 1):
+        for i in range(nx):
+            for k in range(nz):
+                fn_rows.append(
+                    [nid(i, j, k), nid(i, j, k + 1), nid(i + 1, j, k + 1), nid(i + 1, j, k)]
+                )
+                if j == 0:
+                    fc.append([cid(i, 0, k), -1]); gidx["ymin"].append(f)
+                elif j == ny:
+                    fc.append([cid(i, ny - 1, k), -1]); gidx["ymax"].append(f)
+                else:
+                    fc.append([cid(i, j - 1, k), cid(i, j, k)])
+                f += 1
+    # z-normal faces
+    for k in range(nz + 1):
+        for i in range(nx):
+            for j in range(ny):
+                fn_rows.append(
+                    [nid(i, j, k), nid(i + 1, j, k), nid(i + 1, j + 1, k), nid(i, j + 1, k)]
+                )
+                if k == 0:
+                    fc.append([cid(i, j, 0), -1]); gidx["zmin"].append(f)
+                elif k == nz:
+                    fc.append([cid(i, j, nz - 1), -1]); gidx["zmax"].append(f)
+                else:
+                    fc.append([cid(i, j, k - 1), cid(i, j, k)])
+                f += 1
+
+    face_nodes = CRConnectivity.from_rows(
+        fn_rows, (nx + 1) * (ny + 1) * (nz + 1)
+    )
+    groups = [
+        (k + 1, n, "wall", np.asarray(gidx[n], dtype=np.int64))
+        for k, n in enumerate(names)
+    ]
+    return Mesh(3, coords, face_nodes, np.asarray(fc), groups)

@@ -1,0 +1,118 @@
+"""Face-flux linearization and gather-based assembly.
+
+TPU-native replacement for the reference's Discretization/Linearizer pipeline
+(reference: Discretization.h:15-24, Linearizer.h:16-23, CRMatrix.h:117
+``PairWiseAssembler``).  Instead of scatter-assembling a CSR matrix face by
+face, every discretization accumulates three per-face arrays
+
+    F       : flux of the conserved quantity leaving the owner cell
+    dF_dO   : d F / d phi_owner
+    dF_dN   : d F / d phi_neighbor
+
+and a single ``assemble`` pass turns them into an ELL matrix + residual with
+pure gathers over the cell->face table.
+
+Conventions (defect-correction / Newton form, matching the reference's
+LinearSystem semantics of solving for a delta):
+
+    cell residual  r_c = S_c V_c - sum_f s_cf F_f          (want r -> 0)
+    matrix         A = -dr/dx  (positive diagonal for diffusion)
+    solve          A dx = r,   x <- x + dx
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import struct
+
+from ..mesh.device import DeviceMesh
+from .ell import ELLMatrix
+
+
+@struct.dataclass
+class FaceFlux:
+    """Accumulated per-face flux linearization (all (nf,) or (nf, m) for F)."""
+
+    F: jnp.ndarray
+    dF_dO: jnp.ndarray
+    dF_dN: jnp.ndarray
+
+    def __add__(self, other: "FaceFlux") -> "FaceFlux":
+        return FaceFlux(
+            self.F + other.F,
+            self.dF_dO + other.dF_dO,
+            self.dF_dN + other.dF_dN,
+        )
+
+    @staticmethod
+    def zeros(n_faces: int, m: int | None = None, dtype=jnp.float64) -> "FaceFlux":
+        shape = (n_faces,) if m is None else (n_faces, m)
+        return FaceFlux(
+            jnp.zeros(shape, dtype),
+            jnp.zeros(n_faces, dtype),
+            jnp.zeros(n_faces, dtype),
+        )
+
+
+def assemble(mesh: DeviceMesh, flux: FaceFlux, r_cell=None, diag_cell=None):
+    """Build (A, r) from per-face linearized fluxes + optional cell terms.
+
+    r_cell : (nc,) or (nc, m) residual contributions already including
+             source * volume and transient terms.
+    diag_cell : (nc,) extra diagonal of A from cell terms (= -dS/dx * V etc).
+
+    Ghost-cell rows receive their face-balance contribution here and are
+    expected to be *overwritten* by boundary-condition kernels afterwards
+    (the reference's GenericBCS writes the boundary equations the same way,
+    GenericBCS.h:77-360).
+    """
+    f = mesh.cf_face  # (nc, K)
+    own = mesh.cf_is_owner
+    mask = mesh.cf_mask
+
+    dO = flux.dF_dO[f]
+    dN = flux.dF_dN[f]
+    # row of cell c, slot k: coefficient on phi_c is (own ? dF_dO : -dF_dN)
+    # wait: A = -dr/dx; r_c includes -s_cf F_f, s=+1 owner
+    # => A_cc += s * dF/dphi_c ; A_c,nbr += s * dF/dphi_nbr
+    s = jnp.where(own, 1.0, -1.0)
+    diag_contrib = jnp.where(mask, s * jnp.where(own, dO, dN), 0.0)
+    off = jnp.where(mask, s * jnp.where(own, dN, dO), 0.0)
+
+    diag = diag_contrib.sum(axis=1)
+    if diag_cell is not None:
+        diag = diag + diag_cell
+
+    Ff = flux.F[f]  # (nc, K) or (nc, K, m)
+    if Ff.ndim == 3:
+        s_ = s[:, :, None]
+        m_ = mask[:, :, None]
+    else:
+        s_, m_ = s, mask
+    r = -(jnp.where(m_, s_ * Ff, 0.0)).sum(axis=1)
+    if r_cell is not None:
+        r = r + r_cell
+
+    A = ELLMatrix(diag=diag, off=off, cols=mesh.cf_nbr, mask=mask)
+    return A, r
+
+
+def face_values(mesh: DeviceMesh, x: jnp.ndarray, weight=0.5):
+    """Linear two-point interpolation of a cell field to faces."""
+    xo = x[mesh.face_cell0]
+    xn = x[mesh.face_cell1]
+    return weight * xn + (1.0 - weight) * xo
+
+
+def cells_to_faces_distance_weighted(mesh: DeviceMesh, x: jnp.ndarray):
+    """Interpolate using inverse-distance weights from cell centroids."""
+    do = jnp.linalg.norm(
+        mesh.face_centroid - mesh.cell_centroid[mesh.face_cell0], axis=1
+    )
+    dn = jnp.linalg.norm(
+        mesh.face_centroid - mesh.cell_centroid[mesh.face_cell1], axis=1
+    )
+    wo = dn / (do + dn)
+    shape = (-1,) + (1,) * (x.ndim - 1)
+    wo = wo.reshape(shape)
+    return wo * x[mesh.face_cell0] + (1.0 - wo) * x[mesh.face_cell1]

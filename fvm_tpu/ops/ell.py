@@ -1,0 +1,114 @@
+"""ELL-format sparse matrix and kernels (SpMV, smoothers, residual).
+
+TPU-native replacement for the reference's ``CRMatrix<Diag,OffDiag,X>``
+(reference: src/fvm/src/modules/fvmbase/CRMatrix.h:87).  CSR with
+variable-length rows defeats XLA's static-shape model, so we store the
+off-diagonal in fixed-width ELL slots aligned with the mesh's cell->face
+table: ``off[c, k]`` couples cell ``c`` to ``cols[c, k]``.  SpMV is then a
+dense gather + reduction that vectorizes on the VPU; no scatters anywhere.
+
+Solution vectors are ``(n, m)`` — m right-hand components share one scalar
+coefficient matrix (covers u/v/w momentum like the reference's vector-X
+CRMatrix instantiation).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+
+@struct.dataclass
+class ELLMatrix:
+    """A x = diag * x + sum_k off[:,k] * x[cols[:,k]] (masked)."""
+
+    diag: jnp.ndarray  # (n,)
+    off: jnp.ndarray  # (n, K)
+    cols: jnp.ndarray  # (n, K) int32; padded slots point at own row
+    mask: jnp.ndarray  # (n, K) bool
+
+    @property
+    def n(self) -> int:
+        return self.diag.shape[0]
+
+    @property
+    def width(self) -> int:
+        return self.off.shape[1]
+
+    def mv(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Sparse matrix-vector product; x is (n,) or (n, m)."""
+        squeeze = x.ndim == 1
+        if squeeze:
+            x = x[:, None]
+        xn = x[self.cols]  # (n, K, m) gather
+        off = jnp.where(self.mask, self.off, 0.0)
+        y = self.diag[:, None] * x + jnp.einsum("nk,nkm->nm", off, xn)
+        return y[:, 0] if squeeze else y
+
+    def residual(self, x: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        return b - self.mv(x)
+
+    def jacobi_step(self, x, b, omega=1.0):
+        """Damped Jacobi: x + omega * D^-1 (b - A x)."""
+        r = self.residual(x, b)
+        d = self.diag if x.ndim == 1 else self.diag[:, None]
+        return x + omega * r / d
+
+    def colored_gs_step(self, x, b, color_masks, forward=True):
+        """Multicolor Gauss-Seidel sweep.
+
+        ``color_masks`` is a (ncolors, n) bool array built on the host
+        (greedy coloring).  Updating one color at a time reproduces true GS
+        within each color (no intra-color couplings by construction) while
+        remaining fully vectorized — the TPU-native answer to the
+        reference's sequential forwardGS/reverseGS (CRMatrix.h:303-353).
+        """
+        colors = range(color_masks.shape[0])
+        if not forward:
+            colors = reversed(list(colors))
+        for c in colors:
+            m = color_masks[c]
+            r = self.residual(x, b)
+            d = self.diag if x.ndim == 1 else self.diag[:, None]
+            upd = x + r / d
+            mm = m if x.ndim == 1 else m[:, None]
+            x = jnp.where(mm, upd, x)
+        return x
+
+    def rowsum_offdiag_abs(self):
+        off = jnp.where(self.mask, jnp.abs(self.off), 0.0)
+        return off.sum(axis=1)
+
+    def transpose_apply(self, x: jnp.ndarray) -> jnp.ndarray:
+        """A^T x via scatter-add (used rarely; e.g. adjoint checks)."""
+        squeeze = x.ndim == 1
+        if squeeze:
+            x = x[:, None]
+        off = jnp.where(self.mask, self.off, 0.0)
+        y = self.diag[:, None] * x
+        contrib = off[:, :, None] * x[:, None, :]  # (n, K, m)
+        y = y.at[self.cols.reshape(-1)].add(
+            contrib.reshape(-1, x.shape[1]), mode="drop"
+        )
+        return y[:, 0] if squeeze else y
+
+
+def greedy_coloring(cols_np, mask_np):
+    """Host-side greedy graph coloring; returns (ncolors, n) bool masks."""
+    import numpy as np
+
+    n, K = cols_np.shape
+    color = -np.ones(n, dtype=np.int64)
+    for i in range(n):
+        nbr_colors = set(
+            color[cols_np[i, k]] for k in range(K) if mask_np[i, k]
+        )
+        c = 0
+        while c in nbr_colors:
+            c += 1
+        color[i] = c
+    ncolors = int(color.max()) + 1
+    masks = np.zeros((ncolors, n), dtype=bool)
+    masks[color, np.arange(n)] = True
+    return masks

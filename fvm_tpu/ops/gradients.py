@@ -1,0 +1,56 @@
+"""Least-squares cell gradients.
+
+TPU-native counterpart of the reference's gradient machinery
+(reference: GradientMatrix.h:31, GradientModel.h:92-106).  The reference
+builds a per-cell least-squares "gradient matrix" over the cellCells stencil;
+here that becomes a static (n_cells, K, dim) coefficient tensor aligned with
+the ELL cell->neighbor table, so a gradient evaluation is one gather and one
+einsum:
+
+    grad_c = sum_k  coeff[c, k, :] * (phi_nbr(c,k) - phi_c)
+
+Ghost (boundary) neighbors participate in the stencil, which is what makes
+boundary-adjacent gradients first-order accurate (the reference does the
+same by including boundary cells in cellCells).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..mesh.device import DeviceMesh
+
+
+def ls_gradient_coefficients(mesh: DeviceMesh) -> jnp.ndarray:
+    """Precompute least-squares gradient coefficients, (nc, K, dim).
+
+    Weighted LS with w = 1/|d|^2; for each cell solve
+    M g = sum w_k dphi_k d_k with M = sum w_k d_k d_k^T, giving
+    coeff_k = w_k M^{-1} d_k.  Padded slots get zero coefficients.
+    Degenerate rows (ghost cells with one neighbor) fall back to the
+    two-point difference along d (handled by Tikhonov regularization of M).
+    """
+    d = mesh.cell_centroid[mesh.cf_nbr] - mesh.cell_centroid[:, None, :]
+    mask = mesh.cf_mask[:, :, None]
+    d = jnp.where(mask, d, 0.0)
+    d2 = jnp.sum(d * d, axis=2)
+    w = jnp.where(mesh.cf_mask, 1.0 / jnp.maximum(d2, 1e-300), 0.0)
+    M = jnp.einsum("nk,nki,nkj->nij", w, d, d)
+    # regularize directions with no information (rank-deficient stencils):
+    # adding eps*I leaves well-posed directions untouched and zeroes the
+    # gradient along unseen directions instead of blowing up.
+    scale = jnp.trace(M, axis1=1, axis2=2)[:, None, None]
+    eye = jnp.eye(mesh.dim, dtype=M.dtype)
+    Mreg = M + 1e-10 * jnp.maximum(scale, 1e-300) * eye
+    Minv = jnp.linalg.inv(Mreg)
+    coeff = jnp.einsum("nij,nkj,nk->nki", Minv, d, w)
+    return jnp.where(mask, coeff, 0.0)
+
+
+def gradient(mesh: DeviceMesh, coeff: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Cell gradients: x is (nc,) -> (nc, dim); (nc, m) -> (nc, m, dim)."""
+    if x.ndim == 1:
+        dphi = x[mesh.cf_nbr] - x[:, None]
+        return jnp.einsum("nk,nki->ni", dphi, coeff)
+    dphi = x[mesh.cf_nbr] - x[:, None, :]  # (nc, K, m)
+    return jnp.einsum("nkm,nki->nmi", dphi, coeff)

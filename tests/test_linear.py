@@ -1,0 +1,117 @@
+"""Linear solver tests vs scipy reference solutions.
+
+Mirrors the reference's solver unit test (testLinearSolver.cpp:15-28 via
+MMReader) but generates the Poisson system programmatically.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+import scipy.sparse as sp
+import scipy.sparse.linalg as spla
+
+from fvm_tpu.ops.ell import ELLMatrix
+from fvm_tpu.linear import CG, BiCGStab, JacobiSolver, AMG, DirectSolver
+
+
+def poisson_ell(nx, ny):
+    """5-point Poisson (Dirichlet) as ELLMatrix + scipy CSR for checking."""
+    n = nx * ny
+    diag = np.full(n, 4.0)
+    cols = np.zeros((n, 4), dtype=np.int64)
+    off = np.zeros((n, 4))
+    mask = np.zeros((n, 4), dtype=bool)
+    for i in range(nx):
+        for j in range(ny):
+            c = i * ny + j
+            k = 0
+            for di, dj in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                ii, jj = i + di, j + dj
+                if 0 <= ii < nx and 0 <= jj < ny:
+                    cols[c, k] = ii * ny + jj
+                    off[c, k] = -1.0
+                    mask[c, k] = True
+                    k += 1
+            cols[c, k:] = c
+    A = ELLMatrix(
+        diag=jnp.asarray(diag),
+        off=jnp.asarray(off),
+        cols=jnp.asarray(cols, jnp.int32),
+        mask=jnp.asarray(mask),
+    )
+    rows = np.repeat(np.arange(n), 4)
+    S = sp.csr_matrix(
+        (off.ravel()[mask.ravel()], (rows[mask.ravel()], cols.ravel()[mask.ravel()])),
+        shape=(n, n),
+    ) + sp.diags(diag)
+    return A, S
+
+
+@pytest.fixture(scope="module")
+def sys16():
+    A, S = poisson_ell(16, 16)
+    rng = np.random.default_rng(0)
+    b = jnp.asarray(rng.standard_normal(16 * 16))
+    x_ref = spla.spsolve(S.tocsc(), np.asarray(b))
+    return A, b, x_ref
+
+
+def test_spmv_matches_scipy(sys16):
+    A, b, _ = sys16
+    _, S = poisson_ell(16, 16)
+    y = np.asarray(A.mv(b))
+    np.testing.assert_allclose(y, S @ np.asarray(b), rtol=1e-12)
+
+
+def test_cg(sys16):
+    A, b, x_ref = sys16
+    x, stats = CG(max_iterations=500, relative_tolerance=1e-12).solve(A, b)
+    assert bool(stats.converged)
+    np.testing.assert_allclose(np.asarray(x), x_ref, rtol=1e-8, atol=1e-8)
+
+
+def test_bicgstab(sys16):
+    A, b, x_ref = sys16
+    x, stats = BiCGStab(max_iterations=500, relative_tolerance=1e-12).solve(A, b)
+    assert bool(stats.converged)
+    np.testing.assert_allclose(np.asarray(x), x_ref, rtol=1e-7, atol=1e-7)
+
+
+def test_jacobi_reduces_residual(sys16):
+    A, b, _ = sys16
+    x, stats = JacobiSolver(max_iterations=200, relative_tolerance=1e-3).solve(A, b)
+    assert float(stats.residual) < float(stats.residual0)
+
+
+def test_direct(sys16):
+    A, b, x_ref = sys16
+    x, stats = DirectSolver().solve(A, b)
+    np.testing.assert_allclose(np.asarray(x), x_ref, rtol=1e-10, atol=1e-10)
+
+
+def test_amg_standalone(sys16):
+    A, b, x_ref = sys16
+    amg = AMG(max_iterations=60, relative_tolerance=1e-10)
+    x, stats = amg.solve(A, b)
+    assert bool(stats.converged), f"AMG residual {float(stats.residual):.2e}"
+    np.testing.assert_allclose(np.asarray(x), x_ref, rtol=1e-6, atol=1e-6)
+
+
+def test_cg_amg_preconditioned(sys16):
+    A, b, x_ref = sys16
+    amg = AMG()
+    amg.setup_structure(np.asarray(A.cols), np.asarray(A.mask))
+    x, stats = CG(preconditioner=amg, max_iterations=100, relative_tolerance=1e-12).solve(A, b)
+    assert bool(stats.converged)
+    assert int(stats.iterations) < 30  # AMG-preconditioned CG must be fast
+    np.testing.assert_allclose(np.asarray(x), x_ref, rtol=1e-8, atol=1e-8)
+
+
+def test_multi_rhs(sys16):
+    A, b, _ = sys16
+    B = jnp.stack([b, 2 * b, -b], axis=1)
+    x, stats = CG(max_iterations=500, relative_tolerance=1e-12).solve(A, B)
+    assert x.shape == B.shape
+    r = np.asarray(B - A.mv(x))
+    assert np.abs(r).max() < 1e-8
