@@ -1,0 +1,110 @@
+"""Boundary-condition kernels (the GenericBCS equivalent).
+
+TPU-native counterpart of the reference's ``GenericBCS``
+(reference: src/fvm/src/modules/fvmbase/GenericBCS.h:77-360 —
+applyDirichletBC / applyNeumannBC / applyExtrapolationBC /
+applyConvectionBC / applyRadiationBC / applyMixedBC).
+
+Mechanics: every boundary face owns a ghost cell whose row in the system is
+the *boundary equation*.  BCs act in two phases, both as functional updates
+on static group slices (fixed shapes under jit):
+
+1. patch the per-face flux linearization for the group (e.g. Neumann
+   replaces the diffusion flux with the specified flux);
+2. patch the ghost-cell rows after assembly (e.g. Dirichlet overwrites the
+   ghost row with an identity equation; Robin adds a sink term to the
+   natural ghost balance).
+
+Sign conventions follow ops.assembly: A dx = r with A = -dr/dx.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..mesh.device import DeviceMesh
+from ..ops.assembly import FaceFlux
+from ..ops.ell import ELLMatrix
+
+
+def ghost_owner_cells(mesh: DeviceMesh):
+    """(n_boundary_faces,) owner cell of each ghost cell (device array)."""
+    return mesh.face_cell0[mesh.n_interior_faces :]
+
+
+def extend_to_ghosts(mesh: DeviceMesh, x: jnp.ndarray) -> jnp.ndarray:
+    """Copy owner-cell values into ghost-cell slots (zero-gradient copy)."""
+    owners = ghost_owner_cells(mesh)
+    return x.at[mesh.n_interior_cells :].set(x[owners])
+
+
+# ---------------------------------------------------------------------------
+# phase 1: per-group face-flux patches
+# ---------------------------------------------------------------------------
+
+
+def set_flux_fixed(flux: FaceFlux, sl: slice, F_values) -> FaceFlux:
+    """Replace the face flux on a group with a fixed (explicit) flux.
+
+    Used for Neumann/specified-flux and symmetry (F = 0).
+    (reference: applyNeumannBC, GenericBCS.h:129)
+    """
+    Fv = jnp.broadcast_to(F_values, flux.F[sl].shape)
+    return FaceFlux(
+        F=flux.F.at[sl].set(Fv),
+        dF_dO=flux.dF_dO.at[sl].set(0.0),
+        dF_dN=flux.dF_dN.at[sl].set(0.0),
+    )
+
+
+# ---------------------------------------------------------------------------
+# phase 2: ghost-row patches (after assembly)
+# ---------------------------------------------------------------------------
+
+
+def dirichlet_rows(
+    mesh: DeviceMesh, A: ELLMatrix, r, gc: slice, value, phi
+) -> tuple[ELLMatrix, jnp.ndarray]:
+    """Ghost equation: dx_g = value - phi_g.
+    (reference: applyDirichletBC, GenericBCS.h:77)"""
+    diag = A.diag.at[gc].set(1.0)
+    off = A.off.at[gc].set(0.0)
+    resid = value - phi[gc]
+    r = r.at[gc].set(resid if r.ndim == 1 else jnp.broadcast_to(resid, r[gc].shape))
+    return ELLMatrix(diag=diag, off=off, cols=A.cols, mask=A.mask), r
+
+
+def extrapolation_rows(
+    mesh: DeviceMesh, A: ELLMatrix, r, gc: slice, phi
+) -> tuple[ELLMatrix, jnp.ndarray]:
+    """Ghost equation: dx_g - dx_owner = phi_owner - phi_g (zero gradient).
+    (reference: applyExtrapolationBC, GenericBCS.h:180)
+
+    Slot 0 of a ghost row is its single face, whose neighbor is the owner.
+    """
+    diag = A.diag.at[gc].set(1.0)
+    off = A.off.at[gc].set(0.0)
+    off = off.at[gc, 0].set(-1.0)
+    owners = ghost_owner_cells(mesh)
+    sl0 = gc.start - mesh.n_interior_cells
+    sl1 = gc.stop - mesh.n_interior_cells
+    own = owners[sl0:sl1]
+    resid = phi[own] - phi[gc]
+    r = r.at[gc].set(resid)
+    return ELLMatrix(diag=diag, off=off, cols=A.cols, mask=A.mask), r
+
+
+def robin_sink_rows(
+    mesh: DeviceMesh, A: ELLMatrix, r, gc: slice, coeff, sink_residual
+) -> tuple[ELLMatrix, jnp.ndarray]:
+    """Augment the natural ghost balance with an external exchange term.
+
+    For convective BCs (reference: applyConvectionBC, GenericBCS.h:214):
+    ghost balance  F_face - h A (phi_g - T_inf) = 0 is the assembled face
+    row plus diag += h*A and r += h*A*(T_inf - phi_g).
+    ``coeff`` = d(sink)/d(phi_g) >= 0; ``sink_residual`` = current residual
+    contribution of the exchange term.
+    """
+    diag = A.diag.at[gc].add(coeff)
+    r = r.at[gc].add(sink_residual)
+    return ELLMatrix(diag=diag, off=A.off, cols=A.cols, mask=A.mask), r

@@ -1,1 +1,2 @@
-# models are populated as they land; keep import side-effect free
+from .base import Model, ResidualHistory
+from .thermal import ThermalModel, ThermalBC, ThermalVC, ThermalModelOptions

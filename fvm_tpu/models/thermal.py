@@ -1,0 +1,301 @@
+"""ThermalModel: heat conduction/convection on unstructured meshes.
+
+TPU-native counterpart of the reference's ThermalModel
+(reference: ThermalModel.h:19, ThermalModel_impl.h:84 ``init``, :236
+``linearize``, :424 ``advance``, :400 ``getHeatFluxIntegral``; BC/VC dicts in
+ThermalBC.h).  The equation set, BC types and outer-iteration structure match
+the reference; the implementation is a single jit-compiled
+linearize-assemble-solve step over the ELL/gather data layout.
+
+BC types: 'SpecifiedTemperature', 'SpecifiedHeatFlux' (per-area, positive
+into the domain), 'Symmetry', 'Convective' (heatTransferCoefficient +
+farFieldTemperature), 'Radiative' (surfaceEmissivity + farFieldTemperature),
+'Mixed' (convective + radiative).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..mesh.device import DeviceMesh
+from ..core.options import BoundaryCondition, ModelOptions
+from ..core import bcs as bck
+from ..ops import assembly, discretizations as disc
+from ..ops.gradients import ls_gradient_coefficients, gradient
+from ..linear import AMG, BiCGStab, norm
+from ..exceptions import ConfigError
+from .base import Model, ResidualHistory
+
+STEFAN_BOLTZMANN = 5.670374419e-8
+
+
+class ThermalBC(BoundaryCondition):
+    _allowed_types = (
+        "SpecifiedTemperature",
+        "SpecifiedHeatFlux",
+        "Symmetry",
+        "Convective",
+        "Radiative",
+        "Mixed",
+    )
+    _defaults = {
+        "specifiedTemperature": 300.0,
+        "specifiedHeatFlux": 0.0,
+        "heatTransferCoefficient": 0.0,
+        "farFieldTemperature": 300.0,
+        "surfaceEmissivity": 1.0,
+    }
+
+
+class ThermalVC(BoundaryCondition):
+    """Volume conditions (reference: ThermalVC in ThermalBC.h)."""
+
+    _defaults = {
+        "thermalConductivity": 1.0,
+        "density": 1.0,
+        "specificHeat": 1.0,
+        "initialTemperature": 300.0,
+        "heatSource": 0.0,
+    }
+
+
+class ThermalModelOptions(ModelOptions):
+    _defaults = {
+        "transient": False,
+        "timeStep": 0.1,
+        "timeDiscretizationOrder": 1,
+        "convective": False,  # enable convection using state['massFlux']
+        "convectionScheme": "upwind",
+        "nonOrthogonalCorrection": True,
+        "relativeTolerance": 1e-8,
+        "absoluteTolerance": 1e-16,
+        "urf": 1.0,
+        "verbose": True,
+    }
+
+
+class ThermalModel(Model):
+    name = "ThermalModel"
+
+    def __init__(self, mesh: DeviceMesh):
+        super().__init__(mesh)
+        self.vc = ThermalVC()
+
+    def _make_options(self):
+        return ThermalModelOptions()
+
+    def _make_bc(self):
+        return ThermalBC()
+
+    # ------------------------------------------------------------------
+
+    def init(self) -> None:
+        mesh = self.mesh
+        dtype = mesh.cell_volume.dtype
+        T0 = self.vc.resolve("initialTemperature", mesh.n_cells, dtype)
+        self.state = {
+            "T": T0,
+            "massFlux": jnp.zeros(mesh.n_faces, dtype),
+        }
+        if self.options["transient"]:
+            self.state["T_N1"] = T0
+            if self.options["timeDiscretizationOrder"] > 1:
+                self.state["T_N2"] = T0
+
+        # conductivity / rho*cp cell arrays (ghosts copy owners)
+        k = self.vc.resolve("thermalConductivity", mesh.n_cells, dtype)
+        self._k_cell = bck.extend_to_ghosts(mesh, k)
+        rho = self.vc.resolve("density", mesh.n_cells, dtype)
+        cp = self.vc.resolve("specificHeat", mesh.n_cells, dtype)
+        self._rho_cp = rho * cp
+        self._src = self.vc.resolve("heatSource", mesh.n_cells, dtype)
+
+        self._grad_coeff = (
+            ls_gradient_coefficients(mesh)
+            if self.options["nonOrthogonalCorrection"]
+            else None
+        )
+
+        solver = self.options.get("linearSolver")
+        if solver is None:
+            amg = AMG()
+            solver = BiCGStab(
+                preconditioner=amg, relative_tolerance=1e-10, max_iterations=50
+            )
+            self.options["linearSolver"] = solver
+        # AMG hierarchies need concrete structure before tracing
+        pre = getattr(solver, "preconditioner", None)
+        for s in (solver, pre):
+            if isinstance(s, AMG):
+                s.setup_structure(np.asarray(mesh.cf_nbr), np.asarray(mesh.cf_mask))
+
+        self._step = jax.jit(self._build_step())
+        self._initial_norm = None
+        self._initialized = True
+
+    # ------------------------------------------------------------------
+
+    def _linearize(self, state, bcvals):
+        """Build (A, r) for the current state.  jit-traced."""
+        mesh = self.mesh
+        opts = self.options
+        T = state["T"]
+
+        gamma_f = disc.harmonic_face_gamma(mesh, self._k_cell)
+        gradT = (
+            gradient(mesh, self._grad_coeff, T)
+            if self._grad_coeff is not None
+            else None
+        )
+        flux = disc.diffusion_flux(mesh, T, gamma_f, gradT)
+        if opts["convective"]:
+            flux = flux + disc.convection_flux(
+                mesh, T, state["massFlux"], opts["convectionScheme"], gradT
+            )
+
+        # phase 1: flux patches on boundary groups
+        for g, bc in self._group_bcs():
+            sl = mesh.group_faces(g)
+            t = bc.bc_type
+            if t == "SpecifiedHeatFlux":
+                q = bcvals[f"{g[1]}:specifiedHeatFlux"]
+                flux = bck.set_flux_fixed(
+                    flux, sl, -q * mesh.face_area_mag[sl]
+                )
+            elif t == "Symmetry":
+                flux = bck.set_flux_fixed(flux, sl, 0.0)
+            # SpecifiedTemperature / Convective / Radiative / Mixed keep the
+            # diffusive face flux (it references the ghost value)
+
+        # cell terms
+        diag_cell, r_cell = disc.source_term(mesh, self._src)
+        if opts["transient"]:
+            d2, r2 = disc.transient_term(
+                mesh,
+                T,
+                state["T_N1"],
+                opts["timeStep"],
+                self._rho_cp,
+                state.get("T_N2"),
+            )
+            diag_cell = diag_cell + d2
+            r_cell = r_cell + r2
+
+        A, r = assembly.assemble(mesh, flux, r_cell=r_cell, diag_cell=diag_cell)
+
+        # phase 2: ghost-row patches
+        for g, bc in self._group_bcs():
+            gc = mesh.ghost_cells_of_group(g)
+            sl = mesh.group_faces(g)
+            t = bc.bc_type
+            if t == "SpecifiedTemperature":
+                A, r = bck.dirichlet_rows(
+                    mesh, A, r, gc, bcvals[f"{g[1]}:specifiedTemperature"], T
+                )
+            elif t in ("SpecifiedHeatFlux", "Symmetry"):
+                A, r = bck.extrapolation_rows(mesh, A, r, gc, T)
+            elif t in ("Convective", "Radiative", "Mixed"):
+                amag = mesh.face_area_mag[sl]
+                coeff = jnp.zeros_like(amag)
+                sink = jnp.zeros_like(amag)
+                Tg = T[gc]
+                if t in ("Convective", "Mixed"):
+                    h = bcvals[f"{g[1]}:heatTransferCoefficient"]
+                    Tinf = bcvals[f"{g[1]}:farFieldTemperature"]
+                    coeff = coeff + h * amag
+                    sink = sink + h * amag * (Tinf - Tg)
+                if t in ("Radiative", "Mixed"):
+                    eps = bcvals[f"{g[1]}:surfaceEmissivity"]
+                    Tinf = bcvals[f"{g[1]}:farFieldTemperature"]
+                    coeff = coeff + 4.0 * STEFAN_BOLTZMANN * eps * amag * Tg**3
+                    sink = sink + STEFAN_BOLTZMANN * eps * amag * (Tinf**4 - Tg**4)
+                A, r = bck.robin_sink_rows(mesh, A, r, gc, coeff, sink)
+            else:
+                raise ConfigError(f"ThermalModel: unhandled bc_type {t!r}")
+        return A, r
+
+    def _build_step(self):
+        solver = self.options["linearSolver"]
+        urf = float(self.options["urf"])
+
+        def step(state, bcvals):
+            A, r = self._linearize(state, bcvals)
+            rnorm = norm(r)
+            dx, stats = solver.solve_fn(A, r, jnp.zeros_like(r))
+            state = dict(state)
+            state["T"] = state["T"] + urf * dx
+            return state, rnorm, stats
+
+        return step
+
+    def _resolve_bcvals(self):
+        vals = {}
+        for g, bc in self._group_bcs():
+            for key in bc:
+                vals[f"{g[1]}:{key}"] = bc.resolve(key, g[4])
+        return vals
+
+    # ------------------------------------------------------------------
+
+    def advance(self, niter: int = 1) -> ResidualHistory:
+        """Outer (nonlinear) iterations; returns [(iter, rnorm), ...].
+
+        Mirrors ThermalModel_impl.h:424-454: linearize, solve, update,
+        check rNorm against absolute/relative tolerances.
+        """
+        if not self._initialized:
+            raise ConfigError("call init() before advance()")
+        opts = self.options
+        hist = ResidualHistory()
+        bcvals = self._resolve_bcvals()
+        for it in range(niter):
+            self.state, rnorm, stats = self._step(self.state, bcvals)
+            rnorm = float(rnorm)
+            if self._initial_norm is None or self._initial_norm == 0.0:
+                self._initial_norm = rnorm
+            hist.append((it, rnorm))
+            if opts["verbose"]:
+                print(f"{self.name}: {it}: {rnorm:.6e}")
+            if rnorm < opts["absoluteTolerance"]:
+                break
+            if rnorm / max(self._initial_norm, 1e-300) < opts["relativeTolerance"]:
+                break
+        return hist
+
+    def updateTime(self):
+        if not self.options["transient"]:
+            raise ConfigError("ThermalModel: transient option is off")
+        if "T_N2" in self.state:
+            self.state["T_N2"] = self.state["T_N1"]
+        self.state["T_N1"] = self.state["T"]
+
+    # ------------------------------------------------------------------
+
+    def getHeatFluxIntegral(self, group_name) -> float:
+        """Net heat flow INTO the domain through a boundary group.
+
+        (reference: ThermalModel_impl.h:400 getHeatFluxIntegral)
+        """
+        mesh = self.mesh
+        g = mesh.group_by_name(group_name) if isinstance(group_name, str) else group_name
+        sl = mesh.group_faces(g)
+        bc = self.bc[g[1]]
+        T = self.state["T"]
+        if bc.bc_type == "SpecifiedHeatFlux":
+            q = bc.resolve("specifiedHeatFlux", g[4])
+            return float(jnp.sum(q * mesh.face_area_mag[sl]))
+        if bc.bc_type == "Symmetry":
+            return 0.0
+        gamma_f = disc.harmonic_face_gamma(mesh, self._k_cell)
+        gradT = (
+            gradient(mesh, self._grad_coeff, T)
+            if self._grad_coeff is not None
+            else None
+        )
+        flux = disc.diffusion_flux(mesh, T, gamma_f, gradT)
+        return float(-jnp.sum(flux.F[sl]))
+
+    def getTemperature(self) -> np.ndarray:
+        return np.asarray(self.state["T"][: self.mesh.n_interior_cells])
