@@ -1,0 +1,458 @@
+"""FlowModel: incompressible Navier-Stokes, segregated SIMPLE.
+
+TPU-native counterpart of the reference's FlowModel
+(reference: FlowModel.h:19, FlowModel_impl.h — solveMomentum :730,
+linearizeContinuity :998, Rhie-Chow via _momApField/_previousVelocity
+:741-768, postContinuitySolve :1263 with under-relaxation :858-882,
+advance :1433).
+
+Algorithm per outer iteration (one jitted step):
+  1. momentum predictor: one scalar ELL matrix shared by all velocity
+     components (multi-RHS solve), upwind convection + viscous diffusion +
+     explicit pressure force  p_f * A_f  as a face flux; implicit
+     under-relaxation of the diagonal; saves aP for Rhie-Chow;
+  2. Rhie-Chow face mass flux:
+       mdot = rho*Vbar_f.A - rho*Df*[(p_N - p_O)*e_over_d - grad_p_bar . E]
+     which suppresses checkerboard modes on the collocated layout;
+  3. pressure correction (SIMPLE): div-free constraint gives a Poisson
+     system with face coefficients rho*Df; fixed-pressure boundaries get
+     p'=0, all other boundaries zero correction-flux; for enclosed domains
+     the level is pinned at cell 0;
+  4. corrections: p += urf_p*p', V -= (vol/aP) grad p', mdot += dmdot.
+
+Ghost-cell values for V and p are refreshed explicitly each outer iteration
+from the BCs (walls/inlets: Dirichlet; symmetry: mirrored velocity;
+pressure boundaries: fixed p, extrapolated V); all ghost rows in the linear
+systems are identity (delta = 0), which converges to the same fixed point as
+the reference's implicit GenericBCS rows while keeping the momentum matrix
+scalar.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..mesh.device import DeviceMesh
+from ..core.options import BoundaryCondition, ModelOptions
+from ..core import bcs as bck
+from ..ops import assembly
+from ..ops import discretizations as disc
+from ..ops.assembly import FaceFlux
+from ..ops.ell import ELLMatrix
+from ..ops.gradients import ls_gradient_coefficients, gradient
+from ..linear import AMG, BiCGStab, norm
+from ..exceptions import ConfigError
+from .base import Model, ResidualHistory
+
+
+class FlowBC(BoundaryCondition):
+    _allowed_types = (
+        "NoSlipWall",
+        "VelocityBoundary",
+        "PressureBoundary",
+        "Symmetry",
+    )
+    _defaults = {
+        "specifiedXVelocity": 0.0,
+        "specifiedYVelocity": 0.0,
+        "specifiedZVelocity": 0.0,
+        "specifiedPressure": 0.0,
+    }
+
+
+class FlowVC(BoundaryCondition):
+    _defaults = {
+        "density": 1.0,
+        "viscosity": 1.0,
+        "initialXVelocity": 0.0,
+        "initialYVelocity": 0.0,
+        "initialZVelocity": 0.0,
+        "initialPressure": 0.0,
+    }
+
+
+class FlowModelOptions(ModelOptions):
+    _defaults = {
+        "momentumURF": 0.7,
+        "pressureURF": 0.3,
+        "transient": False,
+        "timeStep": 0.1,
+        "timeDiscretizationOrder": 1,
+        "convectionScheme": "upwind",
+        "nonOrthogonalCorrection": True,
+        "momentumTolerance": 1e-4,
+        "continuityTolerance": 1e-4,
+        "absoluteTolerance": 1e-50,
+        "verbose": True,
+        "printNormalizedResiduals": True,
+    }
+
+
+class FlowModel(Model):
+    name = "FlowModel"
+
+    def __init__(self, mesh: DeviceMesh):
+        super().__init__(mesh)
+        self.vc = FlowVC()
+
+    def _make_options(self):
+        return FlowModelOptions()
+
+    def _make_bc(self):
+        return FlowBC()
+
+    # ------------------------------------------------------------------
+
+    def init(self) -> None:
+        mesh = self.mesh
+        dtype = mesh.cell_volume.dtype
+        dim = mesh.dim
+        vel0 = jnp.stack(
+            [
+                self.vc.resolve(k, mesh.n_cells, dtype)
+                for k in ("initialXVelocity", "initialYVelocity", "initialZVelocity")[:dim]
+            ],
+            axis=1,
+        )
+        self.state = {
+            "velocity": vel0,
+            "pressure": self.vc.resolve("initialPressure", mesh.n_cells, dtype),
+            "massFlux": jnp.zeros(mesh.n_faces, dtype),
+            "momAp": jnp.ones(mesh.n_cells, dtype),
+        }
+        if self.options["transient"]:
+            self.state["velocity_N1"] = vel0
+            if self.options["timeDiscretizationOrder"] > 1:
+                self.state["velocity_N2"] = vel0
+
+        self._rho = bck.extend_to_ghosts(
+            mesh, self.vc.resolve("density", mesh.n_cells, dtype)
+        )
+        self._mu = bck.extend_to_ghosts(
+            mesh, self.vc.resolve("viscosity", mesh.n_cells, dtype)
+        )
+        self._grad_coeff = (
+            ls_gradient_coefficients(mesh)
+            if self.options["nonOrthogonalCorrection"]
+            else None
+        )
+
+        # does any boundary fix the pressure level?
+        self._has_pressure_bc = any(
+            bc.bc_type == "PressureBoundary" for _, bc in self._group_bcs()
+        )
+
+        mom = self.options.get("momentumLinearSolver")
+        if mom is None:
+            mom = BiCGStab(relative_tolerance=1e-2, max_iterations=30)
+            self.options["momentumLinearSolver"] = mom
+        pres = self.options.get("pressureLinearSolver")
+        if pres is None:
+            pres_amg = AMG()
+            pres = BiCGStab(
+                preconditioner=pres_amg, relative_tolerance=1e-3, max_iterations=30
+            )
+            self.options["pressureLinearSolver"] = pres
+        for s in (mom, pres):
+            for ss in (s, getattr(s, "preconditioner", None)):
+                if isinstance(ss, AMG):
+                    ss.setup_structure(
+                        np.asarray(mesh.cf_nbr), np.asarray(mesh.cf_mask)
+                    )
+
+        self._step = jax.jit(self._build_step())
+        self._norm0 = None
+        self._initialized = True
+
+    # ------------------------------------------------------------------
+
+    def _bc_velocity(self, bcvals, g, V):
+        """BC velocity for a boundary group, shape (count, dim)."""
+        dim = self.mesh.dim
+        comps = ("specifiedXVelocity", "specifiedYVelocity", "specifiedZVelocity")[:dim]
+        return jnp.stack([bcvals[f"{g[1]}:{c}"] for c in comps], axis=1)
+
+    def _refresh_ghosts(self, state, bcvals):
+        """Set ghost V and p from BCs (explicit, before linearization)."""
+        mesh = self.mesh
+        V = state["velocity"]
+        p = state["pressure"]
+        # default: zero-gradient copies
+        V = bck.extend_to_ghosts(mesh, V)
+        p = bck.extend_to_ghosts(mesh, p)
+        for g, bc in self._group_bcs():
+            gc = mesh.ghost_cells_of_group(g)
+            sl = mesh.group_faces(g)
+            t = bc.bc_type
+            if t in ("NoSlipWall", "VelocityBoundary"):
+                V = V.at[gc].set(self._bc_velocity(bcvals, g, V))
+            elif t == "Symmetry":
+                owners = mesh.face_cell0[sl]
+                nhat = mesh.face_area[sl] / mesh.face_area_mag[sl][:, None]
+                Vo = V[owners]
+                V = V.at[gc].set(
+                    Vo - 2.0 * jnp.sum(Vo * nhat, axis=1, keepdims=True) * nhat
+                )
+            elif t == "PressureBoundary":
+                p = p.at[gc].set(bcvals[f"{g[1]}:specifiedPressure"])
+        return dict(state, velocity=V, pressure=p)
+
+    def _boundary_mass_flux(self, state, bcvals):
+        """mdot on boundary faces from BCs (fixed during continuity)."""
+        mesh = self.mesh
+        V = state["velocity"]
+        mdot = jnp.zeros(mesh.n_faces, V.dtype)
+        for g, bc in self._group_bcs():
+            sl = mesh.group_faces(g)
+            t = bc.bc_type
+            if t in ("NoSlipWall", "Symmetry"):
+                continue  # zero
+            gc = mesh.ghost_cells_of_group(g)
+            rho_f = self._rho[mesh.face_cell0[sl]]
+            if t == "VelocityBoundary":
+                Vb = self._bc_velocity(bcvals, g, V)
+                mdot = mdot.at[sl].set(
+                    rho_f * jnp.einsum("fd,fd->f", Vb, mesh.face_area[sl])
+                )
+            elif t == "PressureBoundary":
+                # outflow from extrapolated owner velocity
+                Vo = V[mesh.face_cell0[sl]]
+                mdot = mdot.at[sl].set(
+                    rho_f * jnp.einsum("fd,fd->f", Vo, mesh.face_area[sl])
+                )
+        return mdot
+
+    # ------------------------------------------------------------------
+
+    def _build_step(self):
+        mesh = self.mesh
+        opts = self.options
+        dim = mesh.dim
+        urf_v = float(opts["momentumURF"])
+        urf_p = float(opts["pressureURF"])
+        mom_solver = opts["momentumLinearSolver"]
+        pres_solver = opts["pressureLinearSolver"]
+        n_int = mesh.n_interior_cells
+        interior_cells = jnp.arange(mesh.n_cells) < n_int
+
+        def identity_ghost_rows(A, r):
+            """All ghost rows: delta = 0 (ghosts refreshed explicitly)."""
+            gh = slice(n_int, mesh.n_cells)
+            diag = A.diag.at[gh].set(1.0)
+            off = A.off.at[gh].set(0.0)
+            r = r.at[gh].set(0.0)
+            return ELLMatrix(diag=diag, off=off, cols=A.cols, mask=A.mask), r
+
+        def step(state, bcvals):
+            state = self._refresh_ghosts(state, bcvals)
+            V = state["velocity"]
+            p = state["pressure"]
+            mdot = state["massFlux"]
+            # boundary mdot is BC-determined
+            bmdot = self._boundary_mass_flux(state, bcvals)
+            mdot = jnp.where(
+                jnp.arange(mesh.n_faces) < mesh.n_interior_faces, mdot, bmdot
+            )
+
+            # ---- momentum predictor --------------------------------------
+            mu_f = disc.harmonic_face_gamma(mesh, self._mu)
+            gradV = (
+                gradient(mesh, self._grad_coeff, V)
+                if self._grad_coeff is not None
+                else None
+            )
+            flux = disc.diffusion_flux(mesh, V, mu_f, gradV)
+            flux = flux + disc.convection_flux(
+                mesh, V, mdot, opts["convectionScheme"], gradV
+            )
+            # pressure force as explicit face flux: F += p_f * A_f
+            p_f = assembly.cells_to_faces_distance_weighted(mesh, p)
+            flux = FaceFlux(
+                F=flux.F + p_f[:, None] * mesh.face_area,
+                dF_dO=flux.dF_dO,
+                dF_dN=flux.dF_dN,
+            )
+            diag_cell = jnp.zeros(mesh.n_cells, V.dtype)
+            r_cell = jnp.zeros((mesh.n_cells, dim), V.dtype)
+            if opts["transient"]:
+                d2, r2 = disc.transient_term(
+                    mesh,
+                    V,
+                    state["velocity_N1"],
+                    opts["timeStep"],
+                    self._rho,
+                    state.get("velocity_N2"),
+                )
+                diag_cell = diag_cell + d2
+                r_cell = r_cell + r2
+            A, r = assembly.assemble(mesh, flux, r_cell=r_cell, diag_cell=diag_cell)
+            A, r = identity_ghost_rows(A, r)
+            mom_norm = norm(r)
+            # implicit under-relaxation (reference :858-882 equivalent)
+            Aur = ELLMatrix(
+                diag=jnp.where(interior_cells, A.diag / urf_v, A.diag),
+                off=A.off,
+                cols=A.cols,
+                mask=A.mask,
+            )
+            dV, mom_stats = mom_solver.solve_fn(Aur, r, jnp.zeros_like(r))
+            V = V + dV
+            aP = Aur.diag  # relaxed diag for Rhie-Chow (OpenFOAM convention)
+
+            # ---- Rhie-Chow face mass flux --------------------------------
+            state2 = self._refresh_ghosts(dict(state, velocity=V, pressure=p), bcvals)
+            V = state2["velocity"]
+            rho_f = assembly.cells_to_faces_distance_weighted(mesh, self._rho)
+            Vbar = assembly.cells_to_faces_distance_weighted(mesh, V)
+            gradp = (
+                gradient(mesh, self._grad_coeff, p)
+                if self._grad_coeff is not None
+                else self._green_gauss_gradp(p)
+            )
+            vol_over_ap = jnp.where(
+                interior_cells, mesh.cell_volume / aP, 0.0
+            )
+            # average vol/aP to faces; boundary faces get the owner value
+            voap_f = assembly.cells_to_faces_distance_weighted(
+                mesh, bck.extend_to_ghosts(mesh, vol_over_ap)
+            )
+            Df = rho_f * voap_f * mesh.face_e_over_d  # continuity face coeff
+            gpbar = assembly.cells_to_faces_distance_weighted(mesh, gradp)
+            dp = p[mesh.face_cell1] - p[mesh.face_cell0]
+            rc = Df * (dp - jnp.einsum("fd,fd->f", gpbar, mesh.face_ds))
+            mdot_int = rho_f * jnp.einsum("fd,fd->f", Vbar, mesh.face_area) - rc
+            bmdot = self._boundary_mass_flux(state2, bcvals)
+            mdot = jnp.where(
+                jnp.arange(mesh.n_faces) < mesh.n_interior_faces, mdot_int, bmdot
+            )
+
+            # ---- pressure correction -------------------------------------
+            # face flux of p' correction: dmdot = -Df (p'_N - p'_O);
+            # continuity residual r_c = -sum_s mdot  (mass imbalance)
+            Df_cont = Df
+            # zero correction-flux on boundaries except pressure boundaries
+            bnd = jnp.arange(mesh.n_faces) >= mesh.n_interior_faces
+            pres_face = jnp.zeros(mesh.n_faces, bool)
+            for g, bc in self._group_bcs():
+                if bc.bc_type == "PressureBoundary":
+                    sl = mesh.group_faces(g)
+                    pres_face = pres_face.at[sl].set(True)
+            Df_cont = jnp.where(bnd & ~pres_face, 0.0, Df_cont)
+            cont_flux = FaceFlux(F=mdot, dF_dO=Df_cont, dF_dN=-Df_cont)
+            Ap, rp = assembly.assemble(mesh, cont_flux)
+            Ap, rp = identity_ghost_rows(Ap, rp)
+            cont_norm = norm(rp)
+            if not self._has_pressure_bc:
+                # pin the level at cell 0 (reference: reference-pressure cell,
+                # FlowModel_impl.h:1005,1056)
+                Ap = ELLMatrix(
+                    diag=Ap.diag.at[0].set(Ap.diag[0] * (1.0 + 1e6)),
+                    off=Ap.off,
+                    cols=Ap.cols,
+                    mask=Ap.mask,
+                )
+            pc, pres_stats = pres_solver.solve_fn(Ap, rp, jnp.zeros_like(rp))
+            if not self._has_pressure_bc:
+                pc = pc - pc[0]
+            pc = jnp.where(interior_cells, pc, 0.0)
+
+            # ---- corrections (reference postContinuitySolve :1263) -------
+            p = p + urf_p * pc
+            gradpc = (
+                gradient(mesh, self._grad_coeff, pc)
+                if self._grad_coeff is not None
+                else self._green_gauss_gradp(pc)
+            )
+            V = V - vol_over_ap[:, None] * gradpc
+            dmdot = -Df * (pc[mesh.face_cell1] - pc[mesh.face_cell0])
+            mdot = jnp.where(bnd & ~pres_face, mdot, mdot + dmdot)
+
+            new_state = dict(state)
+            new_state["velocity"] = V
+            new_state["pressure"] = p
+            new_state["massFlux"] = mdot
+            new_state["momAp"] = aP
+            return new_state, mom_norm, cont_norm
+
+        return step
+
+    def _green_gauss_gradp(self, p):
+        mesh = self.mesh
+        p_f = assembly.cells_to_faces_distance_weighted(mesh, p)
+        contrib = p_f[:, None] * mesh.face_area  # (nf, dim)
+        s = jnp.where(mesh.cf_is_owner, 1.0, -1.0) * mesh.cf_mask
+        g = jnp.einsum("nk,nkd->nd", s, contrib[mesh.cf_face])
+        return g / jnp.maximum(mesh.cell_volume, 1e-300)[:, None]
+
+    # ------------------------------------------------------------------
+
+    def advance(self, niter: int = 1) -> ResidualHistory:
+        if not self._initialized:
+            raise ConfigError("call init() before advance()")
+        opts = self.options
+        hist = ResidualHistory()
+        bcvals = self._resolve_bcvals()
+        for it in range(niter):
+            self.state, mom_norm, cont_norm = self._step(self.state, bcvals)
+            mom_norm, cont_norm = float(mom_norm), float(cont_norm)
+            if self._norm0 is None:
+                self._norm0 = (max(mom_norm, 1e-300), max(cont_norm, 1e-300))
+            rel = max(mom_norm / self._norm0[0], cont_norm / self._norm0[1])
+            hist.append((it, mom_norm, cont_norm))
+            if opts["verbose"]:
+                print(f"{self.name}: {it}: mom {mom_norm:.6e} cont {cont_norm:.6e}")
+            if (
+                mom_norm / self._norm0[0] < opts["momentumTolerance"]
+                and cont_norm / self._norm0[1] < opts["continuityTolerance"]
+            ) or max(mom_norm, cont_norm) < opts["absoluteTolerance"]:
+                break
+        return hist
+
+    def _resolve_bcvals(self):
+        vals = {}
+        for g, bc in self._group_bcs():
+            for key in bc:
+                vals[f"{g[1]}:{key}"] = bc.resolve(key, g[4])
+        return vals
+
+    def updateTime(self):
+        if not self.options["transient"]:
+            raise ConfigError("FlowModel: transient option is off")
+        if "velocity_N2" in self.state:
+            self.state["velocity_N2"] = self.state["velocity_N1"]
+        self.state["velocity_N1"] = self.state["velocity"]
+
+    # ------------------------------------------------------------------
+
+    def getVelocity(self) -> np.ndarray:
+        return np.asarray(self.state["velocity"][: self.mesh.n_interior_cells])
+
+    def getPressure(self) -> np.ndarray:
+        return np.asarray(self.state["pressure"][: self.mesh.n_interior_cells])
+
+    def getMassFluxIntegral(self, group_name) -> float:
+        mesh = self.mesh
+        g = mesh.group_by_name(group_name) if isinstance(group_name, str) else group_name
+        sl = mesh.group_faces(g)
+        return float(jnp.sum(self.state["massFlux"][sl]))
+
+    def getMomentumFluxIntegral(self, group_name) -> np.ndarray:
+        """Force on a boundary group: pressure + viscous (reference:
+        getMomentumFluxIntegral / getPVExact)."""
+        mesh = self.mesh
+        g = mesh.group_by_name(group_name) if isinstance(group_name, str) else group_name
+        sl = mesh.group_faces(g)
+        V = self.state["velocity"]
+        p = self.state["pressure"]
+        mu_f = disc.harmonic_face_gamma(mesh, self._mu)
+        gradV = (
+            gradient(mesh, self._grad_coeff, V)
+            if self._grad_coeff is not None
+            else None
+        )
+        dflux = disc.diffusion_flux(mesh, V, mu_f, gradV)
+        p_f = assembly.cells_to_faces_distance_weighted(mesh, p)
+        F = dflux.F[sl] + p_f[sl, None] * mesh.face_area[sl]
+        return np.asarray(jnp.sum(F, axis=0))

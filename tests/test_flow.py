@@ -1,0 +1,102 @@
+"""FlowModel (SIMPLE) end-to-end tests.
+
+Mirrors the reference's PARALLEL_CAVITY_* regression intent
+(reference: src/fvm/test/PARALLEL_CAVITY_AMG) with analytic/benchmark
+checks instead of golden files: exact plane-Poiseuille, lid-driven cavity
+vs Ghia et al. (1982) centerline values.
+"""
+
+import numpy as np
+import pytest
+
+import fvm_tpu as fvm
+from fvm_tpu.mesh.generate import quad_2d
+from fvm_tpu.models.flow import FlowModel
+
+
+def make_flow(mesh, **opts):
+    dm = fvm.mesh.build_device_mesh(mesh)
+    m = FlowModel(dm)
+    m.options["verbose"] = False
+    for k, v in opts.items():
+        m.options[k] = v
+    return m
+
+
+@pytest.mark.slow
+def test_poiseuille_exact():
+    """Plane Poiseuille driven by pressure boundaries.
+
+    u(y) = dp/(2 mu L) * y * (H - y); exact for the FVM scheme on a
+    uniform orthogonal mesh, so tolerances are tight.
+    """
+    L, H, dp, mu = 4.0, 1.0, 1.0, 0.1
+    m = make_flow(quad_2d(24, 24, lx=L, ly=H), momentumURF=0.8, pressureURF=0.4)
+    m.vc["viscosity"] = mu
+    m.bc["left"].bc_type = "PressureBoundary"
+    m.bc["left"]["specifiedPressure"] = dp
+    m.bc["right"].bc_type = "PressureBoundary"
+    m.bc["right"]["specifiedPressure"] = 0.0
+    m.bc["bottom"].bc_type = "NoSlipWall"
+    m.bc["top"].bc_type = "NoSlipWall"
+    m.init()
+    hist = m.advance(300)
+    assert hist[-1][1] / hist[0][1] < 1e-4, "momentum did not converge"
+    V = m.getVelocity()
+    y = np.asarray(m.mesh.cell_centroid)[: m.mesh.n_interior_cells, 1]
+    u_exact = dp / (2 * mu * L) * y * (H - y)
+    # ghost-cell wall BC carries O(dy^2) truncation error; ny=24 -> ~1%
+    np.testing.assert_allclose(V[:, 0], u_exact, rtol=2.5e-2, atol=1e-4)
+    np.testing.assert_allclose(V[:, 1], 0.0, atol=1e-4)
+    # mass conservation: inflow + outflow = 0
+    min_ = m.getMassFluxIntegral("left")
+    mout = m.getMassFluxIntegral("right")
+    assert min_ + mout == pytest.approx(0.0, abs=1e-6 * abs(min_))
+
+
+@pytest.mark.slow
+def test_lid_driven_cavity_re100():
+    """Re=100 cavity on 32x32 vs Ghia et al. u on the vertical centerline."""
+    n = 32
+    m = make_flow(quad_2d(n, n), momentumURF=0.7, pressureURF=0.3)
+    m.vc["viscosity"] = 0.01  # Re = 1*1/0.01 = 100
+    for side in ("left", "right", "bottom"):
+        m.bc[side].bc_type = "NoSlipWall"
+    m.bc["top"].bc_type = "NoSlipWall"
+    m.bc["top"]["specifiedXVelocity"] = 1.0
+    m.init()
+    hist = m.advance(400)
+    mom_rel = hist[-1][1] / hist[0][1]
+    cont_rel = hist[-1][2] / max(hist[0][2], 1e-300)
+    assert mom_rel < 1e-3, f"momentum residual ratio {mom_rel}"
+    V = m.getVelocity().reshape(n, n, 2)
+    u_center = V[n // 2, :, 0]  # x = 0.5 column
+    # Ghia et al. Re=100: u_min ~ -0.21 near y~0.46 (coarse upwind: looser)
+    assert u_center.min() < -0.12
+    assert u_center.max() > 0.5  # near the lid
+    # global mass balance on every interior cell
+    md = np.asarray(m.state["massFlux"])
+    div = np.zeros(m.mesh.n_cells)
+    np.add.at(div, np.asarray(m.mesh.face_cell0), md)
+    np.subtract.at(div, np.asarray(m.mesh.face_cell1), md)
+    assert np.abs(div[: m.mesh.n_interior_cells]).max() < 1e-5
+
+
+def test_inlet_outlet_channel():
+    """Uniform inlet -> pressure outlet: mass conservation and sane outflow."""
+    m = make_flow(quad_2d(16, 8, lx=2.0), momentumURF=0.8, pressureURF=0.4)
+    m.vc["viscosity"] = 0.1
+    m.bc["left"].bc_type = "VelocityBoundary"
+    m.bc["left"]["specifiedXVelocity"] = 1.0
+    m.bc["right"].bc_type = "PressureBoundary"
+    m.bc["bottom"].bc_type = "Symmetry"
+    m.bc["top"].bc_type = "Symmetry"
+    m.init()
+    m.advance(100)
+    min_ = m.getMassFluxIntegral("left")
+    mout = m.getMassFluxIntegral("right")
+    assert min_ == pytest.approx(-1.0, rel=1e-10)  # inflow: negative (into owner)
+    assert min_ + mout == pytest.approx(0.0, abs=1e-5)
+    # slip walls + uniform inlet => plug flow u=1 everywhere
+    V = m.getVelocity()
+    np.testing.assert_allclose(V[:, 0], 1.0, rtol=5e-3)
