@@ -1,0 +1,113 @@
+"""Benchmark: coupled flow+thermal SIMPLE iteration throughput (cells/sec/chip).
+
+Workload (per BASELINE.md): lid-driven cavity FlowModel (SIMPLE + Rhie-Chow,
+AMG-preconditioned pressure solve) coupled one-way to a ThermalModel that
+convects with the flow's face mass flux — one "outer step" = one momentum
+multi-RHS solve + one pressure-correction solve + one thermal solve.
+
+The reference (btanasoi/fvm) publishes no numbers (BASELINE.md); baseline
+here is a documented estimate of the MPI C++ reference on one modern CPU
+core: ~2.5e5 cells/sec for an equivalent flow+thermal outer iteration
+(typical for scalar unstructured C++ FVM codes of that era; the SIMPLE loop
+is dominated by CRMatrix GS sweeps, CRMatrix.h:303).  vs_baseline is
+measured/baseline, i.e. the per-chip speedup target of >=20x corresponds to
+vs_baseline >= 20.
+
+Output: ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Env knobs: FVM_BENCH_N (cavity edge cells, default 1024 -> 1,048,576 cells),
+FVM_BENCH_ITERS (timed outer steps, default 10), FVM_BENCH_DTYPE (float32).
+"""
+
+import json
+import os
+import sys
+import time
+
+
+def main():
+    n = int(os.environ.get("FVM_BENCH_N", "1024"))
+    iters = int(os.environ.get("FVM_BENCH_ITERS", "10"))
+    dtype = os.environ.get("FVM_BENCH_DTYPE", "float32")
+
+    import fvm_tpu as fvm
+    from fvm_tpu.models.flow import FlowModel
+    from fvm_tpu.models import ThermalModel
+    from fvm_tpu.linear import AMG, BiCGStab
+
+    fvm.set_default_dtype(dtype)
+
+    t0 = time.time()
+    mesh = fvm.mesh.generate.quad_2d(n, n)
+    dmesh = fvm.mesh.build_device_mesh(mesh)
+    n_cells = mesh.n_interior_cells
+    print(f"# mesh: {n}x{n} = {n_cells} cells ({time.time()-t0:.1f}s)", file=sys.stderr)
+
+    flow = FlowModel(dmesh)
+    flow.options["verbose"] = False
+    flow.vc["viscosity"] = 0.01
+    for side in ("left", "right", "bottom", "top"):
+        flow.bc[side].bc_type = "NoSlipWall"
+    flow.bc["top"]["specifiedXVelocity"] = 1.0
+    flow.options["pressureLinearSolver"] = BiCGStab(
+        preconditioner=AMG(coarse_size=256),
+        relative_tolerance=1e-3,
+        max_iterations=30,
+    )
+    t0 = time.time()
+    flow.init()
+    print(f"# flow init (incl AMG setup): {time.time()-t0:.1f}s", file=sys.stderr)
+
+    thermal = ThermalModel(dmesh)
+    thermal.options["verbose"] = False
+    thermal.options["convective"] = True
+    thermal.options["linearSolver"] = BiCGStab(
+        preconditioner=AMG(coarse_size=256),
+        relative_tolerance=1e-3,
+        max_iterations=20,
+    )
+    thermal.bc["left"].bc_type = "SpecifiedTemperature"
+    thermal.bc["left"]["specifiedTemperature"] = 400.0
+    thermal.bc["right"].bc_type = "SpecifiedTemperature"
+    thermal.bc["right"]["specifiedTemperature"] = 300.0
+    thermal.bc["bottom"].bc_type = "Symmetry"
+    thermal.bc["top"].bc_type = "Symmetry"
+    t0 = time.time()
+    thermal.init()
+    print(f"# thermal init: {time.time()-t0:.1f}s", file=sys.stderr)
+
+    def outer_step():
+        flow.advance(1)
+        thermal.state["massFlux"] = flow.state["massFlux"]
+        thermal.advance(1)
+
+    # warmup / compile
+    t0 = time.time()
+    outer_step()
+    print(f"# first step (compile): {time.time()-t0:.1f}s", file=sys.stderr)
+    outer_step()
+
+    t0 = time.time()
+    for _ in range(iters):
+        outer_step()
+    dt = time.time() - t0
+    cells_per_sec = n_cells * iters / dt
+    print(
+        f"# {iters} coupled steps in {dt:.2f}s -> {cells_per_sec:.3e} cells/s",
+        file=sys.stderr,
+    )
+
+    baseline = 2.5e5  # est. reference MPI C++ on one CPU core (see docstring)
+    print(
+        json.dumps(
+            {
+                "metric": "flow_thermal_cells_per_sec_per_chip",
+                "value": cells_per_sec,
+                "unit": "cells/s",
+                "vs_baseline": cells_per_sec / baseline,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -33,9 +33,16 @@ def ghost_owner_cells(mesh: DeviceMesh):
 
 
 def extend_to_ghosts(mesh: DeviceMesh, x: jnp.ndarray) -> jnp.ndarray:
-    """Copy owner-cell values into ghost-cell slots (zero-gradient copy)."""
+    """Copy owner-cell values into ghost-cell slots (zero-gradient copy).
+
+    Only the boundary-ghost band is touched; on distributed shards the halo
+    region beyond it is left alone.
+    """
     owners = ghost_owner_cells(mesh)
-    return x.at[mesh.n_interior_cells :].set(x[owners])
+    gh = slice(
+        mesh.n_interior_cells, mesh.n_interior_cells + mesh.n_boundary_faces
+    )
+    return x.at[gh].set(x[owners])
 
 
 # ---------------------------------------------------------------------------
@@ -63,19 +70,25 @@ def set_flux_fixed(flux: FaceFlux, sl: slice, F_values) -> FaceFlux:
 
 
 def dirichlet_rows(
-    mesh: DeviceMesh, A: ELLMatrix, r, gc: slice, value, phi
+    mesh: DeviceMesh, A: ELLMatrix, r, gc: slice, value, phi, valid=None
 ) -> tuple[ELLMatrix, jnp.ndarray]:
     """Ghost equation: dx_g = value - phi_g.
-    (reference: applyDirichletBC, GenericBCS.h:77)"""
+    (reference: applyDirichletBC, GenericBCS.h:77)
+
+    ``valid`` (optional, (count,)) masks padded group slots on distributed
+    shards: padded rows become dx_g = 0.
+    """
     diag = A.diag.at[gc].set(1.0)
     off = A.off.at[gc].set(0.0)
     resid = value - phi[gc]
+    if valid is not None:
+        resid = jnp.where(valid, resid, 0.0)
     r = r.at[gc].set(resid if r.ndim == 1 else jnp.broadcast_to(resid, r[gc].shape))
-    return ELLMatrix(diag=diag, off=off, cols=A.cols, mask=A.mask), r
+    return A.replace(diag=diag, off=off), r
 
 
 def extrapolation_rows(
-    mesh: DeviceMesh, A: ELLMatrix, r, gc: slice, phi
+    mesh: DeviceMesh, A: ELLMatrix, r, gc: slice, phi, valid=None
 ) -> tuple[ELLMatrix, jnp.ndarray]:
     """Ghost equation: dx_g - dx_owner = phi_owner - phi_g (zero gradient).
     (reference: applyExtrapolationBC, GenericBCS.h:180)
@@ -90,8 +103,10 @@ def extrapolation_rows(
     sl1 = gc.stop - mesh.n_interior_cells
     own = owners[sl0:sl1]
     resid = phi[own] - phi[gc]
+    if valid is not None:
+        resid = jnp.where(valid, resid, 0.0)
     r = r.at[gc].set(resid)
-    return ELLMatrix(diag=diag, off=off, cols=A.cols, mask=A.mask), r
+    return A.replace(diag=diag, off=off), r
 
 
 def robin_sink_rows(
@@ -107,4 +122,4 @@ def robin_sink_rows(
     """
     diag = A.diag.at[gc].add(coeff)
     r = r.at[gc].add(sink_residual)
-    return ELLMatrix(diag=diag, off=A.off, cols=A.cols, mask=A.mask), r
+    return A.replace(diag=diag), r

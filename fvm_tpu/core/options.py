@@ -57,10 +57,22 @@ class FloatVarDict(dict):
 
     def resolve(self, name, size, dtype=None):
         """Return entry as an array of shape (size,) (or (size, d) if the
-        stored value is per-component)."""
+        stored value is per-component).  Floats default to the configured
+        dtype so f64 python literals never leak into an f32 graph."""
+        from ..config import config
+
         v = self[name]
         if callable(v):
             raise ConfigError(f"{name}: callables not supported; pass arrays")
+        if dtype is None and not hasattr(v, "dtype"):
+            if isinstance(v, bool):
+                dtype = None
+            elif isinstance(v, (int, float)) or (
+                isinstance(v, (list, tuple, np.ndarray))
+            ):
+                dtype = config.dtype
+        elif dtype is None and hasattr(v, "dtype") and v.dtype.kind == "f":
+            dtype = config.dtype
         arr = jnp.asarray(v, dtype=dtype)
         if arr.ndim == 0:
             return jnp.full((size,), arr, dtype=arr.dtype)

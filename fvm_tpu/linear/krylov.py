@@ -45,7 +45,7 @@ class CG(LinearSolver):
 
         r0 = b - A.mv(x0)
         z0 = M(A, r0)
-        rnorm0 = norm(r0)
+        rnorm0 = A.norm(r0)
         target = jnp.maximum(rtol * rnorm0, atol)
 
         def cond(state):
@@ -55,18 +55,18 @@ class CG(LinearSolver):
         def body(state):
             i, x, r, z, p, rz, rn = state
             Ap = A.mv(p)
-            alpha = rz / _dot(p, Ap)
+            alpha = rz / A.dot(p, Ap)
             x = x + alpha * p
             r = r - alpha * Ap
             z = M(A, r)
-            rz_new = _dot(r, z)
+            rz_new = A.dot(r, z)
             beta = rz_new / rz
             p = z + beta * p
-            return (i + 1, x, r, z, p, rz_new, norm(r))
+            return (i + 1, x, r, z, p, rz_new, A.norm(r))
 
-        state = (jnp.int32(0), x0, r0, z0, z0, _dot(r0, z0), rnorm0)
+        state = (jnp.int32(0), x0, r0, z0, z0, A.dot(r0, z0), rnorm0)
         i, x, r, *_ = jax.lax.while_loop(cond, body, state)
-        rn = norm(r)
+        rn = A.norm(r)
         return x, SolveStats(i, rnorm0, rn, rn <= target)
 
 
@@ -93,7 +93,7 @@ class BiCGStab(LinearSolver):
 
         r0 = b - A.mv(x0)
         rhat = r0
-        rnorm0 = norm(r0)
+        rnorm0 = A.norm(r0)
         target = jnp.maximum(rtol * rnorm0, atol)
 
         def cond(state):
@@ -102,23 +102,23 @@ class BiCGStab(LinearSolver):
 
         def body(state):
             i, x, r, p, v, rho, alpha, omega, rn = state
-            rho_new = _dot(rhat, r)
+            rho_new = A.dot(rhat, r)
             beta = (rho_new / jnp.where(jnp.abs(rho) > tiny, rho, tiny)) * (
                 alpha / jnp.where(jnp.abs(omega) > tiny, omega, tiny)
             )
             p = r + beta * (p - omega * v)
             phat = M(A, p)
             v = A.mv(phat)
-            denom = _dot(rhat, v)
+            denom = A.dot(rhat, v)
             alpha = rho_new / jnp.where(jnp.abs(denom) > tiny, denom, tiny)
             s = r - alpha * v
             shat = M(A, s)
             t = A.mv(shat)
-            tt = _dot(t, t)
-            omega = _dot(t, s) / jnp.where(tt > tiny, tt, tiny)
+            tt = A.dot(t, t)
+            omega = A.dot(t, s) / jnp.where(tt > tiny, tt, tiny)
             x = x + alpha * phat + omega * shat
             r = s - omega * t
-            return (i + 1, x, r, p, v, rho_new, alpha, omega, norm(r))
+            return (i + 1, x, r, p, v, rho_new, alpha, omega, A.norm(r))
 
         one = jnp.asarray(1.0, b.dtype)
         state = (
@@ -133,7 +133,7 @@ class BiCGStab(LinearSolver):
             rnorm0,
         )
         i, x, r, *_ = jax.lax.while_loop(cond, body, state)
-        rn = norm(r)
+        rn = A.norm(r)
         return x, SolveStats(i, rnorm0, rn, rn <= target)
 
 
@@ -167,7 +167,7 @@ class JacobiSolver(LinearSolver):
         )
         omega = self.omega
         r0 = b - A.mv(x0)
-        rnorm0 = norm(r0)
+        rnorm0 = A.norm(r0)
         target = jnp.maximum(rtol * rnorm0, atol)
 
         def cond(state):
@@ -177,7 +177,7 @@ class JacobiSolver(LinearSolver):
         def body(state):
             i, x, rn = state
             x = A.jacobi_step(x, b, omega)
-            return (i + 1, x, norm(b - A.mv(x)))
+            return (i + 1, x, A.norm(b - A.mv(x)))
 
         i, x, rn = jax.lax.while_loop(cond, body, (jnp.int32(0), x0, rnorm0))
         return x, SolveStats(i, rnorm0, rn, rn <= target)

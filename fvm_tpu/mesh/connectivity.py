@@ -119,8 +119,16 @@ class CRConnectivity:
     def subset(self, row_indices: np.ndarray) -> "CRConnectivity":
         """Rows restricted to ``row_indices`` (renumbered 0..k-1 on the from side)."""
         row_indices = np.asarray(row_indices, dtype=np.int64)
-        rows = [self.row(i) for i in row_indices]
-        return CRConnectivity.from_rows(rows, self.count_to)
+        counts = self.row_counts()[row_indices]
+        out_ptr = np.zeros(len(row_indices) + 1, dtype=np.int64)
+        np.cumsum(counts, out=out_ptr[1:])
+        starts = self.row_ptr[row_indices]
+        take = (
+            np.arange(out_ptr[-1], dtype=np.int64)
+            - np.repeat(out_ptr[:-1], counts)
+            + np.repeat(starts, counts)
+        )
+        return CRConnectivity(out_ptr, self.col[take], self.count_to)
 
     def localize(self, row_indices: np.ndarray) -> tuple["CRConnectivity", np.ndarray]:
         """Subset rows AND renumber the target space to only referenced nodes.

@@ -60,7 +60,25 @@ class DeviceMesh:
     face_e_over_d: jnp.ndarray  # (nf,) |A|^2 / (A . ds)  ("orthogonal" coeff)
     face_t: jnp.ndarray  # (nf, dim) non-orthogonal remainder T
 
+    # --- distribution (None/defaults on a single device) ------------------
+    # When partitioned, cells [0, n_owned_cells) are owned (interior +
+    # boundary ghosts); [n_owned_cells, n_cells) are halo copies of
+    # remote cells plus padding.  ``halo`` holds the exchange index tables
+    # (ops.halo.HaloSpec); ``axis_name`` is the shard_map mesh axis.
+    halo: object = None  # HaloSpec | None (pytree leaves when present)
+    axis_name: str | None = struct.field(pytree_node=False, default=None)
+    n_owned_cells_: int | None = struct.field(pytree_node=False, default=None)
+    n_shards: int | None = struct.field(pytree_node=False, default=None)
+
     # ---------------------------------------------------------------------
+
+    @property
+    def n_owned_cells(self) -> int:
+        return self.n_cells if self.n_owned_cells_ is None else self.n_owned_cells_
+
+    @property
+    def distributed(self) -> bool:
+        return self.axis_name is not None
 
     @property
     def n_boundary_faces(self) -> int:
@@ -88,76 +106,131 @@ class DeviceMesh:
         return slice(start, start + g[4])
 
 
-def build_device_mesh(mesh: Mesh, geom: MeshGeometry | None = None, dtype=None) -> DeviceMesh:
-    """Bake a host Mesh (+geometry) into the device layout."""
-    if geom is None:
-        geom = compute_geometry(mesh)
+def assemble_device_mesh(
+    dim: int,
+    face_cells: np.ndarray,  # (nf, 2) local ids; boundary nbr = ghost id
+    groups: tuple,  # ((ident, name, type, offset, count), ...)
+    n_interior_cells: int,
+    n_interior_faces: int,
+    n_cells: int,
+    face_area: np.ndarray,
+    face_area_mag: np.ndarray,
+    face_centroid: np.ndarray,
+    cell_centroid: np.ndarray,
+    cell_volume: np.ndarray,
+    dtype=None,
+    K: int | None = None,
+    halo=None,
+    axis_name=None,
+    n_owned_cells=None,
+    n_shards=None,
+    as_numpy: bool = False,
+) -> DeviceMesh:
+    """Low-level device-mesh assembler from flat arrays.
+
+    Used both for single-device meshes (via build_device_mesh) and for the
+    per-shard local meshes built by the partitioner (parallel.partition),
+    where face_cells may reference halo/padding cells beyond the
+    owned-ghost band and dead rows (no faces) are allowed.
+    """
     if dtype is None:
         dtype = config.dtype
-    idt = np.int32
+    nf = face_cells.shape[0]
+    owner = face_cells[:, 0]
+    nbr = face_cells[:, 1]
 
-    nc, nf = mesh.n_cells, mesh.n_faces
-    n_int_c, n_int_f = mesh.n_interior_cells, mesh.n_interior_faces
-    owner = mesh.face_cells[:, 0]
-    nbr = mesh.face_cells[:, 1]
+    # cell->face ELL table over ALL cells: each face appears in its owner's
+    # row and (if the neighbor is a local cell) its neighbor's row
+    rows = np.concatenate([owner, nbr])
+    cols = np.tile(np.arange(nf, dtype=np.int64), 2)
+    # drop entries where owner == nbr (dummy faces attached to one cell)
+    keep = np.ones(len(rows), dtype=bool)
+    keep[nf:] = nbr != owner
+    rows, cols = rows[keep], cols[keep]
+    order = np.argsort(rows, kind="stable")
+    rows, cols = rows[order], cols[order]
+    counts = np.bincount(rows, minlength=n_cells)
+    Kmax = int(counts.max()) if len(counts) else 1
+    if K is None:
+        K = Kmax
+    elif Kmax > K:
+        raise ValueError(f"K={K} < max faces per cell {Kmax}")
+    cf_face = np.zeros((n_cells, K), dtype=np.int64)
+    cf_mask = np.zeros((n_cells, K), dtype=bool)
+    ptr = np.zeros(n_cells + 1, dtype=np.int64)
+    np.cumsum(counts, out=ptr[1:])
+    slot = np.arange(len(rows)) - ptr[rows]
+    cf_face[rows, slot] = cols
+    cf_mask[rows, slot] = True
 
-    # full cell->face table including ghost rows (each ghost: 1 face)
-    cf = mesh.cell_faces  # interior cells only
-    counts_int = cf.row_counts()
-    K = int(counts_int.max())
-    cf_face = np.zeros((nc, K), dtype=np.int64)
-    cf_mask = np.zeros((nc, K), dtype=bool)
-    ell, counts = cf.to_ell(pad_value=0, width=K)
-    cf_face[:n_int_c] = ell
-    rows = np.repeat(np.arange(n_int_c), counts)
-    slots = np.concatenate([np.arange(c) for c in counts]) if n_int_c else np.array([])
-    cf_mask[rows.astype(np.int64), slots.astype(np.int64)] = True
-    # ghost rows
-    bf = np.arange(n_int_f, nf, dtype=np.int64)
-    cf_face[n_int_c:, 0] = bf
-    cf_mask[n_int_c:, 0] = True
-
-    cf_is_owner = owner[cf_face] == np.arange(nc)[:, None]
+    cf_is_owner = owner[cf_face] == np.arange(n_cells)[:, None]
     cf_nbr = np.where(cf_is_owner, nbr[cf_face], owner[cf_face])
-    cf_nbr = np.where(cf_mask, cf_nbr, np.arange(nc)[:, None])
+    cf_nbr = np.where(cf_mask, cf_nbr, np.arange(n_cells)[:, None])
 
-    # diffusion geometry decomposition
-    ds = geom.cell_centroid[nbr] - geom.cell_centroid[owner]
+    ds = cell_centroid[nbr] - cell_centroid[owner]
     dsmag = np.linalg.norm(ds, axis=1)
-    a_dot_ds = np.einsum("fd,fd->f", geom.face_area, ds)
-    amag2 = geom.face_area_mag**2
+    a_dot_ds = np.einsum("fd,fd->f", face_area, ds)
+    amag2 = face_area_mag**2
     e_over_d = amag2 / np.where(a_dot_ds != 0, a_dot_ds, 1.0)
-    t_vec = geom.face_area - e_over_d[:, None] * ds
+    t_vec = face_area - e_over_d[:, None] * ds
 
-    groups = tuple(
-        (g.ident, g.name, g.group_type, g.offset, g.count) for g in mesh.face_groups
-    )
-
-    f = lambda x: jnp.asarray(x, dtype=dtype)
-    i = lambda x: jnp.asarray(x, dtype=idt)
-    b = lambda x: jnp.asarray(x, dtype=bool)
+    if as_numpy:
+        f = lambda x: np.asarray(x, dtype=dtype)
+        i = lambda x: np.asarray(x, dtype=np.int32)
+        b = lambda x: np.asarray(x, dtype=bool)
+    else:
+        f = lambda x: jnp.asarray(x, dtype=dtype)
+        i = lambda x: jnp.asarray(x, dtype=np.int32)
+        b = lambda x: jnp.asarray(x, dtype=bool)
 
     return DeviceMesh(
-        dim=mesh.dim,
-        n_cells=nc,
-        n_interior_cells=n_int_c,
+        dim=dim,
+        n_cells=n_cells,
+        n_interior_cells=n_interior_cells,
         n_faces=nf,
-        n_interior_faces=n_int_f,
+        n_interior_faces=n_interior_faces,
         max_faces_per_cell=K,
-        groups=groups,
+        groups=tuple(groups),
         face_cell0=i(owner),
         face_cell1=i(nbr),
         cf_face=i(cf_face),
         cf_is_owner=b(cf_is_owner),
         cf_mask=b(cf_mask),
         cf_nbr=i(cf_nbr),
-        face_area=f(geom.face_area),
-        face_area_mag=f(geom.face_area_mag),
-        face_centroid=f(geom.face_centroid),
-        cell_centroid=f(geom.cell_centroid),
-        cell_volume=f(geom.cell_volume),
+        face_area=f(face_area),
+        face_area_mag=f(face_area_mag),
+        face_centroid=f(face_centroid),
+        cell_centroid=f(cell_centroid),
+        cell_volume=f(cell_volume),
         face_ds=f(ds),
         face_dsmag=f(dsmag),
         face_e_over_d=f(e_over_d),
         face_t=f(t_vec),
+        halo=halo,
+        axis_name=axis_name,
+        n_owned_cells_=n_owned_cells,
+        n_shards=n_shards,
+    )
+
+
+def build_device_mesh(mesh: Mesh, geom: MeshGeometry | None = None, dtype=None) -> DeviceMesh:
+    """Bake a host Mesh (+geometry) into the device layout."""
+    if geom is None:
+        geom = compute_geometry(mesh)
+    groups = tuple(
+        (g.ident, g.name, g.group_type, g.offset, g.count) for g in mesh.face_groups
+    )
+    return assemble_device_mesh(
+        mesh.dim,
+        mesh.face_cells,
+        groups,
+        mesh.n_interior_cells,
+        mesh.n_interior_faces,
+        mesh.n_cells,
+        geom.face_area,
+        geom.face_area_mag,
+        geom.face_centroid,
+        geom.cell_centroid,
+        geom.cell_volume,
+        dtype=dtype,
     )

@@ -33,49 +33,51 @@ def quad_2d(
     X, Y = np.meshgrid(xs, ys, indexing="ij")
     coords = np.stack([X.ravel(), Y.ravel()], axis=1)
 
-    def nid(i, j):  # node index
+    # fully vectorized construction (1M+ cell benches build in O(100ms))
+    def nid(i, j):  # node index arrays
         return i * (ny + 1) + j
 
-    def cid(i, j):  # cell index
+    def cid(i, j):
         return i * ny + j
 
-    fn_rows = []
-    fc = []
-    groups_idx = {n: [] for n in boundary_names}
-    f = 0
-    # vertical faces (normal +-x): between cell (i-1,j) and (i,j)
-    for i in range(nx + 1):
-        for j in range(ny):
-            fn_rows.append([nid(i, j), nid(i, j + 1)])
-            if i == 0:
-                fc.append([cid(0, j), -1])
-                groups_idx[boundary_names[0]].append(f)
-            elif i == nx:
-                fc.append([cid(nx - 1, j), -1])
-                groups_idx[boundary_names[1]].append(f)
-            else:
-                fc.append([cid(i - 1, j), cid(i, j)])
-            f += 1
-    # horizontal faces (normal +-y)
-    for i in range(nx):
-        for j in range(ny + 1):
-            fn_rows.append([nid(i, j), nid(i + 1, j)])
-            if j == 0:
-                fc.append([cid(i, 0), -1])
-                groups_idx[boundary_names[2]].append(f)
-            elif j == ny:
-                fc.append([cid(i, ny - 1), -1])
-                groups_idx[boundary_names[3]].append(f)
-            else:
-                fc.append([cid(i, j - 1), cid(i, j)])
-            f += 1
+    # vertical faces (normal +-x): i in [0, nx], j in [0, ny)
+    iv, jv = np.meshgrid(np.arange(nx + 1), np.arange(ny), indexing="ij")
+    iv, jv = iv.ravel(), jv.ravel()
+    vn = np.stack([nid(iv, jv), nid(iv, jv + 1)], axis=1)
+    vc0 = cid(np.maximum(iv - 1, 0), jv)
+    vc1 = np.where(iv == nx, -1, cid(np.minimum(iv, nx - 1), jv))
+    vc1 = np.where(iv == 0, -1, vc1)
+    vfc = np.stack([np.where(iv == 0, cid(0, jv), vc0), vc1], axis=1)
+    # interior vertical: owner cid(i-1,j), nbr cid(i,j)
+    vfc[(iv > 0) & (iv < nx), 1] = cid(iv, jv)[(iv > 0) & (iv < nx)]
 
-    face_nodes = CRConnectivity.from_rows(fn_rows, (nx + 1) * (ny + 1))
+    # horizontal faces: i in [0, nx), j in [0, ny]
+    ih, jh = np.meshgrid(np.arange(nx), np.arange(ny + 1), indexing="ij")
+    ih, jh = ih.ravel(), jh.ravel()
+    hn = np.stack([nid(ih, jh), nid(ih + 1, jh)], axis=1)
+    hc0 = np.where(jh == 0, cid(ih, 0), cid(ih, np.maximum(jh - 1, 0)))
+    hc1 = np.where((jh == 0) | (jh == ny), -1, cid(ih, np.minimum(jh, ny - 1)))
+    hfc = np.stack([hc0, hc1], axis=1)
+
+    nvert = len(iv)
+    fn_all = np.concatenate([vn, hn], axis=0)
+    fc = np.concatenate([vfc, hfc], axis=0)
+    face_nodes = CRConnectivity(
+        np.arange(len(fn_all) + 1, dtype=np.int64) * 2,
+        fn_all.ravel(),
+        (nx + 1) * (ny + 1),
+    )
+    groups_idx = {
+        boundary_names[0]: np.nonzero(iv == 0)[0],
+        boundary_names[1]: np.nonzero(iv == nx)[0],
+        boundary_names[2]: nvert + np.nonzero(jh == 0)[0],
+        boundary_names[3]: nvert + np.nonzero(jh == ny)[0],
+    }
     groups = [
         (k + 1, name, "wall", np.asarray(groups_idx[name], dtype=np.int64))
         for k, name in enumerate(boundary_names)
     ]
-    return Mesh(2, coords, face_nodes, np.asarray(fc), groups)
+    return Mesh(2, coords, face_nodes, fc, groups)
 
 
 def tri_2d(nx: int, ny: int, lx: float = 1.0, ly: float = 1.0) -> Mesh:

@@ -26,9 +26,17 @@ from ..exceptions import ConfigError
 class Model:
     name = "Model"
 
-    def __init__(self, mesh: DeviceMesh):
+    def __init__(self, mesh: DeviceMesh, partition=None):
+        """``mesh`` is a single-device DeviceMesh or a Partition's
+        sharded_mesh (stacked local meshes); for the latter pass the
+        Partition as ``partition``."""
         self.mesh = mesh
+        self.partition = partition
+        self._dist = mesh.n_shards is not None
+        if self._dist and partition is None:
+            raise ConfigError(f"{self.name}: sharded mesh requires partition=")
         self.state: dict = {}
+        self.params: dict = {}
         self.options = self._make_options()
         # bc map keyed by both group name and ident (reference drivers use
         # ids, bc[zone.ident]; our generators use names)
@@ -38,6 +46,101 @@ class Model:
             self.bc[g[1]] = bc
             self.bc[g[0]] = bc
         self._initialized = False
+
+    # --- distribution helpers ---------------------------------------------
+
+    def _cell_field(self, vcdict, key, extend_ghosts=False):
+        """Resolve a VC entry to a cell array ((nc,) or stacked (S, nc))."""
+        import jax.numpy as jnp
+        from ..core import bcs as bck
+
+        mesh = self.mesh
+        dtype = mesh.cell_volume.dtype
+        v = vcdict[key]
+        if self._dist:
+            arr = np.asarray(v)
+            if arr.ndim == 0:
+                host = np.full(self.partition.mesh.n_cells, float(arr))
+            else:
+                host = np.zeros(self.partition.mesh.n_cells)
+                host[: len(arr)] = arr
+            out = jnp.asarray(self.partition.scatter_cells(host), dtype)
+            return out
+        arr = vcdict.resolve(key, mesh.n_cells, dtype)
+        if extend_ghosts:
+            arr = bck.extend_to_ghosts(mesh, arr)
+        return arr
+
+    def _full_cells(self, value, trailing=()):
+        import jax.numpy as jnp
+
+        mesh = self.mesh
+        dtype = mesh.cell_volume.dtype
+        shape = ((mesh.n_shards,) if self._dist else ()) + (mesh.n_cells,) + trailing
+        return jnp.full(shape, value, dtype)
+
+    def _full_faces(self, value, trailing=()):
+        import jax.numpy as jnp
+
+        mesh = self.mesh
+        dtype = mesh.cell_volume.dtype
+        shape = ((mesh.n_shards,) if self._dist else ()) + (mesh.n_faces,) + trailing
+        return jnp.full(shape, value, dtype)
+
+    def _resolve_bcvals(self):
+        """BC value dict: per-group arrays; stacked & padded when dist."""
+        import jax.numpy as jnp
+
+        vals = {}
+        for g, bc in self._group_bcs():
+            if self._dist:
+                gname = g[1]
+                n_global = self.partition.global_group_count(gname)
+                for key in bc:
+                    vals[f"{gname}:{key}"] = self.partition.scatter_bc(
+                        gname, np.asarray(bc.resolve(key, n_global))
+                    )
+                vals[f"{gname}:__valid"] = self.partition.group_valid_mask(gname)
+            else:
+                for key in bc:
+                    vals[f"{g[1]}:{key}"] = bc.resolve(key, g[4])
+                vals[f"{g[1]}:__valid"] = jnp.ones(g[4], bool)
+        return vals
+
+    def _wrap_step(self, step):
+        """jit (and shard_map when distributed) a
+        step(mesh, params, state, bcvals) -> (state, aux) function."""
+        if not self._dist:
+            return jax.jit(step)
+        from jax.sharding import PartitionSpec as P
+
+        try:
+            from jax import shard_map as _shard_map
+
+            def smap(f, **kw):
+                return _shard_map(f, **kw)
+        except ImportError:
+            from jax.experimental.shard_map import shard_map as _shard_map
+
+            def smap(f, **kw):
+                return _shard_map(f, **kw)
+
+        axis = self.mesh.axis_name
+        jmesh = self.partition.jax_mesh
+
+        def local(mesh, params, state, bcvals):
+            sq = lambda t: jax.tree.map(lambda a: a[0], t)
+            new_state, aux = step(sq(mesh), sq(params), sq(state), sq(bcvals))
+            return jax.tree.map(lambda a: a[None], new_state), aux
+
+        mapped = smap(
+            local,
+            mesh=jmesh,
+            in_specs=(P(axis), P(axis), P(axis), P(axis)),
+            out_specs=(P(axis), P()),
+            check_vma=False,
+        )
+        return jax.jit(mapped)
 
     # --- subclass hooks ---------------------------------------------------
 

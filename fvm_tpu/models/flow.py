@@ -6,18 +6,19 @@ linearizeContinuity :998, Rhie-Chow via _momApField/_previousVelocity
 :741-768, postContinuitySolve :1263 with under-relaxation :858-882,
 advance :1433).
 
-Algorithm per outer iteration (one jitted step):
+Algorithm per outer iteration (one jitted step, SPMD-safe under shard_map):
   1. momentum predictor: one scalar ELL matrix shared by all velocity
      components (multi-RHS solve), upwind convection + viscous diffusion +
      explicit pressure force  p_f * A_f  as a face flux; implicit
      under-relaxation of the diagonal; saves aP for Rhie-Chow;
   2. Rhie-Chow face mass flux:
-       mdot = rho*Vbar_f.A - rho*Df*[(p_N - p_O)*e_over_d - grad_p_bar . E]
+       mdot = rho*Vbar_f.A - rho*Df*[(p_N - p_O)*e_over_d - grad_p_bar . ds]
      which suppresses checkerboard modes on the collocated layout;
   3. pressure correction (SIMPLE): div-free constraint gives a Poisson
      system with face coefficients rho*Df; fixed-pressure boundaries get
      p'=0, all other boundaries zero correction-flux; for enclosed domains
-     the level is pinned at cell 0;
+     the level is pinned at global cell 0 (reference: reference-pressure
+     cell, FlowModel_impl.h:1005,1056);
   4. corrections: p += urf_p*p', V -= (vol/aP) grad p', mdot += dmdot.
 
 Ghost-cell values for V and p are refreshed explicitly each outer iteration
@@ -25,7 +26,8 @@ from the BCs (walls/inlets: Dirichlet; symmetry: mirrored velocity;
 pressure boundaries: fixed p, extrapolated V); all ghost rows in the linear
 systems are identity (delta = 0), which converges to the same fixed point as
 the reference's implicit GenericBCS rows while keeping the momentum matrix
-scalar.
+scalar.  Cell-valued intermediates that cross faces (gradients, vol/aP) are
+halo-synced on partitioned meshes.
 """
 
 from __future__ import annotations
@@ -41,8 +43,9 @@ from ..ops import assembly
 from ..ops import discretizations as disc
 from ..ops.assembly import FaceFlux
 from ..ops.ell import ELLMatrix
+from ..ops.halo import maybe_sync, gsum
 from ..ops.gradients import ls_gradient_coefficients, gradient
-from ..linear import AMG, BiCGStab, norm
+from ..linear import AMG, BiCGStab, JacobiSolver
 from ..exceptions import ConfigError
 from .base import Model, ResidualHistory
 
@@ -86,15 +89,14 @@ class FlowModelOptions(ModelOptions):
         "continuityTolerance": 1e-4,
         "absoluteTolerance": 1e-50,
         "verbose": True,
-        "printNormalizedResiduals": True,
     }
 
 
 class FlowModel(Model):
     name = "FlowModel"
 
-    def __init__(self, mesh: DeviceMesh):
-        super().__init__(mesh)
+    def __init__(self, mesh: DeviceMesh, partition=None):
+        super().__init__(mesh, partition)
         self.vc = FlowVC()
 
     def _make_options(self):
@@ -107,39 +109,42 @@ class FlowModel(Model):
 
     def init(self) -> None:
         mesh = self.mesh
-        dtype = mesh.cell_volume.dtype
         dim = mesh.dim
+        vel_keys = ("initialXVelocity", "initialYVelocity", "initialZVelocity")[:dim]
         vel0 = jnp.stack(
-            [
-                self.vc.resolve(k, mesh.n_cells, dtype)
-                for k in ("initialXVelocity", "initialYVelocity", "initialZVelocity")[:dim]
-            ],
-            axis=1,
+            [self._cell_field(self.vc, k) for k in vel_keys], axis=-1
         )
         self.state = {
             "velocity": vel0,
-            "pressure": self.vc.resolve("initialPressure", mesh.n_cells, dtype),
-            "massFlux": jnp.zeros(mesh.n_faces, dtype),
-            "momAp": jnp.ones(mesh.n_cells, dtype),
+            "pressure": self._cell_field(self.vc, "initialPressure"),
+            "massFlux": self._full_faces(0.0),
+            "momAp": self._full_cells(1.0),
         }
         if self.options["transient"]:
             self.state["velocity_N1"] = vel0
             if self.options["timeDiscretizationOrder"] > 1:
                 self.state["velocity_N2"] = vel0
 
-        self._rho = bck.extend_to_ghosts(
-            mesh, self.vc.resolve("density", mesh.n_cells, dtype)
-        )
-        self._mu = bck.extend_to_ghosts(
-            mesh, self.vc.resolve("viscosity", mesh.n_cells, dtype)
-        )
-        self._grad_coeff = (
-            ls_gradient_coefficients(mesh)
-            if self.options["nonOrthogonalCorrection"]
-            else None
-        )
+        self.params = {
+            "rho": self._cell_field(self.vc, "density", extend_ghosts=True),
+            "mu": self._cell_field(self.vc, "viscosity", extend_ghosts=True),
+        }
+        if self.options["nonOrthogonalCorrection"]:
+            self.params["grad_coeff"] = (
+                jax.vmap(ls_gradient_coefficients)(mesh)
+                if self._dist
+                else ls_gradient_coefficients(mesh)
+            )
+        # pressure-level pin mask: global interior cell 0
+        if self._dist:
+            pin = np.zeros(self.partition.mesh.n_cells)
+            pin[0] = 1.0
+            self.params["pin_mask"] = jnp.asarray(self.partition.scatter_cells(pin))
+        else:
+            self.params["pin_mask"] = (
+                jnp.arange(mesh.n_cells) == 0
+            ).astype(mesh.cell_volume.dtype)
 
-        # does any boundary fix the pressure level?
         self._has_pressure_bc = any(
             bc.bc_type == "PressureBoundary" for _, bc in self._group_bcs()
         )
@@ -150,36 +155,47 @@ class FlowModel(Model):
             self.options["momentumLinearSolver"] = mom
         pres = self.options.get("pressureLinearSolver")
         if pres is None:
-            pres_amg = AMG()
-            pres = BiCGStab(
-                preconditioner=pres_amg, relative_tolerance=1e-3, max_iterations=30
-            )
+            if self._dist:
+                pres = BiCGStab(
+                    preconditioner=JacobiSolver(sweeps=3),
+                    relative_tolerance=1e-3,
+                    max_iterations=200,
+                )
+            else:
+                pres = BiCGStab(
+                    preconditioner=AMG(), relative_tolerance=1e-3, max_iterations=30
+                )
             self.options["pressureLinearSolver"] = pres
         for s in (mom, pres):
             for ss in (s, getattr(s, "preconditioner", None)):
                 if isinstance(ss, AMG):
+                    if self._dist:
+                        raise ConfigError(
+                            "FlowModel: AMG is single-device for now"
+                        )
                     ss.setup_structure(
                         np.asarray(mesh.cf_nbr), np.asarray(mesh.cf_mask)
                     )
 
-        self._step = jax.jit(self._build_step())
+        if self._dist:
+            self.state = self.partition.device_put(self.state)
+            self.params = self.partition.device_put(self.params)
+
+        self._step = self._wrap_step(self._build_step())
         self._norm0 = None
         self._initialized = True
 
     # ------------------------------------------------------------------
 
-    def _bc_velocity(self, bcvals, g, V):
-        """BC velocity for a boundary group, shape (count, dim)."""
-        dim = self.mesh.dim
+    def _bc_velocity(self, mesh, bcvals, g):
+        dim = mesh.dim
         comps = ("specifiedXVelocity", "specifiedYVelocity", "specifiedZVelocity")[:dim]
         return jnp.stack([bcvals[f"{g[1]}:{c}"] for c in comps], axis=1)
 
-    def _refresh_ghosts(self, state, bcvals):
+    def _refresh_ghosts(self, mesh, state, bcvals):
         """Set ghost V and p from BCs (explicit, before linearization)."""
-        mesh = self.mesh
         V = state["velocity"]
         p = state["pressure"]
-        # default: zero-gradient copies
         V = bck.extend_to_ghosts(mesh, V)
         p = bck.extend_to_ghosts(mesh, p)
         for g, bc in self._group_bcs():
@@ -187,10 +203,11 @@ class FlowModel(Model):
             sl = mesh.group_faces(g)
             t = bc.bc_type
             if t in ("NoSlipWall", "VelocityBoundary"):
-                V = V.at[gc].set(self._bc_velocity(bcvals, g, V))
+                V = V.at[gc].set(self._bc_velocity(mesh, bcvals, g))
             elif t == "Symmetry":
                 owners = mesh.face_cell0[sl]
-                nhat = mesh.face_area[sl] / mesh.face_area_mag[sl][:, None]
+                amag = jnp.maximum(mesh.face_area_mag[sl], 1e-300)
+                nhat = mesh.face_area[sl] / amag[:, None]
                 Vo = V[owners]
                 V = V.at[gc].set(
                     Vo - 2.0 * jnp.sum(Vo * nhat, axis=1, keepdims=True) * nhat
@@ -199,9 +216,8 @@ class FlowModel(Model):
                 p = p.at[gc].set(bcvals[f"{g[1]}:specifiedPressure"])
         return dict(state, velocity=V, pressure=p)
 
-    def _boundary_mass_flux(self, state, bcvals):
+    def _boundary_mass_flux(self, mesh, params, state, bcvals):
         """mdot on boundary faces from BCs (fixed during continuity)."""
-        mesh = self.mesh
         V = state["velocity"]
         mdot = jnp.zeros(mesh.n_faces, V.dtype)
         for g, bc in self._group_bcs():
@@ -209,65 +225,74 @@ class FlowModel(Model):
             t = bc.bc_type
             if t in ("NoSlipWall", "Symmetry"):
                 continue  # zero
-            gc = mesh.ghost_cells_of_group(g)
-            rho_f = self._rho[mesh.face_cell0[sl]]
+            rho_f = params["rho"][mesh.face_cell0[sl]]
             if t == "VelocityBoundary":
-                Vb = self._bc_velocity(bcvals, g, V)
+                Vb = self._bc_velocity(mesh, bcvals, g)
                 mdot = mdot.at[sl].set(
                     rho_f * jnp.einsum("fd,fd->f", Vb, mesh.face_area[sl])
                 )
             elif t == "PressureBoundary":
-                # outflow from extrapolated owner velocity
                 Vo = V[mesh.face_cell0[sl]]
                 mdot = mdot.at[sl].set(
                     rho_f * jnp.einsum("fd,fd->f", Vo, mesh.face_area[sl])
                 )
         return mdot
 
+    def _grad(self, mesh, params, x):
+        if "grad_coeff" in params:
+            return gradient(mesh, params["grad_coeff"], x)
+        return self._green_gauss_grad(mesh, x)
+
+    @staticmethod
+    def _green_gauss_grad(mesh, p):
+        p_f = assembly.cells_to_faces_distance_weighted(mesh, p)
+        contrib = p_f[:, None] * mesh.face_area  # (nf, dim)
+        s = jnp.where(mesh.cf_is_owner, 1.0, -1.0) * mesh.cf_mask
+        g = jnp.einsum("nk,nkd->nd", s, contrib[mesh.cf_face])
+        return g / jnp.maximum(mesh.cell_volume, 1e-300)[:, None]
+
     # ------------------------------------------------------------------
 
     def _build_step(self):
-        mesh = self.mesh
         opts = self.options
-        dim = mesh.dim
         urf_v = float(opts["momentumURF"])
         urf_p = float(opts["pressureURF"])
         mom_solver = opts["momentumLinearSolver"]
         pres_solver = opts["pressureLinearSolver"]
-        n_int = mesh.n_interior_cells
-        interior_cells = jnp.arange(mesh.n_cells) < n_int
 
-        def identity_ghost_rows(A, r):
-            """All ghost rows: delta = 0 (ghosts refreshed explicitly)."""
-            gh = slice(n_int, mesh.n_cells)
-            diag = A.diag.at[gh].set(1.0)
-            off = A.off.at[gh].set(0.0)
-            r = r.at[gh].set(0.0)
-            return ELLMatrix(diag=diag, off=off, cols=A.cols, mask=A.mask), r
+        def step(mesh, params, state, bcvals):
+            dim = mesh.dim
+            n_int = mesh.n_interior_cells
+            interior_cells = jnp.arange(mesh.n_cells) < n_int
+            bnd = jnp.arange(mesh.n_faces) >= mesh.n_interior_faces
 
-        def step(state, bcvals):
-            state = self._refresh_ghosts(state, bcvals)
+            state = dict(
+                state,
+                velocity=maybe_sync(mesh, state["velocity"]),
+                pressure=maybe_sync(mesh, state["pressure"]),
+            )
+            state = self._refresh_ghosts(mesh, state, bcvals)
             V = state["velocity"]
             p = state["pressure"]
             mdot = state["massFlux"]
-            # boundary mdot is BC-determined
-            bmdot = self._boundary_mass_flux(state, bcvals)
-            mdot = jnp.where(
-                jnp.arange(mesh.n_faces) < mesh.n_interior_faces, mdot, bmdot
-            )
+            bmdot = self._boundary_mass_flux(mesh, params, state, bcvals)
+            mdot = jnp.where(bnd, bmdot, mdot)
+
+            def identity_ghost_rows(A, r):
+                gh = slice(n_int, mesh.n_cells)
+                A = A.replace(
+                    diag=A.diag.at[gh].set(1.0), off=A.off.at[gh].set(0.0)
+                )
+                r = r.at[gh].set(0.0)
+                return A, r
 
             # ---- momentum predictor --------------------------------------
-            mu_f = disc.harmonic_face_gamma(mesh, self._mu)
-            gradV = (
-                gradient(mesh, self._grad_coeff, V)
-                if self._grad_coeff is not None
-                else None
-            )
+            mu_f = disc.harmonic_face_gamma(mesh, params["mu"])
+            gradV = maybe_sync(mesh, self._grad(mesh, params, V))
             flux = disc.diffusion_flux(mesh, V, mu_f, gradV)
             flux = flux + disc.convection_flux(
                 mesh, V, mdot, opts["convectionScheme"], gradV
             )
-            # pressure force as explicit face flux: F += p_f * A_f
             p_f = assembly.cells_to_faces_distance_weighted(mesh, p)
             flux = FaceFlux(
                 F=flux.F + p_f[:, None] * mesh.face_area,
@@ -282,91 +307,71 @@ class FlowModel(Model):
                     V,
                     state["velocity_N1"],
                     opts["timeStep"],
-                    self._rho,
+                    params["rho"],
                     state.get("velocity_N2"),
                 )
                 diag_cell = diag_cell + d2
                 r_cell = r_cell + r2
             A, r = assembly.assemble(mesh, flux, r_cell=r_cell, diag_cell=diag_cell)
             A, r = identity_ghost_rows(A, r)
-            mom_norm = norm(r)
-            # implicit under-relaxation (reference :858-882 equivalent)
-            Aur = ELLMatrix(
-                diag=jnp.where(interior_cells, A.diag / urf_v, A.diag),
-                off=A.off,
-                cols=A.cols,
-                mask=A.mask,
+            mom_norm = A.norm(r)
+            Aur = A.replace(
+                diag=jnp.where(interior_cells, A.diag / urf_v, A.diag)
             )
             dV, mom_stats = mom_solver.solve_fn(Aur, r, jnp.zeros_like(r))
             V = V + dV
-            aP = Aur.diag  # relaxed diag for Rhie-Chow (OpenFOAM convention)
+            aP = Aur.diag
 
             # ---- Rhie-Chow face mass flux --------------------------------
-            state2 = self._refresh_ghosts(dict(state, velocity=V, pressure=p), bcvals)
+            state2 = self._refresh_ghosts(
+                mesh, dict(state, velocity=maybe_sync(mesh, V), pressure=p), bcvals
+            )
             V = state2["velocity"]
-            rho_f = assembly.cells_to_faces_distance_weighted(mesh, self._rho)
+            rho_f = assembly.cells_to_faces_distance_weighted(mesh, params["rho"])
             Vbar = assembly.cells_to_faces_distance_weighted(mesh, V)
-            gradp = (
-                gradient(mesh, self._grad_coeff, p)
-                if self._grad_coeff is not None
-                else self._green_gauss_gradp(p)
-            )
-            vol_over_ap = jnp.where(
-                interior_cells, mesh.cell_volume / aP, 0.0
-            )
-            # average vol/aP to faces; boundary faces get the owner value
+            gradp = maybe_sync(mesh, self._grad(mesh, params, p))
+            vol_over_ap = jnp.where(interior_cells, mesh.cell_volume / aP, 0.0)
+            vol_over_ap = maybe_sync(mesh, vol_over_ap)
             voap_f = assembly.cells_to_faces_distance_weighted(
                 mesh, bck.extend_to_ghosts(mesh, vol_over_ap)
             )
-            Df = rho_f * voap_f * mesh.face_e_over_d  # continuity face coeff
+            Df = rho_f * voap_f * mesh.face_e_over_d
             gpbar = assembly.cells_to_faces_distance_weighted(mesh, gradp)
             dp = p[mesh.face_cell1] - p[mesh.face_cell0]
             rc = Df * (dp - jnp.einsum("fd,fd->f", gpbar, mesh.face_ds))
             mdot_int = rho_f * jnp.einsum("fd,fd->f", Vbar, mesh.face_area) - rc
-            bmdot = self._boundary_mass_flux(state2, bcvals)
-            mdot = jnp.where(
-                jnp.arange(mesh.n_faces) < mesh.n_interior_faces, mdot_int, bmdot
-            )
+            bmdot = self._boundary_mass_flux(mesh, params, state2, bcvals)
+            mdot = jnp.where(bnd, bmdot, mdot_int)
 
             # ---- pressure correction -------------------------------------
-            # face flux of p' correction: dmdot = -Df (p'_N - p'_O);
-            # continuity residual r_c = -sum_s mdot  (mass imbalance)
-            Df_cont = Df
-            # zero correction-flux on boundaries except pressure boundaries
-            bnd = jnp.arange(mesh.n_faces) >= mesh.n_interior_faces
             pres_face = jnp.zeros(mesh.n_faces, bool)
             for g, bc in self._group_bcs():
                 if bc.bc_type == "PressureBoundary":
                     sl = mesh.group_faces(g)
                     pres_face = pres_face.at[sl].set(True)
-            Df_cont = jnp.where(bnd & ~pres_face, 0.0, Df_cont)
+            Df_cont = jnp.where(bnd & ~pres_face, 0.0, Df)
             cont_flux = FaceFlux(F=mdot, dF_dO=Df_cont, dF_dN=-Df_cont)
             Ap, rp = assembly.assemble(mesh, cont_flux)
             Ap, rp = identity_ghost_rows(Ap, rp)
-            cont_norm = norm(rp)
+            cont_norm = Ap.norm(rp)
             if not self._has_pressure_bc:
-                # pin the level at cell 0 (reference: reference-pressure cell,
-                # FlowModel_impl.h:1005,1056)
-                Ap = ELLMatrix(
-                    diag=Ap.diag.at[0].set(Ap.diag[0] * (1.0 + 1e6)),
-                    off=Ap.off,
-                    cols=Ap.cols,
-                    mask=Ap.mask,
+                Ap = Ap.replace(
+                    diag=Ap.diag * (1.0 + 1e6 * params["pin_mask"])
                 )
             pc, pres_stats = pres_solver.solve_fn(Ap, rp, jnp.zeros_like(rp))
             if not self._has_pressure_bc:
-                pc = pc - pc[0]
+                # subtract a consistent global level
+                num = gsum(mesh, jnp.sum(jnp.where(interior_cells, pc, 0.0)))
+                den = gsum(mesh, jnp.sum(interior_cells.astype(pc.dtype)))
+                pc = pc - num / den
             pc = jnp.where(interior_cells, pc, 0.0)
 
             # ---- corrections (reference postContinuitySolve :1263) -------
             p = p + urf_p * pc
-            gradpc = (
-                gradient(mesh, self._grad_coeff, pc)
-                if self._grad_coeff is not None
-                else self._green_gauss_gradp(pc)
-            )
+            pc_s = maybe_sync(mesh, pc)
+            gradpc = maybe_sync(mesh, self._grad(mesh, params, pc_s))
             V = V - vol_over_ap[:, None] * gradpc
-            dmdot = -Df * (pc[mesh.face_cell1] - pc[mesh.face_cell0])
+            dmdot = -Df * (pc_s[mesh.face_cell1] - pc_s[mesh.face_cell0])
             mdot = jnp.where(bnd & ~pres_face, mdot, mdot + dmdot)
 
             new_state = dict(state)
@@ -374,17 +379,9 @@ class FlowModel(Model):
             new_state["pressure"] = p
             new_state["massFlux"] = mdot
             new_state["momAp"] = aP
-            return new_state, mom_norm, cont_norm
+            return new_state, {"mom_norm": mom_norm, "cont_norm": cont_norm}
 
         return step
-
-    def _green_gauss_gradp(self, p):
-        mesh = self.mesh
-        p_f = assembly.cells_to_faces_distance_weighted(mesh, p)
-        contrib = p_f[:, None] * mesh.face_area  # (nf, dim)
-        s = jnp.where(mesh.cf_is_owner, 1.0, -1.0) * mesh.cf_mask
-        g = jnp.einsum("nk,nkd->nd", s, contrib[mesh.cf_face])
-        return g / jnp.maximum(mesh.cell_volume, 1e-300)[:, None]
 
     # ------------------------------------------------------------------
 
@@ -395,11 +392,11 @@ class FlowModel(Model):
         hist = ResidualHistory()
         bcvals = self._resolve_bcvals()
         for it in range(niter):
-            self.state, mom_norm, cont_norm = self._step(self.state, bcvals)
-            mom_norm, cont_norm = float(mom_norm), float(cont_norm)
+            self.state, aux = self._step(self.mesh, self.params, self.state, bcvals)
+            mom_norm = float(aux["mom_norm"])
+            cont_norm = float(aux["cont_norm"])
             if self._norm0 is None:
                 self._norm0 = (max(mom_norm, 1e-300), max(cont_norm, 1e-300))
-            rel = max(mom_norm / self._norm0[0], cont_norm / self._norm0[1])
             hist.append((it, mom_norm, cont_norm))
             if opts["verbose"]:
                 print(f"{self.name}: {it}: mom {mom_norm:.6e} cont {cont_norm:.6e}")
@@ -409,13 +406,6 @@ class FlowModel(Model):
             ) or max(mom_norm, cont_norm) < opts["absoluteTolerance"]:
                 break
         return hist
-
-    def _resolve_bcvals(self):
-        vals = {}
-        for g, bc in self._group_bcs():
-            for key in bc:
-                vals[f"{g[1]}:{key}"] = bc.resolve(key, g[4])
-        return vals
 
     def updateTime(self):
         if not self.options["transient"]:
@@ -427,29 +417,37 @@ class FlowModel(Model):
     # ------------------------------------------------------------------
 
     def getVelocity(self) -> np.ndarray:
+        if self._dist:
+            return self.partition.gather_cells(self.state["velocity"])
         return np.asarray(self.state["velocity"][: self.mesh.n_interior_cells])
 
     def getPressure(self) -> np.ndarray:
+        if self._dist:
+            return self.partition.gather_cells(self.state["pressure"])
         return np.asarray(self.state["pressure"][: self.mesh.n_interior_cells])
 
     def getMassFluxIntegral(self, group_name) -> float:
         mesh = self.mesh
+        if self._dist:
+            raise ConfigError("getMassFluxIntegral: single-device only for now")
         g = mesh.group_by_name(group_name) if isinstance(group_name, str) else group_name
         sl = mesh.group_faces(g)
         return float(jnp.sum(self.state["massFlux"][sl]))
 
     def getMomentumFluxIntegral(self, group_name) -> np.ndarray:
         """Force on a boundary group: pressure + viscous (reference:
-        getMomentumFluxIntegral / getPVExact)."""
+        getMomentumFluxIntegral)."""
         mesh = self.mesh
+        if self._dist:
+            raise ConfigError("getMomentumFluxIntegral: single-device only for now")
         g = mesh.group_by_name(group_name) if isinstance(group_name, str) else group_name
         sl = mesh.group_faces(g)
         V = self.state["velocity"]
         p = self.state["pressure"]
-        mu_f = disc.harmonic_face_gamma(mesh, self._mu)
+        mu_f = disc.harmonic_face_gamma(mesh, self.params["mu"])
         gradV = (
-            gradient(mesh, self._grad_coeff, V)
-            if self._grad_coeff is not None
+            gradient(mesh, self.params["grad_coeff"], V)
+            if "grad_coeff" in self.params
             else None
         )
         dflux = disc.diffusion_flux(mesh, V, mu_f, gradV)

@@ -5,7 +5,9 @@ TPU-native counterpart of the reference's ThermalModel
 ``linearize``, :424 ``advance``, :400 ``getHeatFluxIntegral``; BC/VC dicts in
 ThermalBC.h).  The equation set, BC types and outer-iteration structure match
 the reference; the implementation is a single jit-compiled
-linearize-assemble-solve step over the ELL/gather data layout.
+linearize-assemble-solve step over the ELL/gather data layout, which runs
+unchanged under shard_map on a partitioned mesh (halo exchange inserted via
+the mesh's HaloSpec — the reference's Field::syncLocal equivalent).
 
 BC types: 'SpecifiedTemperature', 'SpecifiedHeatFlux' (per-area, positive
 into the domain), 'Symmetry', 'Convective' (heatTransferCoefficient +
@@ -23,8 +25,9 @@ from ..mesh.device import DeviceMesh
 from ..core.options import BoundaryCondition, ModelOptions
 from ..core import bcs as bck
 from ..ops import assembly, discretizations as disc
+from ..ops.halo import maybe_sync
 from ..ops.gradients import ls_gradient_coefficients, gradient
-from ..linear import AMG, BiCGStab, norm
+from ..linear import AMG, BiCGStab, CG, JacobiSolver
 from ..exceptions import ConfigError
 from .base import Model, ResidualHistory
 
@@ -79,8 +82,8 @@ class ThermalModelOptions(ModelOptions):
 class ThermalModel(Model):
     name = "ThermalModel"
 
-    def __init__(self, mesh: DeviceMesh):
-        super().__init__(mesh)
+    def __init__(self, mesh: DeviceMesh, partition=None):
+        super().__init__(mesh, partition)
         self.vc = ThermalVC()
 
     def _make_options(self):
@@ -93,62 +96,71 @@ class ThermalModel(Model):
 
     def init(self) -> None:
         mesh = self.mesh
-        dtype = mesh.cell_volume.dtype
-        T0 = self.vc.resolve("initialTemperature", mesh.n_cells, dtype)
         self.state = {
-            "T": T0,
-            "massFlux": jnp.zeros(mesh.n_faces, dtype),
+            "T": self._cell_field(self.vc, "initialTemperature"),
+            "massFlux": self._full_faces(0.0),
         }
         if self.options["transient"]:
-            self.state["T_N1"] = T0
+            self.state["T_N1"] = self.state["T"]
             if self.options["timeDiscretizationOrder"] > 1:
-                self.state["T_N2"] = T0
+                self.state["T_N2"] = self.state["T"]
 
-        # conductivity / rho*cp cell arrays (ghosts copy owners)
-        k = self.vc.resolve("thermalConductivity", mesh.n_cells, dtype)
-        self._k_cell = bck.extend_to_ghosts(mesh, k)
-        rho = self.vc.resolve("density", mesh.n_cells, dtype)
-        cp = self.vc.resolve("specificHeat", mesh.n_cells, dtype)
-        self._rho_cp = rho * cp
-        self._src = self.vc.resolve("heatSource", mesh.n_cells, dtype)
-
-        self._grad_coeff = (
-            ls_gradient_coefficients(mesh)
-            if self.options["nonOrthogonalCorrection"]
-            else None
-        )
+        self.params = {
+            "k_cell": self._cell_field(self.vc, "thermalConductivity", extend_ghosts=True),
+            "rho_cp": self._cell_field(self.vc, "density")
+            * self._cell_field(self.vc, "specificHeat"),
+            "src": self._cell_field(self.vc, "heatSource"),
+        }
+        if self.options["nonOrthogonalCorrection"]:
+            if self._dist:
+                self.params["grad_coeff"] = jax.vmap(ls_gradient_coefficients)(mesh)
+            else:
+                self.params["grad_coeff"] = ls_gradient_coefficients(mesh)
 
         solver = self.options.get("linearSolver")
         if solver is None:
-            amg = AMG()
-            solver = BiCGStab(
-                preconditioner=amg, relative_tolerance=1e-10, max_iterations=50
-            )
+            if self._dist:
+                # AMG hierarchies differ per shard; use Jacobi-CG for now
+                solver = CG(
+                    preconditioner=JacobiSolver(sweeps=3),
+                    relative_tolerance=1e-10,
+                    max_iterations=500,
+                )
+            else:
+                solver = BiCGStab(
+                    preconditioner=AMG(), relative_tolerance=1e-10, max_iterations=50
+                )
             self.options["linearSolver"] = solver
-        # AMG hierarchies need concrete structure before tracing
         pre = getattr(solver, "preconditioner", None)
         for s in (solver, pre):
             if isinstance(s, AMG):
+                if self._dist:
+                    raise ConfigError(
+                        "ThermalModel: AMG is single-device for now; use "
+                        "CG/BiCGStab with a Jacobi preconditioner on "
+                        "partitioned meshes"
+                    )
                 s.setup_structure(np.asarray(mesh.cf_nbr), np.asarray(mesh.cf_mask))
 
-        self._step = jax.jit(self._build_step())
+        if self._dist:
+            self.state = self.partition.device_put(self.state)
+            self.params = self.partition.device_put(self.params)
+
+        self._step = self._wrap_step(self._build_step())
         self._initial_norm = None
         self._initialized = True
 
     # ------------------------------------------------------------------
 
-    def _linearize(self, state, bcvals):
-        """Build (A, r) for the current state.  jit-traced."""
-        mesh = self.mesh
+    def _linearize(self, mesh, params, state, bcvals):
+        """Build (A, r) for the current state.  jit-traced; SPMD-safe."""
         opts = self.options
-        T = state["T"]
+        T = maybe_sync(mesh, state["T"])
 
-        gamma_f = disc.harmonic_face_gamma(mesh, self._k_cell)
-        gradT = (
-            gradient(mesh, self._grad_coeff, T)
-            if self._grad_coeff is not None
-            else None
-        )
+        gamma_f = disc.harmonic_face_gamma(mesh, params["k_cell"])
+        gradT = None
+        if "grad_coeff" in params:
+            gradT = maybe_sync(mesh, gradient(mesh, params["grad_coeff"], T))
         flux = disc.diffusion_flux(mesh, T, gamma_f, gradT)
         if opts["convective"]:
             flux = flux + disc.convection_flux(
@@ -161,23 +173,21 @@ class ThermalModel(Model):
             t = bc.bc_type
             if t == "SpecifiedHeatFlux":
                 q = bcvals[f"{g[1]}:specifiedHeatFlux"]
-                flux = bck.set_flux_fixed(
-                    flux, sl, -q * mesh.face_area_mag[sl]
-                )
+                flux = bck.set_flux_fixed(flux, sl, -q * mesh.face_area_mag[sl])
             elif t == "Symmetry":
                 flux = bck.set_flux_fixed(flux, sl, 0.0)
             # SpecifiedTemperature / Convective / Radiative / Mixed keep the
             # diffusive face flux (it references the ghost value)
 
         # cell terms
-        diag_cell, r_cell = disc.source_term(mesh, self._src)
+        diag_cell, r_cell = disc.source_term(mesh, params["src"])
         if opts["transient"]:
             d2, r2 = disc.transient_term(
                 mesh,
                 T,
                 state["T_N1"],
                 opts["timeStep"],
-                self._rho_cp,
+                params["rho_cp"],
                 state.get("T_N2"),
             )
             diag_cell = diag_cell + d2
@@ -189,13 +199,14 @@ class ThermalModel(Model):
         for g, bc in self._group_bcs():
             gc = mesh.ghost_cells_of_group(g)
             sl = mesh.group_faces(g)
+            valid = bcvals[f"{g[1]}:__valid"]
             t = bc.bc_type
             if t == "SpecifiedTemperature":
                 A, r = bck.dirichlet_rows(
-                    mesh, A, r, gc, bcvals[f"{g[1]}:specifiedTemperature"], T
+                    mesh, A, r, gc, bcvals[f"{g[1]}:specifiedTemperature"], T, valid
                 )
             elif t in ("SpecifiedHeatFlux", "Symmetry"):
-                A, r = bck.extrapolation_rows(mesh, A, r, gc, T)
+                A, r = bck.extrapolation_rows(mesh, A, r, gc, T, valid)
             elif t in ("Convective", "Radiative", "Mixed"):
                 amag = mesh.face_area_mag[sl]
                 coeff = jnp.zeros_like(amag)
@@ -214,28 +225,24 @@ class ThermalModel(Model):
                 A, r = bck.robin_sink_rows(mesh, A, r, gc, coeff, sink)
             else:
                 raise ConfigError(f"ThermalModel: unhandled bc_type {t!r}")
+
+        # halo rows are owned remotely: identity here
+        A, r = assembly.identity_unowned_rows(mesh, A, r)
         return A, r
 
     def _build_step(self):
         solver = self.options["linearSolver"]
         urf = float(self.options["urf"])
 
-        def step(state, bcvals):
-            A, r = self._linearize(state, bcvals)
-            rnorm = norm(r)
+        def step(mesh, params, state, bcvals):
+            A, r = self._linearize(mesh, params, state, bcvals)
+            rnorm = A.norm(r)
             dx, stats = solver.solve_fn(A, r, jnp.zeros_like(r))
             state = dict(state)
             state["T"] = state["T"] + urf * dx
-            return state, rnorm, stats
+            return state, {"rnorm": rnorm, "stats": stats}
 
         return step
-
-    def _resolve_bcvals(self):
-        vals = {}
-        for g, bc in self._group_bcs():
-            for key in bc:
-                vals[f"{g[1]}:{key}"] = bc.resolve(key, g[4])
-        return vals
 
     # ------------------------------------------------------------------
 
@@ -251,8 +258,8 @@ class ThermalModel(Model):
         hist = ResidualHistory()
         bcvals = self._resolve_bcvals()
         for it in range(niter):
-            self.state, rnorm, stats = self._step(self.state, bcvals)
-            rnorm = float(rnorm)
+            self.state, aux = self._step(self.mesh, self.params, self.state, bcvals)
+            rnorm = float(aux["rnorm"])
             if self._initial_norm is None or self._initial_norm == 0.0:
                 self._initial_norm = rnorm
             hist.append((it, rnorm))
@@ -279,6 +286,8 @@ class ThermalModel(Model):
         (reference: ThermalModel_impl.h:400 getHeatFluxIntegral)
         """
         mesh = self.mesh
+        if self._dist:
+            raise ConfigError("getHeatFluxIntegral: gather the field first")
         g = mesh.group_by_name(group_name) if isinstance(group_name, str) else group_name
         sl = mesh.group_faces(g)
         bc = self.bc[g[1]]
@@ -288,14 +297,17 @@ class ThermalModel(Model):
             return float(jnp.sum(q * mesh.face_area_mag[sl]))
         if bc.bc_type == "Symmetry":
             return 0.0
-        gamma_f = disc.harmonic_face_gamma(mesh, self._k_cell)
+        gamma_f = disc.harmonic_face_gamma(mesh, self.params["k_cell"])
         gradT = (
-            gradient(mesh, self._grad_coeff, T)
-            if self._grad_coeff is not None
+            gradient(mesh, self.params["grad_coeff"], T)
+            if "grad_coeff" in self.params
             else None
         )
         flux = disc.diffusion_flux(mesh, T, gamma_f, gradT)
         return float(-jnp.sum(flux.F[sl]))
 
     def getTemperature(self) -> np.ndarray:
+        """Interior-cell temperatures in GLOBAL numbering (gathers shards)."""
+        if self._dist:
+            return self.partition.gather_cells(self.state["T"])
         return np.asarray(self.state["T"][: self.mesh.n_interior_cells])

@@ -72,8 +72,7 @@ def assemble(mesh: DeviceMesh, flux: FaceFlux, r_cell=None, diag_cell=None):
 
     dO = flux.dF_dO[f]
     dN = flux.dF_dN[f]
-    # row of cell c, slot k: coefficient on phi_c is (own ? dF_dO : -dF_dN)
-    # wait: A = -dr/dx; r_c includes -s_cf F_f, s=+1 owner
+    # A = -dr/dx; r_c includes -s_cf F_f with s = +1 for the owner side
     # => A_cc += s * dF/dphi_c ; A_c,nbr += s * dF/dphi_nbr
     s = jnp.where(own, 1.0, -1.0)
     diag_contrib = jnp.where(mask, s * jnp.where(own, dO, dN), 0.0)
@@ -82,6 +81,10 @@ def assemble(mesh: DeviceMesh, flux: FaceFlux, r_cell=None, diag_cell=None):
     diag = diag_contrib.sum(axis=1)
     if diag_cell is not None:
         diag = diag + diag_cell
+    # rows with no valid face slot (padding cells on distributed shards)
+    # get an identity equation so the system stays nonsingular
+    alive = mask.any(axis=1)
+    diag = jnp.where(alive, diag, 1.0)
 
     Ff = flux.F[f]  # (nc, K) or (nc, K, m)
     if Ff.ndim == 3:
@@ -92,8 +95,28 @@ def assemble(mesh: DeviceMesh, flux: FaceFlux, r_cell=None, diag_cell=None):
     r = -(jnp.where(m_, s_ * Ff, 0.0)).sum(axis=1)
     if r_cell is not None:
         r = r + r_cell
+    r = jnp.where(alive if r.ndim == 1 else alive[:, None], r, 0.0)
 
-    A = ELLMatrix(diag=diag, off=off, cols=mesh.cf_nbr, mask=mask)
+    A = ELLMatrix(
+        diag=diag,
+        off=off,
+        cols=mesh.cf_nbr,
+        mask=mask,
+        halo=mesh.halo,
+        axis_name=mesh.axis_name,
+        n_owned=mesh.n_owned_cells_ if mesh.n_owned_cells_ is not None else None,
+    )
+    return A, r
+
+
+def identity_unowned_rows(mesh: DeviceMesh, A: ELLMatrix, r):
+    """Overwrite halo/padding rows (cells >= n_owned) with identity
+    equations and zero residual.  No-op on single-device meshes."""
+    if mesh.n_owned_cells_ is None or mesh.n_owned_cells >= mesh.n_cells:
+        return A, r
+    sl = slice(mesh.n_owned_cells, mesh.n_cells)
+    A = A.replace(diag=A.diag.at[sl].set(1.0), off=A.off.at[sl].set(0.0))
+    r = r.at[sl].set(0.0)
     return A, r
 
 

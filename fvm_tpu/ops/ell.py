@@ -21,12 +21,21 @@ from flax import struct
 
 @struct.dataclass
 class ELLMatrix:
-    """A x = diag * x + sum_k off[:,k] * x[cols[:,k]] (masked)."""
+    """A x = diag * x + sum_k off[:,k] * x[cols[:,k]] (masked).
+
+    Distributed mode (axis_name set): rows [0, n_owned) are owned by this
+    shard; ``halo`` gives the exchange tables for refreshing the halo slots
+    of x before the gather, and mv zeroes non-owned rows so global dot
+    products count each row exactly once.
+    """
 
     diag: jnp.ndarray  # (n,)
     off: jnp.ndarray  # (n, K)
     cols: jnp.ndarray  # (n, K) int32; padded slots point at own row
     mask: jnp.ndarray  # (n, K) bool
+    halo: object = None  # ops.halo.HaloSpec | None
+    axis_name: str | None = struct.field(pytree_node=False, default=None)
+    n_owned: int | None = struct.field(pytree_node=False, default=None)
 
     @property
     def n(self) -> int:
@@ -36,14 +45,39 @@ class ELLMatrix:
     def width(self) -> int:
         return self.off.shape[1]
 
+    def sync(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.halo is not None and self.axis_name is not None:
+            from .halo import halo_exchange
+
+            return halo_exchange(x, self.halo, self.axis_name)
+        return x
+
+    def psum(self, v):
+        if self.axis_name is not None:
+            import jax
+
+            return jax.lax.psum(v, self.axis_name)
+        return v
+
+    def dot(self, a: jnp.ndarray, b: jnp.ndarray):
+        """Global inner product (psum across shards when distributed)."""
+        return self.psum(jnp.sum(a * b))
+
+    def norm(self, x: jnp.ndarray):
+        return jnp.sqrt(self.psum(jnp.sum(x * x)))
+
     def mv(self, x: jnp.ndarray) -> jnp.ndarray:
         """Sparse matrix-vector product; x is (n,) or (n, m)."""
+        x = self.sync(x)
         squeeze = x.ndim == 1
         if squeeze:
             x = x[:, None]
         xn = x[self.cols]  # (n, K, m) gather
         off = jnp.where(self.mask, self.off, 0.0)
         y = self.diag[:, None] * x + jnp.einsum("nk,nkm->nm", off, xn)
+        if self.n_owned is not None and self.n_owned < self.n:
+            owned = (jnp.arange(self.n) < self.n_owned)[:, None]
+            y = jnp.where(owned, y, 0.0)
         return y[:, 0] if squeeze else y
 
     def residual(self, x: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

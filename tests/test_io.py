@@ -1,0 +1,124 @@
+"""I/O tests: Fluent reader (against reference-shipped cases), VTK writer,
+MatrixMarket reader, persistence."""
+
+import os
+
+import numpy as np
+import pytest
+
+import fvm_tpu as fvm
+from fvm_tpu.io.fluent import read_fluent_mesh
+from fvm_tpu.io.vtk import write_vtk
+from fvm_tpu.io.matrixmarket import read_matrix_market
+from fvm_tpu.io.persistence import Persistence
+from fvm_tpu.mesh.metrics import compute_geometry
+from fvm_tpu.mesh.generate import quad_2d
+from fvm_tpu.models import ThermalModel
+
+REF = "/root/reference/src/fvm/test"
+have_ref = os.path.isdir(REF)
+
+
+@pytest.mark.skipif(not have_ref, reason="reference meshes unavailable")
+def test_fluent_ascii_2d_cavity():
+    m = read_fluent_mesh(f"{REF}/cav32.cas")
+    assert m.dim == 2 and m.n_interior_cells == 1024
+    g = compute_geometry(m)
+    assert g.cell_volume.sum() == pytest.approx(1.0, rel=1e-10)
+    assert (g.cell_volume[: m.n_interior_cells] > 0).all()
+    assert {fg.name for fg in m.boundary_groups} == {"w1", "w2", "w3", "w4"}
+
+
+@pytest.mark.skipif(not have_ref, reason="reference meshes unavailable")
+def test_fluent_binary_3d():
+    m = read_fluent_mesh(f"{REF}/3d-cube.cas")
+    assert m.dim == 3 and m.n_interior_cells == 8000
+    g = compute_geometry(m)
+    assert g.cell_volume.sum() == pytest.approx(8.0, rel=1e-10)
+
+
+@pytest.mark.skipif(not have_ref, reason="reference meshes unavailable")
+def test_fluent_thermal_solve_on_reference_cavity():
+    """Solve conduction on the reference's own cav32 mesh."""
+    m = read_fluent_mesh(f"{REF}/cav32.cas")
+    dm = fvm.mesh.build_device_mesh(m)
+    t = ThermalModel(dm)
+    t.options["verbose"] = False
+    # w1..w4 are the 4 walls; pick two opposite ones by centroid
+    g = compute_geometry(m)
+    for fg in m.boundary_groups:
+        xc = g.face_centroid[fg.faces].mean(axis=0)
+        bc = t.bc[fg.name]
+        if xc[0] < 0.25:
+            bc.bc_type = "SpecifiedTemperature"
+            bc["specifiedTemperature"] = 400.0
+        elif xc[0] > 0.75:
+            bc.bc_type = "SpecifiedTemperature"
+            bc["specifiedTemperature"] = 300.0
+        else:
+            bc.bc_type = "Symmetry"
+    t.init()
+    hist = t.advance(5)
+    assert hist[-1][1] / hist[0][1] < 1e-8
+    T = t.getTemperature()
+    x = np.asarray(dm.cell_centroid)[: dm.n_interior_cells, 0]
+    np.testing.assert_allclose(T, 400.0 - 100.0 * x, rtol=1e-6)
+
+
+def test_vtk_writer(tmp_path):
+    m = quad_2d(4, 3)
+    path = tmp_path / "out.vtk"
+    write_vtk(str(path), m, {"T": np.arange(12.0), "vel": np.ones((12, 2))})
+    text = path.read_text()
+    assert "UNSTRUCTURED_GRID" in text
+    assert "CELL_DATA 12" in text
+    assert "SCALARS T" in text and "VECTORS vel" in text
+    # every cell line starts with 4 (quads)
+    cells = text.split("CELLS 12")[1].splitlines()[1:13]
+    assert all(line.startswith("4 ") for line in cells)
+
+
+def test_matrix_market_roundtrip(tmp_path):
+    mmpath = tmp_path / "a.mtx"
+    mmpath.write_text(
+        "%%MatrixMarket matrix coordinate real general\n"
+        "3 3 7\n"
+        "1 1 4.0\n2 2 4.0\n3 3 4.0\n"
+        "1 2 -1.0\n2 1 -1.0\n2 3 -1.0\n3 2 -1.0\n"
+    )
+    A, _ = read_matrix_market(str(mmpath))
+    import jax.numpy as jnp
+
+    x = jnp.asarray([1.0, 2.0, 3.0])
+    y = np.asarray(A.mv(x))
+    np.testing.assert_allclose(y, [4 - 2, -1 + 8 - 3, -2 + 12], rtol=1e-12)
+
+
+def test_persistence_file_roundtrip(tmp_path):
+    m = quad_2d(6, 6)
+    dm = fvm.mesh.build_device_mesh(m)
+    t = ThermalModel(dm)
+    t.options["verbose"] = False
+    t.bc["left"].bc_type = "SpecifiedTemperature"
+    t.bc["left"]["specifiedTemperature"] = 350.0
+    t.bc["right"].bc_type = "SpecifiedTemperature"
+    t.bc["bottom"].bc_type = "Symmetry"
+    t.bc["top"].bc_type = "Symmetry"
+    t.init()
+    t.advance(3)
+
+    path = str(tmp_path / "ckpt.npz")
+    p = Persistence(path, "w")
+    p.save_model("thermal", t)
+    p.save_mesh(m)
+    p.close()
+
+    t2 = ThermalModel(dm)
+    t2.options["verbose"] = False
+    for side, ty in (("left", "SpecifiedTemperature"), ("right", "SpecifiedTemperature"),
+                     ("bottom", "Symmetry"), ("top", "Symmetry")):
+        t2.bc[side].bc_type = ty
+    t2.bc["left"]["specifiedTemperature"] = 350.0
+    t2.init()
+    Persistence(path, "r").restore_model("thermal", t2)
+    np.testing.assert_array_equal(t.getTemperature(), t2.getTemperature())

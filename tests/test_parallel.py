@@ -1,0 +1,104 @@
+"""Multi-device (shard_map) tests on a virtual 8-device CPU mesh.
+
+Plays the role of the reference's mpirun-based ptest suites
+(reference: src/fvm/test/AMG_MERGING_THERMAL/ptest.py, PARALLEL_CAVITY_*):
+the same problem solved on 1 and N devices must agree to solver tolerance.
+"""
+
+import numpy as np
+import pytest
+import jax
+
+import fvm_tpu as fvm
+from fvm_tpu.mesh.generate import quad_2d
+from fvm_tpu.mesh.metrics import compute_geometry
+from fvm_tpu.parallel import Partition
+from fvm_tpu.models import ThermalModel
+from fvm_tpu.models.flow import FlowModel
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 4, reason="needs >= 4 virtual devices"
+)
+
+
+def test_partition_roundtrip():
+    mesh = quad_2d(16, 16)
+    part = Partition(mesh, 4)
+    vals = np.arange(mesh.n_cells, dtype=float)
+    stacked = part.scatter_cells(vals)
+    back = part.gather_cells(stacked)
+    np.testing.assert_array_equal(back, vals[: mesh.n_interior_cells])
+
+
+def test_partition_geometry_consistency():
+    mesh = quad_2d(8, 8)
+    geom = compute_geometry(mesh)
+    part = Partition(mesh, 4, geom=geom)
+    sm = part.sharded_mesh
+    # total owned interior volume across shards == global volume
+    vols = np.asarray(sm.cell_volume)
+    total = 0.0
+    for d in range(4):
+        oi = part._own_int[d]
+        total += vols[d][part.g2l[d, oi]].sum()
+    assert total == pytest.approx(geom.cell_volume[: mesh.n_interior_cells].sum(), rel=1e-12)
+
+
+def _setup_thermal(model):
+    model.options["verbose"] = False
+    model.bc["left"].bc_type = "SpecifiedTemperature"
+    model.bc["left"]["specifiedTemperature"] = 400.0
+    model.bc["right"].bc_type = "Convective"
+    model.bc["right"]["heatTransferCoefficient"] = 5.0
+    model.bc["right"]["farFieldTemperature"] = 300.0
+    model.bc["bottom"].bc_type = "Symmetry"
+    model.bc["top"].bc_type = "SpecifiedHeatFlux"
+    model.bc["top"]["specifiedHeatFlux"] = 2.0
+    model.init()
+
+
+@pytest.mark.parametrize("n_shards", [2, 8])
+def test_thermal_matches_single_device(n_shards):
+    mesh = quad_2d(16, 12)
+
+    single = ThermalModel(fvm.mesh.build_device_mesh(mesh))
+    _setup_thermal(single)
+    single.advance(10)
+    T1 = single.getTemperature()
+
+    part = Partition(quad_2d(16, 12), n_shards)
+    dist = ThermalModel(part.sharded_mesh, partition=part)
+    _setup_thermal(dist)
+    hist = dist.advance(10)
+    TN = dist.getTemperature()
+
+    np.testing.assert_allclose(TN, T1, rtol=1e-7, atol=1e-6)
+    assert hist[-1][1] / hist[0][1] < 1e-7
+
+
+def test_flow_cavity_matches_single_device():
+    n = 16
+    mesh = quad_2d(n, n)
+
+    def setup(m):
+        m.options["verbose"] = False
+        m.vc["viscosity"] = 0.05
+        for side in ("left", "right", "bottom", "top"):
+            m.bc[side].bc_type = "NoSlipWall"
+        m.bc["top"]["specifiedXVelocity"] = 1.0
+        m.init()
+
+    single = FlowModel(fvm.mesh.build_device_mesh(mesh))
+    setup(single)
+    single.advance(60)
+    V1 = single.getVelocity()
+
+    part = Partition(quad_2d(n, n), 4)
+    dist = FlowModel(part.sharded_mesh, partition=part)
+    setup(dist)
+    dist.advance(60)
+    VN = dist.getVelocity()
+
+    # same algorithm, same iteration count; inner-solver tolerances allow
+    # small drift between the two paths
+    np.testing.assert_allclose(VN, V1, atol=5e-4)
