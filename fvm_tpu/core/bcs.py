@@ -70,17 +70,23 @@ def set_flux_fixed(flux: FaceFlux, sl: slice, F_values) -> FaceFlux:
 
 
 def dirichlet_rows(
-    mesh: DeviceMesh, A: ELLMatrix, r, gc: slice, value, phi, valid=None
+    mesh: DeviceMesh, A: ELLMatrix, r, gc: slice, value, phi, valid=None, scale=None
 ) -> tuple[ELLMatrix, jnp.ndarray]:
-    """Ghost equation: dx_g = value - phi_g.
+    """Ghost equation: scale * dx_g = scale * (value - phi_g).
     (reference: applyDirichletBC, GenericBCS.h:77)
 
+    ``scale`` (per-face, optional) should be the face transport coefficient
+    (gamma_f * e_over_d); scaling the identity row to the magnitude of the
+    interior coupling keeps the system well-conditioned for any material
+    scale (e.g. permittivities ~1e-11) and makes the Dirichlet block
+    symmetric against the interior row's -gamma_f*e_over_d coupling.
     ``valid`` (optional, (count,)) masks padded group slots on distributed
     shards: padded rows become dx_g = 0.
     """
-    diag = A.diag.at[gc].set(1.0)
+    s = 1.0 if scale is None else jnp.where(jnp.asarray(scale) > 0, scale, 1.0)
+    diag = A.diag.at[gc].set(s)
     off = A.off.at[gc].set(0.0)
-    resid = value - phi[gc]
+    resid = (value - phi[gc]) * s
     if valid is not None:
         resid = jnp.where(valid, resid, 0.0)
     r = r.at[gc].set(resid if r.ndim == 1 else jnp.broadcast_to(resid, r[gc].shape))
@@ -88,21 +94,23 @@ def dirichlet_rows(
 
 
 def extrapolation_rows(
-    mesh: DeviceMesh, A: ELLMatrix, r, gc: slice, phi, valid=None
+    mesh: DeviceMesh, A: ELLMatrix, r, gc: slice, phi, valid=None, scale=None
 ) -> tuple[ELLMatrix, jnp.ndarray]:
-    """Ghost equation: dx_g - dx_owner = phi_owner - phi_g (zero gradient).
+    """Ghost equation: scale*(dx_g - dx_owner) = scale*(phi_owner - phi_g).
     (reference: applyExtrapolationBC, GenericBCS.h:180)
 
     Slot 0 of a ghost row is its single face, whose neighbor is the owner.
+    ``scale`` as in dirichlet_rows.
     """
-    diag = A.diag.at[gc].set(1.0)
+    s = 1.0 if scale is None else jnp.where(jnp.asarray(scale) > 0, scale, 1.0)
+    diag = A.diag.at[gc].set(s)
     off = A.off.at[gc].set(0.0)
-    off = off.at[gc, 0].set(-1.0)
+    off = off.at[gc, 0].set(-s if scale is not None else -1.0)
     owners = ghost_owner_cells(mesh)
     sl0 = gc.start - mesh.n_interior_cells
     sl1 = gc.stop - mesh.n_interior_cells
     own = owners[sl0:sl1]
-    resid = phi[own] - phi[gc]
+    resid = (phi[own] - phi[gc]) * s
     if valid is not None:
         resid = jnp.where(valid, resid, 0.0)
     r = r.at[gc].set(resid)

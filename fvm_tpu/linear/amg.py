@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from ..ops.ell import ELLMatrix
 from .base import LinearSolver, SolveStats, norm
-from .dense import gauss_solve
+from .dense import gauss_solve, dense_inverse
 
 
 # ---------------------------------------------------------------------------
@@ -118,6 +118,10 @@ class _Level:
         self.mask_c = jnp.asarray(mask_c)
         self.cols_c_np = cols_c
         self.mask_c_np = mask_c
+        # DIA fast path for the coarse SpMV (aggregation preserves locality)
+        from ..ops.dia import DIAInfo
+
+        self.dia_c = DIAInfo.build(cols_c, mask_c)
 
     def galerkin(self, A: ELLMatrix) -> ELLMatrix:
         """Coarse matrix values = R A P on device (3 segment sums)."""
@@ -129,7 +133,9 @@ class _Level:
         off_c = jax.ops.segment_sum(
             off_flat, self.to_off, num_segments=self.nC * self.Kc + 1
         )[: self.nC * self.Kc].reshape(self.nC, self.Kc)
-        return ELLMatrix(diag=diag_c, off=off_c, cols=self.cols_c, mask=self.mask_c)
+        return ELLMatrix(
+            diag=diag_c, off=off_c, cols=self.cols_c, mask=self.mask_c, dia=self.dia_c
+        )
 
     def restrict(self, r: jnp.ndarray) -> jnp.ndarray:
         return jax.ops.segment_sum(r, self.agg, num_segments=self.nC)
@@ -217,7 +223,7 @@ class AMG(LinearSolver):
         """One multigrid cycle starting with x=0 at level lvl; returns x."""
         A = mats[lvl]
         if lvl == len(levels):
-            return gauss_solve(denses[-1], b)
+            return denses[-1] @ b
         x = self._smooth(A, jnp.zeros_like(b), b, self.nu_pre * self.smoother_sweeps)
         r = b - A.mv(x)
         rc = levels[lvl].restrict(r)
@@ -235,7 +241,8 @@ class AMG(LinearSolver):
         for lev in levels:
             mats.append(lev.galerkin(mats[-1]))
         dense = _dense_from_ell(mats[-1], mats[-1].diag.shape[0])
-        return levels, mats, [dense]
+        # factor once per solve; every cycle's coarse solve is then a matmul
+        return levels, mats, [dense_inverse(dense)]
 
     # -- public -------------------------------------------------------------
 

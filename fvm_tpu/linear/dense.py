@@ -51,3 +51,17 @@ def gauss_solve(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
     x = jax.lax.fori_loop(0, n, back, jnp.zeros((n, m), Ab.dtype))
     return x[:, 0] if squeeze else x
+
+
+def dense_inverse(A: jnp.ndarray) -> jnp.ndarray:
+    """Matrix inverse that works on every backend/dtype combination.
+
+    XLA's LU lowering on TPU is f32-only, so f64-on-TPU falls back to
+    Gauss-Jordan elimination (gauss_solve against the identity).  Used by
+    AMG to factor the coarsest level once per solve so every cycle's coarse
+    solve is a single (MXU) matmul instead of a sequential elimination.
+    """
+    n = A.shape[0]
+    if A.dtype == jnp.float64 and jax.default_backend() == "tpu":
+        return gauss_solve(A, jnp.eye(n, dtype=A.dtype))
+    return jnp.linalg.inv(A)

@@ -69,6 +69,8 @@ class DeviceMesh:
     axis_name: str | None = struct.field(pytree_node=False, default=None)
     n_owned_cells_: int | None = struct.field(pytree_node=False, default=None)
     n_shards: int | None = struct.field(pytree_node=False, default=None)
+    # DIA SpMV fast-path metadata (ops.dia.DIAInfo), single-device only
+    dia: object = struct.field(pytree_node=False, default=None)
 
     # ---------------------------------------------------------------------
 
@@ -167,6 +169,12 @@ def assemble_device_mesh(
     cf_nbr = np.where(cf_is_owner, nbr[cf_face], owner[cf_face])
     cf_nbr = np.where(cf_mask, cf_nbr, np.arange(n_cells)[:, None])
 
+    dia = None
+    if axis_name is None and not as_numpy:
+        from ..ops.dia import DIAInfo
+
+        dia = DIAInfo.build(cf_nbr, cf_mask)
+
     ds = cell_centroid[nbr] - cell_centroid[owner]
     dsmag = np.linalg.norm(ds, axis=1)
     a_dot_ds = np.einsum("fd,fd->f", face_area, ds)
@@ -210,6 +218,7 @@ def assemble_device_mesh(
         axis_name=axis_name,
         n_owned_cells_=n_owned_cells,
         n_shards=n_shards,
+        dia=dia,
     )
 
 

@@ -1,0 +1,299 @@
+"""ElectricModel: electrostatics + charge transport.
+
+TPU-native counterpart of the reference's ElectricModel
+(reference: ElectricModel.h:19, ElectricModel_impl.h:49 — electrostatics
+:136-154 solves div(eps grad phi) = -rho with dielectric permittivity;
+charge transport :218+ adds drift/diffusion of trapped/free charge for MEMS
+dielectric charging, with tunneling/injection kernels,
+DriftDiscretization.h / ElecDiffusionDiscretization.h).
+
+This implementation covers:
+* electrostatics: potential solve with per-cell dielectric constant and
+  space-charge source; electric field E = -grad phi via least-squares
+  gradients;
+* charge transport (optional): drift (upwind on mobility * E . A face
+  flux) + diffusion of a free-charge density, one-way coupled to the
+  electrostatic field each outer iteration (the reference couples the same
+  way per timestep).
+
+Tunneling/injection/trap kernels are not yet ported.
+BC types: 'SpecifiedPotential', 'SpecifiedCharge' (surface charge density
+-> flux), 'Symmetry'.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..mesh.device import DeviceMesh
+from ..core.options import BoundaryCondition, ModelOptions
+from ..core import bcs as bck
+from ..ops import assembly, discretizations as disc
+from ..ops.halo import maybe_sync
+from ..ops.gradients import ls_gradient_coefficients, gradient
+from ..linear import AMG, BiCGStab, CG, JacobiSolver
+from ..exceptions import ConfigError
+from .base import Model, ResidualHistory
+
+EPS0 = 8.8542e-12
+
+
+class ElectricBC(BoundaryCondition):
+    _allowed_types = ("SpecifiedPotential", "SpecifiedCharge", "Symmetry")
+    _defaults = {
+        "specifiedPotential": 0.0,
+        "specifiedCharge": 0.0,
+        "specifiedChargeFlux": 0.0,
+    }
+
+
+class ElectricVC(BoundaryCondition):
+    _defaults = {
+        "dielectric_constant": 7.9,  # reference default (silicon nitride)
+        "initialCharge": 0.0,
+        "initialPotential": 0.0,
+        "mobility": 1e-10,
+        "diffusivity": 1e-12,
+    }
+
+
+class ElectricModelOptions(ModelOptions):
+    _defaults = {
+        "electrostatics_enable": True,
+        "chargetransport_enable": False,
+        "transient": False,
+        "timeStep": 1.0,
+        "nonOrthogonalCorrection": True,
+        "relativeTolerance": 1e-8,
+        "absoluteTolerance": 1e-16,
+        "verbose": True,
+    }
+
+
+class ElectricModel(Model):
+    name = "ElectricModel"
+
+    def __init__(self, mesh: DeviceMesh, partition=None):
+        super().__init__(mesh, partition)
+        self.vc = ElectricVC()
+
+    def _make_options(self):
+        return ElectricModelOptions()
+
+    def _make_bc(self):
+        return ElectricBC()
+
+    # ------------------------------------------------------------------
+
+    def init(self) -> None:
+        mesh = self.mesh
+        self.state = {
+            "potential": self._cell_field(self.vc, "initialPotential"),
+            "charge": self._cell_field(self.vc, "initialCharge"),
+        }
+        if self.options["transient"]:
+            self.state["charge_N1"] = self.state["charge"]
+
+        self.params = {
+            "eps": self._cell_field(self.vc, "dielectric_constant", extend_ghosts=True)
+            * EPS0,
+            "mobility": self._cell_field(self.vc, "mobility", extend_ghosts=True),
+            "diffusivity": self._cell_field(self.vc, "diffusivity", extend_ghosts=True),
+        }
+        if self.options["nonOrthogonalCorrection"]:
+            self.params["grad_coeff"] = (
+                jax.vmap(ls_gradient_coefficients)(mesh)
+                if self._dist
+                else ls_gradient_coefficients(mesh)
+            )
+
+        solver = self.options.get("electrostaticsLinearSolver")
+        if solver is None:
+            if self._dist:
+                solver = CG(
+                    preconditioner=JacobiSolver(sweeps=3),
+                    relative_tolerance=1e-10,
+                    max_iterations=500,
+                )
+            else:
+                solver = BiCGStab(
+                    preconditioner=AMG(), relative_tolerance=1e-10, max_iterations=50
+                )
+            self.options["electrostaticsLinearSolver"] = solver
+        csolver = self.options.get("chargeLinearSolver")
+        if csolver is None:
+            csolver = BiCGStab(
+                preconditioner=JacobiSolver(sweeps=3),
+                relative_tolerance=1e-8,
+                max_iterations=100,
+            )
+            self.options["chargeLinearSolver"] = csolver
+        for s in (solver, csolver):
+            pre = getattr(s, "preconditioner", None)
+            for ss in (s, pre):
+                if isinstance(ss, AMG) and not self._dist:
+                    ss.setup_structure(
+                        np.asarray(mesh.cf_nbr), np.asarray(mesh.cf_mask)
+                    )
+
+        if self._dist:
+            self.state = self.partition.device_put(self.state)
+            self.params = self.partition.device_put(self.params)
+        self._step = self._wrap_step(self._build_step())
+        self._initial_norm = None
+        self._initialized = True
+
+    # ------------------------------------------------------------------
+
+    def _linearize_potential(self, mesh, params, state, bcvals):
+        phi = maybe_sync(mesh, state["potential"])
+        rho = state["charge"]
+        eps_f = disc.harmonic_face_gamma(mesh, params["eps"])
+        gradp = None
+        if "grad_coeff" in params:
+            gradp = maybe_sync(mesh, gradient(mesh, params["grad_coeff"], phi))
+        flux = disc.diffusion_flux(mesh, phi, eps_f, gradp)
+
+        for g, bc in self._group_bcs():
+            sl = mesh.group_faces(g)
+            if bc.bc_type == "Symmetry":
+                flux = bck.set_flux_fixed(flux, sl, 0.0)
+            elif bc.bc_type == "SpecifiedCharge":
+                # surface charge density sigma -> D.n = sigma
+                sigma = bcvals[f"{g[1]}:specifiedCharge"]
+                flux = bck.set_flux_fixed(flux, sl, -sigma * mesh.face_area_mag[sl])
+
+        # space charge source: div(eps grad phi) = -rho  =>  r += rho*V
+        _, r_cell = disc.source_term(mesh, rho)
+        A, r = assembly.assemble(mesh, flux, r_cell=r_cell)
+
+        for g, bc in self._group_bcs():
+            gc = mesh.ghost_cells_of_group(g)
+            sl = mesh.group_faces(g)
+            valid = bcvals[f"{g[1]}:__valid"]
+            scale = eps_f[sl] * mesh.face_e_over_d[sl]
+            if bc.bc_type == "SpecifiedPotential":
+                A, r = bck.dirichlet_rows(
+                    mesh, A, r, gc, bcvals[f"{g[1]}:specifiedPotential"], phi,
+                    valid, scale,
+                )
+            else:
+                A, r = bck.extrapolation_rows(mesh, A, r, gc, phi, valid, scale)
+        A, r = assembly.identity_unowned_rows(mesh, A, r)
+        return A, r
+
+    def _linearize_charge(self, mesh, params, state, bcvals, E_field):
+        c = maybe_sync(mesh, state["charge"])
+        D_f = disc.harmonic_face_gamma(mesh, params["diffusivity"])
+        gradc = None
+        if "grad_coeff" in params:
+            gradc = maybe_sync(mesh, gradient(mesh, params["grad_coeff"], c))
+        flux = disc.diffusion_flux(mesh, c, D_f, gradc)
+        # drift: "mass flux" = mobility * E . A at faces
+        mob_f = disc.harmonic_face_gamma(mesh, params["mobility"])
+        E_f = assembly.cells_to_faces_distance_weighted(mesh, E_field)
+        drift = mob_f * jnp.einsum("fd,fd->f", E_f, mesh.face_area)
+        flux = flux + disc.convection_flux(mesh, c, drift, "upwind", gradc)
+
+        # charge flux at boundaries: zero unless explicitly specified
+        # (electrode absorption models to come with the injection/tunneling
+        # kernels)
+        for g, bc in self._group_bcs():
+            sl = mesh.group_faces(g)
+            if bc.bc_type == "SpecifiedCharge":
+                qf = bcvals[f"{g[1]}:specifiedChargeFlux"]
+                flux = bck.set_flux_fixed(flux, sl, -qf * mesh.face_area_mag[sl])
+            else:
+                flux = bck.set_flux_fixed(flux, sl, 0.0)
+
+        diag_cell = jnp.zeros(mesh.n_cells, c.dtype)
+        r_cell = jnp.zeros(mesh.n_cells, c.dtype)
+        if self.options["transient"]:
+            diag_cell, r_cell = disc.transient_term(
+                mesh, c, state["charge_N1"], self.options["timeStep"]
+            )
+        A, r = assembly.assemble(mesh, flux, r_cell=r_cell, diag_cell=diag_cell)
+        for g, bc in self._group_bcs():
+            gc = mesh.ghost_cells_of_group(g)
+            sl = mesh.group_faces(g)
+            valid = bcvals[f"{g[1]}:__valid"]
+            scale = D_f[sl] * mesh.face_e_over_d[sl]
+            A, r = bck.extrapolation_rows(mesh, A, r, gc, c, valid, scale)
+        A, r = assembly.identity_unowned_rows(mesh, A, r)
+        return A, r
+
+    def _build_step(self):
+        opts = self.options
+        psolver = opts["electrostaticsLinearSolver"]
+        csolver = opts["chargeLinearSolver"]
+
+        def step(mesh, params, state, bcvals):
+            aux = {}
+            if opts["electrostatics_enable"]:
+                A, r = self._linearize_potential(mesh, params, state, bcvals)
+                aux["rnorm"] = A.norm(r)
+                dx, _ = psolver.solve_fn(A, r, jnp.zeros_like(r))
+                state = dict(state, potential=state["potential"] + dx)
+            else:
+                aux["rnorm"] = jnp.asarray(0.0, state["potential"].dtype)
+            phi = maybe_sync(mesh, state["potential"])
+            if "grad_coeff" in params:
+                E = -gradient(mesh, params["grad_coeff"], phi)
+            else:
+                E = jnp.zeros((mesh.n_cells, mesh.dim), phi.dtype)
+            aux["E"] = E
+            if opts["chargetransport_enable"]:
+                Ac, rc = self._linearize_charge(
+                    mesh, params, state, bcvals, maybe_sync(mesh, E)
+                )
+                aux["charge_rnorm"] = Ac.norm(rc)
+                dc, _ = csolver.solve_fn(Ac, rc, jnp.zeros_like(rc))
+                state = dict(state, charge=state["charge"] + dc)
+            return state, aux
+
+        return step
+
+    # ------------------------------------------------------------------
+
+    def advance(self, niter: int = 1) -> ResidualHistory:
+        if not self._initialized:
+            raise ConfigError("call init() before advance()")
+        opts = self.options
+        hist = ResidualHistory()
+        bcvals = self._resolve_bcvals()
+        for it in range(niter):
+            self.state, aux = self._step(self.mesh, self.params, self.state, bcvals)
+            self._E = aux["E"]
+            rnorm = float(aux["rnorm"])
+            if self._initial_norm is None or self._initial_norm == 0.0:
+                self._initial_norm = rnorm
+            hist.append((it, rnorm))
+            if opts["verbose"]:
+                print(f"{self.name}: {it}: {rnorm:.6e}")
+            if rnorm < opts["absoluteTolerance"]:
+                break
+            if rnorm / max(self._initial_norm, 1e-300) < opts["relativeTolerance"]:
+                break
+        return hist
+
+    def updateTime(self):
+        if not self.options["transient"]:
+            raise ConfigError("ElectricModel: transient option is off")
+        self.state["charge_N1"] = self.state["charge"]
+
+    def getPotential(self) -> np.ndarray:
+        if self._dist:
+            return self.partition.gather_cells(self.state["potential"])
+        return np.asarray(self.state["potential"][: self.mesh.n_interior_cells])
+
+    def getElectricField(self) -> np.ndarray:
+        if self._dist:
+            return self.partition.gather_cells(self._E)
+        return np.asarray(self._E[: self.mesh.n_interior_cells])
+
+    def getCharge(self) -> np.ndarray:
+        if self._dist:
+            return self.partition.gather_cells(self.state["charge"])
+        return np.asarray(self.state["charge"][: self.mesh.n_interior_cells])

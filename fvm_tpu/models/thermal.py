@@ -201,12 +201,14 @@ class ThermalModel(Model):
             sl = mesh.group_faces(g)
             valid = bcvals[f"{g[1]}:__valid"]
             t = bc.bc_type
+            scale = gamma_f[sl] * mesh.face_e_over_d[sl]
             if t == "SpecifiedTemperature":
                 A, r = bck.dirichlet_rows(
-                    mesh, A, r, gc, bcvals[f"{g[1]}:specifiedTemperature"], T, valid
+                    mesh, A, r, gc, bcvals[f"{g[1]}:specifiedTemperature"], T,
+                    valid, scale,
                 )
             elif t in ("SpecifiedHeatFlux", "Symmetry"):
-                A, r = bck.extrapolation_rows(mesh, A, r, gc, T, valid)
+                A, r = bck.extrapolation_rows(mesh, A, r, gc, T, valid, scale)
             elif t in ("Convective", "Radiative", "Mixed"):
                 amag = mesh.face_area_mag[sl]
                 coeff = jnp.zeros_like(amag)

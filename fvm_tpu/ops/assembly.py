@@ -105,6 +105,7 @@ def assemble(mesh: DeviceMesh, flux: FaceFlux, r_cell=None, diag_cell=None):
         halo=mesh.halo,
         axis_name=mesh.axis_name,
         n_owned=mesh.n_owned_cells_ if mesh.n_owned_cells_ is not None else None,
+        dia=mesh.dia,
     )
     return A, r
 

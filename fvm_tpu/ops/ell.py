@@ -36,6 +36,8 @@ class ELLMatrix:
     halo: object = None  # ops.halo.HaloSpec | None
     axis_name: str | None = struct.field(pytree_node=False, default=None)
     n_owned: int | None = struct.field(pytree_node=False, default=None)
+    # DIA fast-path metadata (ops.dia.DIAInfo); static, compared by identity
+    dia: object = struct.field(pytree_node=False, default=None)
 
     @property
     def n(self) -> int:
@@ -69,6 +71,14 @@ class ELLMatrix:
     def mv(self, x: jnp.ndarray) -> jnp.ndarray:
         """Sparse matrix-vector product; x is (n,) or (n, m)."""
         x = self.sync(x)
+        if self.dia is not None:
+            from .dia import dia_mv
+
+            y = dia_mv(self.dia, self.diag, self.off, self.mask, x)
+            if self.n_owned is not None and self.n_owned < self.n:
+                owned = jnp.arange(self.n) < self.n_owned
+                y = jnp.where(owned if y.ndim == 1 else owned[:, None], y, 0.0)
+            return y
         squeeze = x.ndim == 1
         if squeeze:
             x = x[:, None]

@@ -16,11 +16,15 @@ same by including boundary cells in cellCells).
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 
 from ..mesh.device import DeviceMesh
 
 
+@functools.partial(jax.jit, static_argnames=())
 def ls_gradient_coefficients(mesh: DeviceMesh) -> jnp.ndarray:
     """Precompute least-squares gradient coefficients, (nc, K, dim).
 

@@ -115,3 +115,27 @@ def test_multi_rhs(sys16):
     assert x.shape == B.shape
     r = np.asarray(B - A.mv(x))
     assert np.abs(r).max() < 1e-8
+
+
+def test_dia_matches_gather_path():
+    """DIA fast-path SpMV must agree exactly with the gather path."""
+    import fvm_tpu as fvm
+    from fvm_tpu.mesh.generate import quad_2d, tri_2d
+    from fvm_tpu.ops import FaceFlux, assemble
+
+    for mesh in (quad_2d(13, 7), tri_2d(6, 5)):
+        dm = fvm.mesh.build_device_mesh(mesh)
+        g = dm.face_e_over_d
+        flux = FaceFlux(F=jnp.zeros(dm.n_faces), dF_dO=g, dF_dN=-g)
+        A, _ = assemble(dm, flux)
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.standard_normal(dm.n_cells))
+        X = jnp.asarray(rng.standard_normal((dm.n_cells, 3)))
+        Ag = A.replace(dia=None)
+        if A.dia is not None:
+            np.testing.assert_allclose(
+                np.asarray(A.mv(x)), np.asarray(Ag.mv(x)), rtol=1e-12, atol=1e-12
+            )
+            np.testing.assert_allclose(
+                np.asarray(A.mv(X)), np.asarray(Ag.mv(X)), rtol=1e-12, atol=1e-12
+            )
