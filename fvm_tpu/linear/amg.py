@@ -253,6 +253,20 @@ class AMG(LinearSolver):
 
         return M
 
+    def precond_setup(self, A: ELLMatrix):
+        """Build the hierarchy ONCE for this matrix; returns r -> z.
+
+        Krylov solvers call this before their iteration loop so the
+        Galerkin products and coarse factorization are hoisted out of the
+        while_loop (the reference similarly separates createCoarseLevels
+        from cycle(), AMG.cpp)."""
+        levels, mats, denses = self._build_hierarchy(A)
+
+        def M(r: jnp.ndarray) -> jnp.ndarray:
+            return self._cycle(levels, mats, denses, 0, r)
+
+        return M
+
     def solve_fn(self, A: ELLMatrix, b: jnp.ndarray, x0: jnp.ndarray):
         levels, mats, denses = self._build_hierarchy(A)
         rtol, atol, maxit = (

@@ -29,6 +29,51 @@ def norm(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.sqrt(jnp.sum(x * x))
 
 
+class MatrixFreeOperator:
+    """Exact-Jacobian operator via jax.jvp, with a surrogate matrix for
+    preconditioning and reductions.
+
+    The TPU/JAX-native replacement for hand-linearized Jacobians: models
+    define a residual function R(x) and get A v = -dR/dx . v exactly from
+    forward-mode AD (the role the reference's Tangent atype plays for
+    sensitivities, atypes/tangent_double).  ``surrogate`` is an assembled
+    ELL/BlockELL approximation used for diag_solve/preconditioning and for
+    distribution-aware dot/norm.
+    """
+
+    def __init__(self, mv_fn, surrogate):
+        self._mv = mv_fn
+        self.surrogate = surrogate
+
+    def mv(self, x):
+        return self._mv(x)
+
+    def dot(self, a, b):
+        return self.surrogate.dot(a, b)
+
+    def norm(self, x):
+        return self.surrogate.norm(x)
+
+    def psum(self, v):
+        return self.surrogate.psum(v)
+
+    def diag_solve(self, r):
+        return self.surrogate.diag_solve(r)
+
+    def jacobi_step(self, x, b, omega=1.0):
+        return x + omega * self.diag_solve(b - self.mv(x))
+
+
+def newton_operator(residual_fn, x):
+    """A v = -dR/dx|_x . v via one jvp (linearized once at x)."""
+    import jax
+
+    def mv(v):
+        return -jax.jvp(residual_fn, (x,), (v,))[1]
+
+    return mv
+
+
 class LinearSolver:
     """Base options holder (reference: LinearSolver.h:22-35)."""
 

@@ -21,8 +21,15 @@ def _identity_precond(A: ELLMatrix, r: jnp.ndarray) -> jnp.ndarray:
     return r
 
 
-def _dot(a, b):
-    return jnp.sum(a * b)
+def _setup_precond(precond, A):
+    """Resolve a preconditioner to an r -> z function with setup hoisted
+    out of the Krylov iteration loop."""
+    if precond is None:
+        return lambda r: r
+    if hasattr(precond, "precond_setup"):
+        return precond.precond_setup(A)
+    M = precond.precond_fn()
+    return lambda r: M(A, r)
 
 
 class CG(LinearSolver):
@@ -32,19 +39,14 @@ class CG(LinearSolver):
         super().__init__(**kw)
         self.preconditioner = preconditioner
 
-    def precond_fn(self):
-        if self.preconditioner is None:
-            return _identity_precond
-        return self.preconditioner.precond_fn()
-
     def solve_fn(self, A: ELLMatrix, b: jnp.ndarray, x0: jnp.ndarray):
-        M = self.precond_fn()
+        M = _setup_precond(self.preconditioner, A)
         rtol = self.relativeTolerance
         atol = self.absoluteTolerance
         maxit = self.nMaxIterations
 
         r0 = b - A.mv(x0)
-        z0 = M(A, r0)
+        z0 = M(r0)
         rnorm0 = A.norm(r0)
         target = jnp.maximum(rtol * rnorm0, atol)
 
@@ -58,7 +60,7 @@ class CG(LinearSolver):
             alpha = rz / A.dot(p, Ap)
             x = x + alpha * p
             r = r - alpha * Ap
-            z = M(A, r)
+            z = M(r)
             rz_new = A.dot(r, z)
             beta = rz_new / rz
             p = z + beta * p
@@ -77,13 +79,8 @@ class BiCGStab(LinearSolver):
         super().__init__(**kw)
         self.preconditioner = preconditioner
 
-    def precond_fn(self):
-        if self.preconditioner is None:
-            return _identity_precond
-        return self.preconditioner.precond_fn()
-
     def solve_fn(self, A: ELLMatrix, b: jnp.ndarray, x0: jnp.ndarray):
-        M = self.precond_fn()
+        M = _setup_precond(self.preconditioner, A)
         rtol, atol, maxit = (
             self.relativeTolerance,
             self.absoluteTolerance,
@@ -107,12 +104,12 @@ class BiCGStab(LinearSolver):
                 alpha / jnp.where(jnp.abs(omega) > tiny, omega, tiny)
             )
             p = r + beta * (p - omega * v)
-            phat = M(A, p)
+            phat = M(p)
             v = A.mv(phat)
             denom = A.dot(rhat, v)
             alpha = rho_new / jnp.where(jnp.abs(denom) > tiny, denom, tiny)
             s = r - alpha * v
-            shat = M(A, s)
+            shat = M(s)
             t = A.mv(shat)
             tt = A.dot(t, t)
             omega = A.dot(t, s) / jnp.where(tt > tiny, tt, tiny)
@@ -146,15 +143,13 @@ class JacobiSolver(LinearSolver):
         self.omega = omega
         self.sweeps = sweeps
 
-    def precond_fn(self):
+    def precond_setup(self, A):
         omega, sweeps = self.omega, self.sweeps
 
-        def M(A: ELLMatrix, r: jnp.ndarray) -> jnp.ndarray:
-            z = r / (A.diag if r.ndim == 1 else A.diag[:, None])
+        def M(r: jnp.ndarray) -> jnp.ndarray:
+            z = A.diag_solve(r)
             for _ in range(sweeps - 1):
-                z = z + omega * (
-                    (r - A.mv(z)) / (A.diag if r.ndim == 1 else A.diag[:, None])
-                )
+                z = z + omega * A.diag_solve(r - A.mv(z))
             return z
 
         return M

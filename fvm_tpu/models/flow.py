@@ -209,8 +209,9 @@ class FlowModel(Model):
                 amag = jnp.maximum(mesh.face_area_mag[sl], 1e-300)
                 nhat = mesh.face_area[sl] / amag[:, None]
                 Vo = V[owners]
+                # ghost is AT the face: slip wall = tangential projection
                 V = V.at[gc].set(
-                    Vo - 2.0 * jnp.sum(Vo * nhat, axis=1, keepdims=True) * nhat
+                    Vo - jnp.sum(Vo * nhat, axis=1, keepdims=True) * nhat
                 )
             elif t == "PressureBoundary":
                 p = p.at[gc].set(bcvals[f"{g[1]}:specifiedPressure"])

@@ -1,0 +1,364 @@
+"""StructureModel: linear-elastic solid mechanics (small strain).
+
+TPU-native counterpart of the reference's StructureModel
+(reference: StructureModel.h:19, StructureModel_impl.h — displacement-based
+FVM elasticity with StructureSourceDiscretization.h providing the stress
+divergence; creep/plasticity at :553-568,713 are not yet ported).
+
+Formulation (segregated displacement, standard FVM solid mechanics):
+    div sigma = b,   sigma = mu (grad w + grad w^T) + lambda tr(grad w) I
+Face traction flux is split into an implicit two-point part with
+coefficient (2 mu + lambda) e_over_d per displacement component and an
+explicit deferred correction from the full face-interpolated stress tensor,
+iterated to convergence in the outer loop (the reference structures its
+linearization the same way: implicit diffusion + explicit
+StructureSourceDiscretization cross terms).
+
+BC types: 'SpecifiedDeformation' (Dirichlet vector),
+'SpecifiedTraction' (traction vector per unit area), 'SpecifiedForce'
+(total force over the group), 'Symmetry', 'ZeroTraction' (free surface).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..mesh.device import DeviceMesh
+from ..core.options import BoundaryCondition, ModelOptions
+from ..core import bcs as bck
+from ..ops import assembly, discretizations as disc
+from ..ops.assembly import FaceFlux
+from ..ops.bell import (
+    assemble_block,
+    dirichlet_rows_block,
+    transform_rows_block,
+)
+from ..ops.halo import maybe_sync
+from ..ops.gradients import ls_gradient_coefficients, gradient
+from ..linear import AMG, BiCGStab, CG, JacobiSolver
+from ..linear.base import MatrixFreeOperator, newton_operator
+from ..exceptions import ConfigError
+from .base import Model, ResidualHistory
+
+
+class StructureBC(BoundaryCondition):
+    _allowed_types = (
+        "SpecifiedDeformation",
+        "SpecifiedTraction",
+        "SpecifiedForce",
+        "Symmetry",
+        "ZeroTraction",
+    )
+    _defaults = {
+        "specifiedXDeformation": 0.0,
+        "specifiedYDeformation": 0.0,
+        "specifiedZDeformation": 0.0,
+        "specifiedXTraction": 0.0,
+        "specifiedYTraction": 0.0,
+        "specifiedZTraction": 0.0,
+        "specifiedXForce": 0.0,
+        "specifiedYForce": 0.0,
+        "specifiedZForce": 0.0,
+    }
+
+
+class StructureVC(BoundaryCondition):
+    _defaults = {
+        "youngsModulus": 1e9,
+        "poissonsRatio": 0.3,
+        "density": 1000.0,
+        "bodyForceX": 0.0,
+        "bodyForceY": 0.0,
+        "bodyForceZ": 0.0,
+    }
+
+
+class StructureModelOptions(ModelOptions):
+    _defaults = {
+        "transient": False,
+        "timeStep": 1e-3,
+        "nonOrthogonalCorrection": True,
+        "relativeTolerance": 1e-8,
+        "absoluteTolerance": 1e-30,
+        "urf": 1.0,
+        "verbose": True,
+    }
+
+
+class StructureModel(Model):
+    name = "StructureModel"
+
+    def __init__(self, mesh: DeviceMesh, partition=None):
+        super().__init__(mesh, partition)
+        self.vc = StructureVC()
+
+    def _make_options(self):
+        return StructureModelOptions()
+
+    def _make_bc(self):
+        return StructureBC()
+
+    # ------------------------------------------------------------------
+
+    def init(self) -> None:
+        mesh = self.mesh
+        dim = mesh.dim
+        self.state = {
+            "deformation": self._full_cells(0.0, trailing=(dim,)),
+        }
+        if self.options["transient"]:
+            self.state["deformation_N1"] = self.state["deformation"]
+            self.state["deformation_N2"] = self.state["deformation"]
+
+        E = self._cell_field(self.vc, "youngsModulus", extend_ghosts=True)
+        nu = self._cell_field(self.vc, "poissonsRatio", extend_ghosts=True)
+        mu = E / (2.0 * (1.0 + nu))
+        lam = E * nu / ((1.0 + nu) * (1.0 - 2.0 * nu))
+        body_keys = ("bodyForceX", "bodyForceY", "bodyForceZ")[:dim]
+        self.params = {
+            "mu": mu,
+            "lam": lam,
+            "rho": self._cell_field(self.vc, "density"),
+            "body": jnp.stack(
+                [self._cell_field(self.vc, k) for k in body_keys], axis=-1
+            ),
+            "grad_coeff": (
+                jax.vmap(ls_gradient_coefficients)(mesh)
+                if self._dist
+                else ls_gradient_coefficients(mesh)
+            ),
+        }
+
+        solver = self.options.get("linearSolver")
+        if solver is None:
+            solver = BiCGStab(
+                preconditioner=JacobiSolver(sweeps=3),
+                relative_tolerance=1e-6,
+                max_iterations=200,
+            )
+            self.options["linearSolver"] = solver
+
+        if self._dist:
+            self.state = self.partition.device_put(self.state)
+            self.params = self.partition.device_put(self.params)
+        self._step = self._wrap_step(self._build_step())
+        self._initial_norm = None
+        self._initialized = True
+
+    # ------------------------------------------------------------------
+
+    def _bc_vector(self, mesh, bcvals, g, stem):
+        dim = mesh.dim
+        comps = [f"specified{ax}{stem}" for ax in ("X", "Y", "Z")[:dim]]
+        return jnp.stack([bcvals[f"{g[1]}:{c}"] for c in comps], axis=1)
+
+    def _refresh_ghosts(self, mesh, state, bcvals):
+        w = bck.extend_to_ghosts(mesh, state["deformation"])
+        for g, bc in self._group_bcs():
+            gc = mesh.ghost_cells_of_group(g)
+            sl = mesh.group_faces(g)
+            t = bc.bc_type
+            if t == "SpecifiedDeformation":
+                w = w.at[gc].set(self._bc_vector(mesh, bcvals, g, "Deformation"))
+            elif t == "Symmetry":
+                owners = mesh.face_cell0[sl]
+                amag = jnp.maximum(mesh.face_area_mag[sl], 1e-300)
+                nhat = mesh.face_area[sl] / amag[:, None]
+                wo = w[owners]
+                # ghost is AT the face: project out the normal component
+                w = w.at[gc].set(
+                    wo - jnp.sum(wo * nhat, axis=1, keepdims=True) * nhat
+                )
+            # traction/force/free groups keep the zero-gradient copy
+        return dict(state, deformation=w)
+
+    def _stress_flux(self, mesh, params, w):
+        """Block-linearized traction flux.
+
+        Explicit flux: full face-interpolated stress  F = -sigma_f . A.
+        Implicit Jacobian: the two-point gradient surrogate
+        G ~ (w_N - w_O) (x) ds/|ds|^2 gives per-face BxB blocks
+          B_im = [mu((d.A) delta_im + d_i A_m) + lam A_i d_m] / |d|^2
+        which couples the displacement components implicitly (the scalar
+        deferred-correction split converges an order of magnitude slower).
+        """
+        dim = mesh.dim
+        mu, lam = params["mu"], params["lam"]
+        mu_f = disc.harmonic_face_gamma(mesh, mu)
+        lam_f = disc.harmonic_face_gamma(mesh, lam)
+        gradw = gradient(mesh, params["grad_coeff"], w)  # (nc, comp, dir)
+        # ghost-cell LS stencils are rank-deficient; use owner gradients there
+        gradw = bck.extend_to_ghosts(mesh, gradw)
+        gradw = maybe_sync(mesh, gradw)
+        Gf = assembly.cells_to_faces_distance_weighted(mesh, gradw)
+        # corrected face gradient: replace the ds-direction component with
+        # the two-point difference (standard compact correction; couples the
+        # ghost/wall values so BCs constrain the stress implicitly)
+        d = mesh.face_ds
+        d2m = jnp.maximum(jnp.sum(d * d, axis=1), 1e-300)
+        dw_f = w[mesh.face_cell1] - w[mesh.face_cell0]  # (nf, B)
+        defect = dw_f - jnp.einsum("fij,fj->fi", Gf, d)
+        Gf = Gf + defect[:, :, None] * (d / d2m[:, None])[:, None, :]
+        tr = jnp.trace(Gf, axis1=1, axis2=2)
+        eye = jnp.eye(dim, dtype=w.dtype)
+        sigma = (
+            mu_f[:, None, None] * (Gf + jnp.swapaxes(Gf, 1, 2))
+            + lam_f[:, None, None] * tr[:, None, None] * eye
+        )
+        t_A = jnp.einsum("fij,fj->fi", sigma, mesh.face_area)
+        F = -t_A
+
+        d = mesh.face_ds
+        Av = mesh.face_area
+        d2 = jnp.maximum(jnp.sum(d * d, axis=1), 1e-300)
+        dA = jnp.sum(d * Av, axis=1)
+        Bblk = (
+            mu_f[:, None, None] * (dA[:, None, None] * eye)
+            + mu_f[:, None, None] * d[:, :, None] * Av[:, None, :]
+            + lam_f[:, None, None] * Av[:, :, None] * d[:, None, :]
+        ) / d2[:, None, None]
+        gamma_f = disc.harmonic_face_gamma(mesh, 2.0 * mu + lam)
+        return F, Bblk, -Bblk, gamma_f, gradw
+
+    def _system(self, mesh, params, state, bcvals, w):
+        """Pure residual/surrogate assembly as a function of ALL unknowns
+        (interior + ghost cells).  Differentiable: the Newton operator is
+        its exact jvp."""
+        opts = self.options
+        dim = mesh.dim
+        F, dO, dN, gamma_f, gradw = self._stress_flux(mesh, params, w)
+
+        for g, bc in self._group_bcs():
+            sl = mesh.group_faces(g)
+            t = bc.bc_type
+            if t in ("SpecifiedTraction", "ZeroTraction", "SpecifiedForce"):
+                if t == "SpecifiedTraction":
+                    tv = self._bc_vector(mesh, bcvals, g, "Traction")
+                    Fb = -tv * mesh.face_area_mag[sl][:, None]
+                elif t == "SpecifiedForce":
+                    fv = self._bc_vector(mesh, bcvals, g, "Force")
+                    total = jnp.maximum(jnp.sum(mesh.face_area_mag[sl]), 1e-300)
+                    Fb = -fv * (mesh.face_area_mag[sl] / total)[:, None]
+                else:
+                    Fb = jnp.zeros((g[4], dim), w.dtype)
+                F = F.at[sl].set(Fb)
+                dO = dO.at[sl].set(0.0)
+                dN = dN.at[sl].set(0.0)
+
+        r_cell = params["body"] * mesh.cell_volume[:, None]
+        diag_cell = jnp.zeros((mesh.n_cells, dim, dim), w.dtype)
+        if opts["transient"]:
+            dt = opts["timeStep"]
+            coeff = params["rho"] * mesh.cell_volume / (dt * dt)
+            accel = w - 2.0 * state["deformation_N1"] + state["deformation_N2"]
+            eye = jnp.eye(dim, dtype=w.dtype)
+            diag_cell = diag_cell + coeff[:, None, None] * eye
+            r_cell = r_cell - coeff[:, None] * accel
+
+        A, r = assemble_block(mesh, F, dO, dN, r_cell=r_cell, diag_cell=diag_cell)
+
+        eyeF = jnp.eye(dim, dtype=w.dtype)
+        for g, bc in self._group_bcs():
+            gc = mesh.ghost_cells_of_group(g)
+            sl = mesh.group_faces(g)
+            valid = bcvals[f"{g[1]}:__valid"]
+            scale = gamma_f[sl] * mesh.face_e_over_d[sl]
+            t = bc.bc_type
+            if t == "SpecifiedDeformation":
+                val = self._bc_vector(mesh, bcvals, g, "Deformation")
+                A, r = dirichlet_rows_block(mesh, A, r, gc, val, w, valid, scale)
+            elif t == "Symmetry":
+                # ghost sits AT the face: zero normal component, tangential
+                # extrapolation -> w_g = (I - n n^T) w_O
+                amag = jnp.maximum(mesh.face_area_mag[sl], 1e-300)
+                nhat = mesh.face_area[sl] / amag[:, None]
+                T = eyeF - nhat[:, :, None] * nhat[:, None, :]
+                A, r = transform_rows_block(mesh, A, r, gc, T, w, valid, scale)
+            else:
+                # traction-type: gradient extrapolation w_g = w_O + G_O . d
+                T = jnp.broadcast_to(eyeF, (g[4], dim, dim))
+                own = mesh.face_cell0[sl]
+                extra = jnp.einsum(
+                    "fij,fj->fi", gradw[own], mesh.face_ds[sl]
+                )
+                A, r = transform_rows_block(
+                    mesh, A, r, gc, T, w, valid, scale, extra
+                )
+
+        if mesh.n_owned_cells_ is not None and mesh.n_owned_cells < mesh.n_cells:
+            hs = slice(mesh.n_owned_cells, mesh.n_cells)
+            A = A.replace(diag=A.diag.at[hs].set(eyeF), off=A.off.at[hs].set(0.0))
+            r = r.at[hs].set(0.0)
+        return A, r
+
+    def _build_step(self):
+        opts = self.options
+        solver = opts["linearSolver"]
+        urf = float(opts["urf"])
+
+        def step(mesh, params, state, bcvals):
+            state = dict(
+                state, deformation=maybe_sync(mesh, state["deformation"])
+            )
+            w = state["deformation"]
+            A, r = self._system(mesh, params, state, bcvals, w)
+            rnorm = A.norm(r)
+
+            # Jacobian-free Newton-Krylov: exact Jacobian action by AD,
+            # block surrogate as preconditioner
+            Rfn = lambda ww: self._system(mesh, params, state, bcvals, ww)[1]
+            op = MatrixFreeOperator(newton_operator(Rfn, w), A)
+            dw, _ = solver.solve_fn(op, r, jnp.zeros_like(r))
+            state = dict(state, deformation=w + urf * dw)
+            return state, {"rnorm": rnorm}
+
+        return step
+
+    # ------------------------------------------------------------------
+
+    def advance(self, niter: int = 1) -> ResidualHistory:
+        if not self._initialized:
+            raise ConfigError("call init() before advance()")
+        opts = self.options
+        hist = ResidualHistory()
+        bcvals = self._resolve_bcvals()
+        for it in range(niter):
+            self.state, aux = self._step(self.mesh, self.params, self.state, bcvals)
+            rnorm = float(aux["rnorm"])
+            if self._initial_norm is None or self._initial_norm == 0.0:
+                self._initial_norm = rnorm
+            hist.append((it, rnorm))
+            if opts["verbose"]:
+                print(f"{self.name}: {it}: {rnorm:.6e}")
+            if rnorm < opts["absoluteTolerance"]:
+                break
+            if rnorm / max(self._initial_norm, 1e-300) < opts["relativeTolerance"]:
+                break
+        return hist
+
+    def updateTime(self):
+        if not self.options["transient"]:
+            raise ConfigError("StructureModel: transient option is off")
+        self.state["deformation_N2"] = self.state["deformation_N1"]
+        self.state["deformation_N1"] = self.state["deformation"]
+
+    def getDeformation(self) -> np.ndarray:
+        if self._dist:
+            return self.partition.gather_cells(self.state["deformation"])
+        return np.asarray(self.state["deformation"][: self.mesh.n_interior_cells])
+
+    def getStress(self) -> np.ndarray:
+        """Cell stress tensors (n_interior, dim, dim)."""
+        mesh = self.mesh
+        w = self.state["deformation"]
+        G = gradient(mesh, self.params["grad_coeff"], w)
+        mu, lam = self.params["mu"], self.params["lam"]
+        tr = jnp.trace(G, axis1=1, axis2=2)
+        eye = jnp.eye(mesh.dim, dtype=w.dtype)
+        sigma = (
+            mu[:, None, None] * (G + jnp.swapaxes(G, 1, 2))
+            + lam[:, None, None] * tr[:, None, None] * eye
+        )
+        return np.asarray(sigma[: mesh.n_interior_cells])

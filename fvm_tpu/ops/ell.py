@@ -93,11 +93,12 @@ class ELLMatrix:
     def residual(self, x: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         return b - self.mv(x)
 
+    def diag_solve(self, r: jnp.ndarray) -> jnp.ndarray:
+        return r / (self.diag if r.ndim == 1 else self.diag[:, None])
+
     def jacobi_step(self, x, b, omega=1.0):
         """Damped Jacobi: x + omega * D^-1 (b - A x)."""
-        r = self.residual(x, b)
-        d = self.diag if x.ndim == 1 else self.diag[:, None]
-        return x + omega * r / d
+        return x + omega * self.diag_solve(self.residual(x, b))
 
     def colored_gs_step(self, x, b, color_masks, forward=True):
         """Multicolor Gauss-Seidel sweep.

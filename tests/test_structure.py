@@ -1,0 +1,92 @@
+"""StructureModel tests: patch tests with exact uniform-stress solutions.
+
+Mirrors the reference's STRUCTURAL / CANT-{S,T}ORDER suites
+(reference: src/fvm/test/STRUCTURAL) with closed-form checks.
+"""
+
+import numpy as np
+import pytest
+
+import fvm_tpu as fvm
+from fvm_tpu.mesh.generate import quad_2d
+from fvm_tpu.models.structure import StructureModel
+
+
+def test_uniaxial_patch_nu0():
+    """nu = 0: pull right edge with traction sigma; u_x = sigma x / E exact."""
+    E, sigma = 100.0, 5.0
+    dm = fvm.mesh.build_device_mesh(quad_2d(10, 4))
+    m = StructureModel(dm)
+    m.options["verbose"] = False
+    m.vc["youngsModulus"] = E
+    m.vc["poissonsRatio"] = 0.0
+    m.bc["left"].bc_type = "Symmetry"  # u_x = 0 plane
+    m.bc["right"].bc_type = "SpecifiedTraction"
+    m.bc["right"]["specifiedXTraction"] = sigma
+    m.bc["bottom"].bc_type = "Symmetry"
+    m.bc["top"].bc_type = "ZeroTraction"
+    m.init()
+    hist = m.advance(10)
+    assert hist[-1][1] / hist[0][1] < 1e-8
+    w = m.getDeformation()
+    x = np.asarray(dm.cell_centroid)[: dm.n_interior_cells, 0]
+    np.testing.assert_allclose(w[:, 0], sigma / E * x, rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(w[:, 1], 0.0, atol=1e-7)
+    s = m.getStress()
+    np.testing.assert_allclose(s[:, 0, 0], sigma, rtol=1e-4)
+
+
+def test_uniaxial_patch_plane_strain():
+    """nu = 0.3 plane strain: eps_xx = (1-nu^2)/E sigma, eps_yy = -nu(1+nu)/E sigma."""
+    E, nu, sigma = 200.0, 0.3, 4.0
+    dm = fvm.mesh.build_device_mesh(quad_2d(8, 8))
+    m = StructureModel(dm)
+    m.options["verbose"] = False
+    m.vc["youngsModulus"] = E
+    m.vc["poissonsRatio"] = nu
+    m.bc["left"].bc_type = "Symmetry"
+    m.bc["right"].bc_type = "SpecifiedTraction"
+    m.bc["right"]["specifiedXTraction"] = sigma
+    m.bc["bottom"].bc_type = "Symmetry"
+    m.bc["top"].bc_type = "ZeroTraction"
+    m.init()
+    hist = m.advance(10)
+    assert hist[-1][1] / hist[0][1] < 1e-8
+    w = m.getDeformation()
+    x = np.asarray(dm.cell_centroid)[: dm.n_interior_cells, 0]
+    y = np.asarray(dm.cell_centroid)[: dm.n_interior_cells, 1]
+    eps_xx = (1 - nu**2) / E * sigma
+    eps_yy = -nu * (1 + nu) / E * sigma
+    np.testing.assert_allclose(w[:, 0], eps_xx * x, rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(w[:, 1], eps_yy * y, rtol=1e-6, atol=1e-9)
+
+
+def test_body_force_gravity():
+    """Column under gravity, fixed bottom: sigma_yy(y) = rho g (H - y)."""
+    E, rho, gmag, H = 1000.0, 10.0, 1.0, 1.0
+    dm = fvm.mesh.build_device_mesh(quad_2d(4, 16))
+    m = StructureModel(dm)
+    m.options["verbose"] = False
+    m.vc["youngsModulus"] = E
+    m.vc["poissonsRatio"] = 0.0
+    m.vc["bodyForceY"] = -rho * gmag
+    m.bc["bottom"].bc_type = "Symmetry"  # u_y = 0
+    m.bc["top"].bc_type = "ZeroTraction"
+    m.bc["left"].bc_type = "Symmetry"
+    m.bc["right"].bc_type = "Symmetry"
+    m.init()
+    hist = m.advance(10)
+    assert hist[-1][1] / hist[0][1] < 1e-8  # Newton: machine zero in ~3
+    y = np.asarray(dm.cell_centroid)[: dm.n_interior_cells, 1]
+    # displacement: u_y = -(rho g/E)(H y - y^2/2); quadratic -> O(h^2)
+    w = m.getDeformation()
+    uy = -(rho * gmag / E) * (H * y - y * y / 2)
+    np.testing.assert_allclose(w[:, 1], uy, rtol=2e-3, atol=6e-6)
+    # stress linear in y; LS-gradient postprocessing is O(h) at the free
+    # surface, so check away from the top row
+    s = m.getStress()
+    dy = H / 16
+    sel = y < H - 1.5 * dy
+    np.testing.assert_allclose(
+        s[sel, 1, 1], -rho * gmag * (H - y[sel]), rtol=5e-3, atol=5e-3
+    )
