@@ -1,0 +1,257 @@
+"""Phonon Boltzmann transport (gray, relaxation-time approximation).
+
+TPU-native counterpart of the reference's phononbase module
+(reference: phononbase/PhononModel.h:32 — ``advance`` :530 sweeps the BTE
+per direction/mode, ``updateTL`` :302 recovers the lattice temperature;
+k-space machinery in Kspace.h/pmode.h; the non-gray dispersion and COMET
+coarsening are not yet ported — this is the gray limit, one band).
+
+Equation per direction d (group velocity vg, relaxation time tau):
+    d e''/dt + vg s_d . grad e'' = (e0 - e'') / tau
+with the isotropic equilibrium e0 = sum_d w_d e''_d / (4 pi) fixing the
+lattice temperature via  e0 = C (T - T_ref) / (4 pi).
+
+The directional energy density is one (n_cells, D) array over an S_N
+discrete-ordinate set; the implicit advection+relaxation solve is the same
+batched matrix-free operator as the ES-BGK solver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..mesh.device import DeviceMesh
+from ..core.options import BoundaryCondition, ModelOptions
+from ..core import bcs as bck
+from ..exceptions import ConfigError
+from ..models.base import Model, ResidualHistory
+from .esbgk import _KineticOperator
+
+
+def sn_directions(n_polar: int = 4, n_azimuthal: int = 8):
+    """Discrete-ordinate direction set: Gauss-Legendre in cos(theta) x
+    uniform azimuth.  Returns (s (D,3), w (D,)) with sum w = 4 pi."""
+    mu, wmu = np.polynomial.legendre.leggauss(n_polar)
+    phi = (np.arange(n_azimuthal) + 0.5) * 2 * np.pi / n_azimuthal
+    wphi = 2 * np.pi / n_azimuthal
+    M, P = np.meshgrid(mu, phi, indexing="ij")
+    WM, _ = np.meshgrid(wmu, phi, indexing="ij")
+    st = np.sqrt(1 - M**2)
+    s = np.stack([st * np.cos(P), st * np.sin(P), M], axis=-1).reshape(-1, 3)
+    w = (WM * wphi).reshape(-1)
+    return s, w
+
+
+class PhononBC(BoundaryCondition):
+    _allowed_types = ("Isothermal", "Symmetry", "Adiabatic")
+    _defaults = {
+        "specifiedTemperature": 300.0,
+    }
+
+
+class PhononVC(BoundaryCondition):
+    _defaults = {
+        "initialTemperature": 300.0,
+        "referenceTemperature": 300.0,
+        "specificHeat": 1.0,  # C, volumetric
+        "groupVelocity": 1.0,  # vg
+        "relaxationTime": 0.1,  # tau
+    }
+
+
+class PhononModelOptions(ModelOptions):
+    _defaults = {
+        "transient": False,
+        "timeStep": 0.05,
+        "relativeTolerance": 1e-7,
+        "absoluteTolerance": 1e-14,
+        "innerIterations": 80,
+        "innerTolerance": 1e-8,
+        "verbose": True,
+    }
+
+
+class PhononModel(Model):
+    name = "PhononModel"
+
+    def __init__(self, mesh: DeviceMesh, n_polar=4, n_azimuthal=8, partition=None):
+        super().__init__(mesh, partition)
+        self.vc = PhononVC()
+        s, w = sn_directions(n_polar, n_azimuthal)
+        self.s = s  # (D, 3)
+        self.w = w  # (D,)
+        self.D = len(w)
+        if self._dist:
+            raise ConfigError("PhononModel: multi-device support pending")
+
+    def _make_options(self):
+        return PhononModelOptions()
+
+    def _make_bc(self):
+        return PhononBC()
+
+    # ------------------------------------------------------------------
+
+    def _e0_of_T(self, T):
+        C = float(self.vc["specificHeat"])
+        Tref = float(self.vc["referenceTemperature"])
+        return C * (T - Tref) / (4.0 * np.pi)
+
+    def temperature(self, e=None):
+        """Lattice temperature from the directional energies."""
+        if e is None:
+            e = self.state["e"]
+        C = float(self.vc["specificHeat"])
+        Tref = float(self.vc["referenceTemperature"])
+        w = jnp.asarray(self.w, e.dtype)
+        etot = jnp.einsum("cd,d->c", e, w)
+        return Tref + etot / C
+
+    def getTemperature(self) -> np.ndarray:
+        return np.asarray(self.temperature()[: self.mesh.n_interior_cells])
+
+    def heat_flux(self) -> np.ndarray:
+        """q = vg sum_d w_d s_d e''_d, (n_interior, 3)."""
+        e = self.state["e"]
+        vg = float(self.vc["groupVelocity"])
+        w = jnp.asarray(self.w, e.dtype)
+        s = jnp.asarray(self.s, e.dtype)
+        q = vg * jnp.einsum("cd,d,di->ci", e, w, s)
+        return np.asarray(q[: self.mesh.n_interior_cells])
+
+    # ------------------------------------------------------------------
+
+    def init(self) -> None:
+        mesh = self.mesh
+        dtype = mesh.cell_volume.dtype
+        T0 = self.vc.resolve("initialTemperature", mesh.n_cells, dtype)
+        e0 = self._e0_of_T(T0)
+        self.state = {"e": jnp.tile(e0[:, None], (1, self.D))}
+        if self.options["transient"]:
+            self.state["e_N1"] = self.state["e"]
+        self.params = {
+            "tau": self.vc.resolve("relaxationTime", mesh.n_cells, dtype),
+        }
+        vg = float(self.vc["groupVelocity"])
+        s = jnp.asarray(self.s, dtype)
+        mdot = vg * jnp.einsum("fd,nd->fn", mesh.face_area, s[:, : mesh.dim])
+        self._dO = jnp.maximum(mdot, 0.0)
+        self._dN = jnp.minimum(mdot, 0.0)
+        # mirror permutations for specular reflection
+        self._mirror = []
+        for axis in range(3):
+            s_m = self.s.copy()
+            s_m[:, axis] = -s_m[:, axis]
+            perm = np.array(
+                [
+                    int(np.argmin(((self.s - s_m[i]) ** 2).sum(axis=1)))
+                    for i in range(self.D)
+                ],
+                dtype=np.int32,
+            )
+            self._mirror.append(jnp.asarray(perm))
+        self._step = jax.jit(self._build_step())
+        self._initial_norm = None
+        self._initialized = True
+
+    def _refresh_ghosts(self, e, bcvals):
+        mesh = self.mesh
+        s3 = jnp.asarray(self.s, e.dtype)
+        e = bck.extend_to_ghosts(mesh, e)
+        for g, bc in self._group_bcs():
+            gc = mesh.ghost_cells_of_group(g)
+            sl = mesh.group_faces(g)
+            amag = jnp.maximum(mesh.face_area_mag[sl], 1e-300)
+            nhat = jnp.concatenate(
+                [
+                    mesh.face_area[sl] / amag[:, None],
+                    jnp.zeros((g[4], 3 - mesh.dim), e.dtype),
+                ],
+                axis=1,
+            )
+            sn = jnp.einsum("nd,fd->fn", s3, nhat)
+            incoming = sn < 0
+            eo = e[mesh.face_cell0[sl]]
+            t = bc.bc_type
+            if t == "Isothermal":
+                Tw = bcvals[f"{g[1]}:specifiedTemperature"]
+                ew = self._e0_of_T(Tw)[:, None]
+                e = e.at[gc].set(jnp.where(incoming, ew, eo))
+            elif t == "Adiabatic":
+                # diffuse reflection with zero net energy flux
+                w = jnp.asarray(self.w, e.dtype)
+                out_flux = jnp.sum(jnp.where(~incoming, eo * w * sn, 0.0), axis=1)
+                in_unit = jnp.sum(jnp.where(incoming, w * sn, 0.0), axis=1)
+                e_refl = out_flux / jnp.maximum(-in_unit, 1e-300)
+                e = e.at[gc].set(jnp.where(incoming, e_refl[:, None], eo))
+            else:  # Symmetry: specular
+                axis = int(
+                    np.argmax(np.abs(np.asarray(mesh.face_area)[sl.start]) + 1e-30)
+                )
+                perm = self._mirror[axis]
+                e = e.at[gc].set(eo[:, perm])
+        return e
+
+    def _build_step(self):
+        opts = self.options
+        mesh = self.mesh
+        inner_it = int(opts["innerIterations"])
+        inner_tol = float(opts["innerTolerance"])
+        w = jnp.asarray(self.w)
+
+        def step(state, params, bcvals):
+            e = state["e"]
+            e = self._refresh_ghosts(e, bcvals)
+            # equilibrium: isotropic average (energy-conserving)
+            e0 = jnp.einsum("cd,d->c", e, w)[:, None] / (4.0 * jnp.pi)
+            V = mesh.cell_volume[:, None]
+            tau = params["tau"][:, None]
+            diag_extra = V / tau
+            b = V / tau * e0
+            if opts["transient"]:
+                dt = opts["timeStep"]
+                diag_extra = diag_extra + V / dt
+                b = b + V / dt * state["e_N1"]
+            op = _KineticOperator(mesh, self._dO, self._dN, diag_extra)
+            b = jnp.where(op.interior, b, e)
+            r0 = b - op.mv(e)
+            rnorm = op.norm(jnp.where(op.interior, r0, 0.0))
+
+            from ..linear.krylov import BiCGStab, JacobiSolver
+
+            solver = BiCGStab(
+                preconditioner=JacobiSolver(sweeps=2),
+                relative_tolerance=inner_tol,
+                max_iterations=inner_it,
+            )
+            de, _ = solver.solve_fn(op, r0, jnp.zeros_like(e))
+            return dict(state, e=e + de), {"rnorm": rnorm}
+
+        return step
+
+    def advance(self, niter: int = 1) -> ResidualHistory:
+        if not self._initialized:
+            raise ConfigError("call init() before advance()")
+        opts = self.options
+        hist = ResidualHistory()
+        bcvals = self._resolve_bcvals()
+        for it in range(niter):
+            self.state, aux = self._step(self.state, self.params, bcvals)
+            rnorm = float(aux["rnorm"])
+            if self._initial_norm is None or self._initial_norm == 0.0:
+                self._initial_norm = rnorm
+            hist.append((it, rnorm))
+            if opts["verbose"]:
+                print(f"{self.name}: {it}: {rnorm:.6e}")
+            if rnorm < opts["absoluteTolerance"]:
+                break
+            if rnorm / max(self._initial_norm, 1e-300) < opts["relativeTolerance"]:
+                break
+        return hist
+
+    def updateTime(self):
+        if not self.options["transient"]:
+            raise ConfigError("PhononModel: transient option is off")
+        self.state["e_N1"] = self.state["e"]

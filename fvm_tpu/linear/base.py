@@ -93,6 +93,28 @@ class LinearSolver:
     def solve_fn(self, A: ELLMatrix, b: jnp.ndarray, x0: jnp.ndarray):
         raise NotImplementedError
 
+    def solve_fn_implicit(self, A, b, x0):
+        """AD-correct solve via lax.custom_linear_solve.
+
+        Differentiating through an adaptive Krylov while_loop gives zero
+        tangents when the loop exits at the primal solution; implicit
+        differentiation solves the tangent system with the same solver
+        instead (the reference gets the same effect from recompiling with
+        the Tangent atype, atypes/tangent_double).  Stats are not
+        returned.
+        """
+        import jax
+
+        def mv(x):
+            return A.mv(x)
+
+        def slv(matvec, bb):
+            x, _ = self.solve_fn(A, bb, jnp.zeros_like(bb))
+            return x
+
+        x = jax.lax.custom_linear_solve(mv, b, slv)
+        return x, None
+
     def solve(self, A: ELLMatrix, b: jnp.ndarray, x0: jnp.ndarray | None = None):
         if x0 is None:
             x0 = jnp.zeros_like(b)

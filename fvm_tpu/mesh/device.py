@@ -71,6 +71,35 @@ class DeviceMesh:
     n_shards: int | None = struct.field(pytree_node=False, default=None)
     # DIA SpMV fast-path metadata (ops.dia.DIAInfo), single-device only
     dia: object = struct.field(pytree_node=False, default=None)
+    # ShiftGather bundle for hot index maps (ops.dia.MeshGathers)
+    gathers: object = struct.field(pytree_node=False, default=None)
+
+    # --- fast indexed gathers (fall back to plain indexing) ---------------
+
+    def take_owner(self, x):
+        """x[self.face_cell0] via shift-gather when available."""
+        if self.gathers is not None and self.gathers.owner is not None:
+            return self.gathers.owner(x)
+        return x[self.face_cell0]
+
+    def take_nbr(self, x):
+        if self.gathers is not None and self.gathers.nbr is not None:
+            return self.gathers.nbr(x)
+        return x[self.face_cell1]
+
+    def take_faces(self, F):
+        """F[self.cf_face] -> (nc, K, ...)."""
+        if self.gathers is not None:
+            return self.gathers.take_faces(F, self.cf_face)
+        return F[self.cf_face]
+
+    def take_cells(self, x):
+        """x[self.cf_nbr] -> (nc, K, ...); padded slots return x[row]."""
+        if self.dia is not None:
+            from ..ops.dia import dia_gather_slots
+
+            return dia_gather_slots(self.dia, self.cf_nbr, self.cf_mask, x)
+        return x[self.cf_nbr]
 
     # ---------------------------------------------------------------------
 
@@ -170,10 +199,12 @@ def assemble_device_mesh(
     cf_nbr = np.where(cf_mask, cf_nbr, np.arange(n_cells)[:, None])
 
     dia = None
+    gathers = None
     if axis_name is None and not as_numpy:
-        from ..ops.dia import DIAInfo
+        from ..ops.dia import DIAInfo, MeshGathers
 
         dia = DIAInfo.build(cf_nbr, cf_mask)
+        gathers = MeshGathers(owner, nbr, cf_face, n_cells, nf)
 
     ds = cell_centroid[nbr] - cell_centroid[owner]
     dsmag = np.linalg.norm(ds, axis=1)
@@ -219,6 +250,7 @@ def assemble_device_mesh(
         n_owned_cells_=n_owned_cells,
         n_shards=n_shards,
         dia=dia,
+        gathers=gathers,
     )
 
 

@@ -1,2 +1,11 @@
 from .base import Model, ResidualHistory
 from .thermal import ThermalModel, ThermalBC, ThermalVC, ThermalModelOptions
+from .flow import FlowModel, FlowBC, FlowVC, FlowModelOptions
+from .electric import ElectricModel, ElectricBC, ElectricVC
+from .species import SpeciesModel, SpeciesBC, SpeciesVC
+from .structure import StructureModel, StructureBC, StructureVC
+from .vacancy import VacancyModel, VacancyBC, VacancyVC
+from .fracture import FractureModel, FractureBC, FractureVC
+from .property_models import IdealGasDensityModel, RosselandModel, IdealGasVC, RosselandVC
+from .shocktube import ShockTube
+from .onedconduction import OneDConduction

@@ -249,7 +249,7 @@ class FlowModel(Model):
         p_f = assembly.cells_to_faces_distance_weighted(mesh, p)
         contrib = p_f[:, None] * mesh.face_area  # (nf, dim)
         s = jnp.where(mesh.cf_is_owner, 1.0, -1.0) * mesh.cf_mask
-        g = jnp.einsum("nk,nkd->nd", s, contrib[mesh.cf_face])
+        g = jnp.einsum("nk,nkd->nd", s, mesh.take_faces(contrib))
         return g / jnp.maximum(mesh.cell_volume, 1e-300)[:, None]
 
     # ------------------------------------------------------------------
@@ -338,7 +338,7 @@ class FlowModel(Model):
             )
             Df = rho_f * voap_f * mesh.face_e_over_d
             gpbar = assembly.cells_to_faces_distance_weighted(mesh, gradp)
-            dp = p[mesh.face_cell1] - p[mesh.face_cell0]
+            dp = mesh.take_nbr(p) - mesh.take_owner(p)
             rc = Df * (dp - jnp.einsum("fd,fd->f", gpbar, mesh.face_ds))
             mdot_int = rho_f * jnp.einsum("fd,fd->f", Vbar, mesh.face_area) - rc
             bmdot = self._boundary_mass_flux(mesh, params, state2, bcvals)
@@ -372,7 +372,7 @@ class FlowModel(Model):
             pc_s = maybe_sync(mesh, pc)
             gradpc = maybe_sync(mesh, self._grad(mesh, params, pc_s))
             V = V - vol_over_ap[:, None] * gradpc
-            dmdot = -Df * (pc_s[mesh.face_cell1] - pc_s[mesh.face_cell0])
+            dmdot = -Df * (mesh.take_nbr(pc_s) - mesh.take_owner(pc_s))
             mdot = jnp.where(bnd & ~pres_face, mdot, mdot + dmdot)
 
             new_state = dict(state)

@@ -198,7 +198,7 @@ class StructureModel(Model):
         # ghost/wall values so BCs constrain the stress implicitly)
         d = mesh.face_ds
         d2m = jnp.maximum(jnp.sum(d * d, axis=1), 1e-300)
-        dw_f = w[mesh.face_cell1] - w[mesh.face_cell0]  # (nf, B)
+        dw_f = mesh.take_nbr(w) - mesh.take_owner(w)  # (nf, B)
         defect = dw_f - jnp.einsum("fij,fj->fi", Gf, d)
         Gf = Gf + defect[:, :, None] * (d / d2m[:, None])[:, None, :]
         tr = jnp.trace(Gf, axis1=1, axis2=2)

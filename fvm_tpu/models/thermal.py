@@ -76,6 +76,9 @@ class ThermalModelOptions(ModelOptions):
         "absoluteTolerance": 1e-16,
         "urf": 1.0,
         "verbose": True,
+        # use implicit-differentiation solves so jax.jvp/vjp through a step
+        # gives exact sensitivities (Tangent-atype replacement)
+        "differentiable": False,
     }
 
 
@@ -236,13 +239,18 @@ class ThermalModel(Model):
         solver = self.options["linearSolver"]
         urf = float(self.options["urf"])
 
+        differentiable = bool(self.options.get("differentiable", False))
+
         def step(mesh, params, state, bcvals):
             A, r = self._linearize(mesh, params, state, bcvals)
             rnorm = A.norm(r)
-            dx, stats = solver.solve_fn(A, r, jnp.zeros_like(r))
+            if differentiable:
+                dx, stats = solver.solve_fn_implicit(A, r, jnp.zeros_like(r))
+            else:
+                dx, stats = solver.solve_fn(A, r, jnp.zeros_like(r))
             state = dict(state)
             state["T"] = state["T"] + urf * dx
-            return state, {"rnorm": rnorm, "stats": stats}
+            return state, {"rnorm": rnorm}
 
         return step
 

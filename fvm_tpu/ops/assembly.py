@@ -70,8 +70,8 @@ def assemble(mesh: DeviceMesh, flux: FaceFlux, r_cell=None, diag_cell=None):
     own = mesh.cf_is_owner
     mask = mesh.cf_mask
 
-    dO = flux.dF_dO[f]
-    dN = flux.dF_dN[f]
+    dO = mesh.take_faces(flux.dF_dO)
+    dN = mesh.take_faces(flux.dF_dN)
     # A = -dr/dx; r_c includes -s_cf F_f with s = +1 for the owner side
     # => A_cc += s * dF/dphi_c ; A_c,nbr += s * dF/dphi_nbr
     s = jnp.where(own, 1.0, -1.0)
@@ -86,7 +86,7 @@ def assemble(mesh: DeviceMesh, flux: FaceFlux, r_cell=None, diag_cell=None):
     alive = mask.any(axis=1)
     diag = jnp.where(alive, diag, 1.0)
 
-    Ff = flux.F[f]  # (nc, K) or (nc, K, m)
+    Ff = mesh.take_faces(flux.F)  # (nc, K) or (nc, K, m)
     if Ff.ndim == 3:
         s_ = s[:, :, None]
         m_ = mask[:, :, None]
@@ -123,20 +123,20 @@ def identity_unowned_rows(mesh: DeviceMesh, A: ELLMatrix, r):
 
 def face_values(mesh: DeviceMesh, x: jnp.ndarray, weight=0.5):
     """Linear two-point interpolation of a cell field to faces."""
-    xo = x[mesh.face_cell0]
-    xn = x[mesh.face_cell1]
+    xo = mesh.take_owner(x)
+    xn = mesh.take_nbr(x)
     return weight * xn + (1.0 - weight) * xo
 
 
 def cells_to_faces_distance_weighted(mesh: DeviceMesh, x: jnp.ndarray):
     """Interpolate using inverse-distance weights from cell centroids."""
     do = jnp.linalg.norm(
-        mesh.face_centroid - mesh.cell_centroid[mesh.face_cell0], axis=1
+        mesh.face_centroid - mesh.take_owner(mesh.cell_centroid), axis=1
     )
     dn = jnp.linalg.norm(
-        mesh.face_centroid - mesh.cell_centroid[mesh.face_cell1], axis=1
+        mesh.face_centroid - mesh.take_nbr(mesh.cell_centroid), axis=1
     )
     wo = dn / (do + dn)
     shape = (-1,) + (1,) * (x.ndim - 1)
     wo = wo.reshape(shape)
-    return wo * x[mesh.face_cell0] + (1.0 - wo) * x[mesh.face_cell1]
+    return wo * mesh.take_owner(x) + (1.0 - wo) * mesh.take_nbr(x)

@@ -22,6 +22,7 @@ This is the role CRMatrix's hand-tuned CSR loops play in the reference
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 
@@ -82,6 +83,89 @@ class DIAInfo:
         return DIAInfo(offsets, bucket, fb_rows, fb_slots, cols_np)
 
 
+class ShiftGather:
+    """Gather ``x[idx]`` as a sum of offset-bucketed static slices.
+
+    For locality-preserving numberings, ``idx[i] - i`` takes only a handful
+    of distinct values (mesh face->cell and cell->face maps are piecewise
+    affine).  Each bucket becomes one static slice of a zero-padded copy of
+    x — no gather instruction at all; a small fallback gather covers the
+    rare offsets.  This is the generalization of the DIA SpMV trick to
+    every index map in the assembly fabric.
+    """
+
+    def __init__(self, offsets, bucket, fb_pos, fb_idx, n_out, n_src, pad_lo):
+        self.offsets = offsets  # python ints
+        self.bucket = jnp.asarray(bucket)  # (n_out,) int32, -1 = fallback
+        self.fb_pos = jnp.asarray(fb_pos)  # output positions for fallback
+        self.fb_idx = jnp.asarray(fb_idx)  # source indices for fallback
+        self.n_out = int(n_out)
+        self.n_src = int(n_src)
+        self.pad_lo = int(pad_lo)
+
+    @staticmethod
+    def build(idx: np.ndarray, n_src: int, max_offsets: int = 24,
+              min_fraction: float = 0.003):
+        idx = np.asarray(idx)
+        n_out = idx.shape[0]
+        delta = idx.astype(np.int64) - np.arange(n_out)
+        vals, counts = np.unique(delta, return_counts=True)
+        order = np.argsort(counts)[::-1]
+        vals, counts = vals[order], counts[order]
+        keep = [
+            int(v)
+            for v, c in zip(vals[:max_offsets], counts[:max_offsets])
+            if c >= min_fraction * n_out
+        ]
+        if not keep:
+            return None
+        bucket = np.full(n_out, -1, dtype=np.int32)
+        for i, v in enumerate(keep):
+            bucket[delta == v] = i
+        fb = bucket < 0
+        if fb.sum() > 0.2 * n_out:
+            return None
+        fb_pos = np.nonzero(fb)[0].astype(np.int32)
+        fb_idx = idx[fb].astype(np.int32)
+        pad_lo = max(0, -min(keep))
+        return ShiftGather(tuple(keep), bucket, fb_pos, fb_idx, n_out, n_src, pad_lo)
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        """x: (n_src, ...) -> (n_out, ...)."""
+        trailing = x.shape[1:]
+        pad_hi = max(0, self.pad_lo + max(self.offsets) + self.n_out - self.n_src)
+        pad_width = [(self.pad_lo, pad_hi)] + [(0, 0)] * len(trailing)
+        xp = jnp.pad(x, pad_width)
+        out = jnp.zeros((self.n_out,) + trailing, x.dtype)
+        bshape = (self.n_out,) + (1,) * len(trailing)
+        for i, d in enumerate(self.offsets):
+            sl = jax.lax.slice_in_dim(xp, self.pad_lo + d, self.pad_lo + d + self.n_out, axis=0)
+            out = jnp.where((self.bucket == i).reshape(bshape), sl, out)
+        if self.fb_pos.shape[0]:
+            out = out.at[self.fb_pos].set(x[self.fb_idx])
+        return out
+
+
+def dia_gather_slots(dia: DIAInfo, cols, mask, x):
+    """x[cols] per ELL slot using the DIA buckets: (n, K, ...) result.
+
+    Used by gradient evaluation; identical semantics to a plain gather but
+    built from rolls + selects (padded slots return x[row]).
+    """
+    n, K = cols.shape
+    trailing = x.shape[1:]
+    out = jnp.broadcast_to(x[:, None], (n, K) + trailing)
+    bshape = (n, K) + (1,) * len(trailing)
+    for i, d in enumerate(dia.offsets):
+        rolled = jnp.roll(x, -d, axis=0)
+        out = jnp.where(
+            (dia.bucket == i).reshape(bshape), rolled[:, None], out
+        )
+    if dia.fb_rows.shape[0]:
+        out = out.at[dia.fb_rows, dia.fb_slots].set(x[dia.fb_cols])
+    return out
+
+
 def dia_mv(dia: DIAInfo, diag, off, mask, x):
     """y = A x using the DIA fast path; x is (n,) or (n, m)."""
     squeeze = x.ndim == 1
@@ -98,3 +182,28 @@ def dia_mv(dia: DIAInfo, diag, off, mask, x):
         contrib = vals[:, None] * x[dia.fb_cols]
         y = y.at[dia.fb_rows].add(contrib)
     return y[:, 0] if squeeze else y
+
+
+class MeshGathers:
+    """Bundle of ShiftGathers for a mesh's hot index maps."""
+
+    def __init__(self, face_cell0, face_cell1, cf_face, n_cells, n_faces):
+        self.owner = ShiftGather.build(face_cell0, n_cells)
+        self.nbr = ShiftGather.build(face_cell1, n_cells)
+        K = cf_face.shape[1]
+        self.slots = []
+        ok = True
+        for k in range(K):
+            sg = ShiftGather.build(cf_face[:, k], n_faces)
+            if sg is None:
+                ok = False
+                break
+            self.slots.append(sg)
+        if not ok:
+            self.slots = None
+
+    def take_faces(self, F, cf_face):
+        """F[cf_face] -> (nc, K, ...)."""
+        if self.slots is None:
+            return F[cf_face]
+        return jnp.stack([sg(F) for sg in self.slots], axis=1)

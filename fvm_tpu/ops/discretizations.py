@@ -25,11 +25,11 @@ def harmonic_face_gamma(mesh: DeviceMesh, gamma_cell: jnp.ndarray) -> jnp.ndarra
     Ghost cells should carry a copy of their owner's gamma (or a
     boundary-specific value) before calling.
     """
-    go = gamma_cell[mesh.face_cell0]
-    gn = gamma_cell[mesh.face_cell1]
+    go = mesh.take_owner(gamma_cell)
+    gn = mesh.take_nbr(gamma_cell)
     # distance weights: fraction of the O->N segment on each side of the face
-    do = jnp.linalg.norm(mesh.face_centroid - mesh.cell_centroid[mesh.face_cell0], axis=1)
-    dn = jnp.linalg.norm(mesh.face_centroid - mesh.cell_centroid[mesh.face_cell1], axis=1)
+    do = jnp.linalg.norm(mesh.face_centroid - mesh.take_owner(mesh.cell_centroid), axis=1)
+    dn = jnp.linalg.norm(mesh.face_centroid - mesh.take_nbr(mesh.cell_centroid), axis=1)
     w = do / jnp.maximum(do + dn, 1e-300)
     denom = (1.0 - w) / jnp.maximum(go, 1e-300) + w / jnp.maximum(gn, 1e-300)
     return 1.0 / denom
@@ -48,15 +48,15 @@ def diffusion_flux(
     phi may be (nc,) or (nc, m); gamma_face is (nf,).
     """
     dO = gamma_face * mesh.face_e_over_d
-    po = phi[mesh.face_cell0]
-    pn = phi[mesh.face_cell1]
+    po = mesh.take_owner(phi)
+    pn = mesh.take_nbr(phi)
     if phi.ndim == 1:
         F = -dO * (pn - po)
     else:
         F = -dO[:, None] * (pn - po)
     if grad_phi is not None:
         # grad_phi: (nc, dim) or (nc, m, dim)
-        gf = 0.5 * (grad_phi[mesh.face_cell0] + grad_phi[mesh.face_cell1])
+        gf = 0.5 * (mesh.take_owner(grad_phi) + mesh.take_nbr(grad_phi))
         corr = jnp.einsum("f...d,fd->f...", gf, mesh.face_t)
         if phi.ndim == 1:
             F = F - gamma_face * corr
@@ -88,8 +88,8 @@ def convection_flux(
     else:  # upwind-based
         dO = mpos
         dN = mneg
-    po = phi[mesh.face_cell0]
-    pn = phi[mesh.face_cell1]
+    po = mesh.take_owner(phi)
+    pn = mesh.take_nbr(phi)
     if phi.ndim == 1:
         F = dO * po + dN * pn
     else:
@@ -97,9 +97,13 @@ def convection_flux(
     if scheme == "sou" and grad_phi is not None:
         # deferred correction: extrapolate from the upwind cell centroid
         up_is_owner = mass_flux >= 0
-        up = jnp.where(up_is_owner, mesh.face_cell0, mesh.face_cell1)
-        dx = mesh.face_centroid - mesh.cell_centroid[up]
-        corr = jnp.einsum("f...d,fd->f...", grad_phi[up], dx)
+        go_, gn_ = mesh.take_owner(grad_phi), mesh.take_nbr(grad_phi)
+        co_, cn_ = mesh.take_owner(mesh.cell_centroid), mesh.take_nbr(mesh.cell_centroid)
+        sel = up_is_owner.reshape((-1,) + (1,) * (grad_phi.ndim - 1))
+        gup = jnp.where(sel, go_, gn_)
+        xup = jnp.where(up_is_owner[:, None], co_, cn_)
+        dx = mesh.face_centroid - xup
+        corr = jnp.einsum("f...d,fd->f...", gup, dx)
         if phi.ndim == 1:
             F = F + mass_flux * corr
         else:

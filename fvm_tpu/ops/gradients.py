@@ -34,7 +34,7 @@ def ls_gradient_coefficients(mesh: DeviceMesh) -> jnp.ndarray:
     Degenerate rows (ghost cells with one neighbor) fall back to the
     two-point difference along d (handled by Tikhonov regularization of M).
     """
-    d = mesh.cell_centroid[mesh.cf_nbr] - mesh.cell_centroid[:, None, :]
+    d = mesh.take_cells(mesh.cell_centroid) - mesh.cell_centroid[:, None, :]
     mask = mesh.cf_mask[:, :, None]
     d = jnp.where(mask, d, 0.0)
     d2 = jnp.sum(d * d, axis=2)
@@ -46,15 +46,18 @@ def ls_gradient_coefficients(mesh: DeviceMesh) -> jnp.ndarray:
     scale = jnp.trace(M, axis1=1, axis2=2)[:, None, None]
     eye = jnp.eye(mesh.dim, dtype=M.dtype)
     Mreg = M + 1e-10 * jnp.maximum(scale, 1e-300) * eye
-    Minv = jnp.linalg.inv(Mreg)
+    from .bell import small_inv
+
+    Minv = small_inv(Mreg)
     coeff = jnp.einsum("nij,nkj,nk->nki", Minv, d, w)
     return jnp.where(mask, coeff, 0.0)
 
 
 def gradient(mesh: DeviceMesh, coeff: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     """Cell gradients: x is (nc,) -> (nc, dim); (nc, m) -> (nc, m, dim)."""
+    xn = mesh.take_cells(x)
     if x.ndim == 1:
-        dphi = x[mesh.cf_nbr] - x[:, None]
+        dphi = xn - x[:, None]
         return jnp.einsum("nk,nki->ni", dphi, coeff)
-    dphi = x[mesh.cf_nbr] - x[:, None, :]  # (nc, K, m)
+    dphi = xn - x[:, None, :]  # (nc, K, m)
     return jnp.einsum("nkm,nki->nmi", dphi, coeff)
