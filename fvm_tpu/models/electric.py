@@ -181,8 +181,22 @@ class ElectricModel(Model):
                 )
             else:
                 A, r = bck.extrapolation_rows(mesh, A, r, gc, phi, valid, scale)
+        if "ib_mask" in params:
+            A, r = assembly.dirichlet_cells(
+                A, r, params["ib_mask"], params["ib_value"], phi
+            )
         A, r = assembly.identity_unowned_rows(mesh, A, r)
         return A, r
+
+    def set_immersed_boundary(self, mask, value) -> None:
+        """Pin masked cells to an electrode potential (the reference's
+        IBM electrostatics pipeline, src/fvm/test/IBM_PARALLEL)."""
+        dtype = self.mesh.cell_volume.dtype
+        self.params["ib_mask"] = jnp.asarray(mask, bool)
+        v = jnp.asarray(value, dtype)
+        if v.ndim == 0:
+            v = jnp.full(self.mesh.n_cells, v, dtype)
+        self.params["ib_value"] = v
 
     def _linearize_charge(self, mesh, params, state, bcvals, E_field):
         c = maybe_sync(mesh, state["charge"])

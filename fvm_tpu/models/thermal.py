@@ -231,6 +231,12 @@ class ThermalModel(Model):
             else:
                 raise ConfigError(f"ThermalModel: unhandled bc_type {t!r}")
 
+        # immersed-boundary pinning (solid/IB cells at body temperature)
+        if "ib_mask" in params:
+            A, r = assembly.dirichlet_cells(
+                A, r, params["ib_mask"], params["ib_value"], T
+            )
+
         # halo rows are owned remotely: identity here
         A, r = assembly.identity_unowned_rows(mesh, A, r)
         return A, r
@@ -289,6 +295,18 @@ class ThermalModel(Model):
         self.state["T_N1"] = self.state["T"]
 
     # ------------------------------------------------------------------
+
+    def set_immersed_boundary(self, mask, value) -> None:
+        """Pin masked cells (IBManager.dirichlet_mask()) to a temperature.
+        (reference: IBM pipeline + GenericIBDiscretization)"""
+        import jax.numpy as jnp
+
+        dtype = self.mesh.cell_volume.dtype
+        self.params["ib_mask"] = jnp.asarray(mask, bool)
+        v = jnp.asarray(value, dtype)
+        if v.ndim == 0:
+            v = jnp.full(self.mesh.n_cells, v, dtype)
+        self.params["ib_value"] = v
 
     def getHeatFluxIntegral(self, group_name) -> float:
         """Net heat flow INTO the domain through a boundary group.

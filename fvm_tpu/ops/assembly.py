@@ -140,3 +140,22 @@ def cells_to_faces_distance_weighted(mesh: DeviceMesh, x: jnp.ndarray):
     shape = (-1,) + (1,) * (x.ndim - 1)
     wo = wo.reshape(shape)
     return wo * mesh.take_owner(x) + (1.0 - wo) * mesh.take_nbr(x)
+
+
+def dirichlet_cells(A: ELLMatrix, r, mask, value, phi):
+    """Pin a set of cells (immersed-boundary/solid regions) to a value.
+
+    ``mask``: (nc,) bool; rows become scale*(dx = value - phi) with scale
+    taken from the existing diagonal magnitude to preserve conditioning.
+    The ELL-native equivalent of the reference's GenericIBDiscretization
+    (GenericIBDiscretization.h).
+    """
+    s = jnp.where(jnp.abs(A.diag) > 0, jnp.abs(A.diag), 1.0)
+    diag = jnp.where(mask, s, A.diag)
+    off = jnp.where(mask[:, None], 0.0, A.off)
+    resid = s * (value - phi)
+    if r.ndim == 1:
+        r = jnp.where(mask, resid, r)
+    else:
+        r = jnp.where(mask[:, None], resid[:, None], r)
+    return A.replace(diag=diag, off=off), r
