@@ -73,6 +73,9 @@ class DeviceMesh:
     dia: object = struct.field(pytree_node=False, default=None)
     # ShiftGather bundle for hot index maps (ops.dia.MeshGathers)
     gathers: object = struct.field(pytree_node=False, default=None)
+    # True when every interior face's non-orthogonal remainder T vanishes
+    # (structured grids): models skip deferred gradient corrections
+    orthogonal: bool = struct.field(pytree_node=False, default=False)
 
     # --- fast indexed gathers (fall back to plain indexing) ---------------
 
@@ -212,6 +215,9 @@ def assemble_device_mesh(
     amag2 = face_area_mag**2
     e_over_d = amag2 / np.where(a_dot_ds != 0, a_dot_ds, 1.0)
     t_vec = face_area - e_over_d[:, None] * ds
+    tmag = np.abs(np.asarray(t_vec)[:n_interior_faces]).max() if n_interior_faces else 0.0
+    scale = np.abs(np.asarray(face_area_mag)).max() if nf else 1.0
+    orthogonal = bool(tmag <= 1e-12 * max(scale, 1e-300))
 
     if as_numpy:
         f = lambda x: np.asarray(x, dtype=dtype)
@@ -251,6 +257,7 @@ def assemble_device_mesh(
         n_shards=n_shards,
         dia=dia,
         gathers=gathers,
+        orthogonal=orthogonal,
     )
 
 

@@ -9,3 +9,9 @@ from .fracture import FractureModel, FractureBC, FractureVC
 from .property_models import IdealGasDensityModel, RosselandModel, IdealGasVC, RosselandVC
 from .shocktube import ShockTube
 from .onedconduction import OneDConduction
+from .plate import PlateModel, PlateBC, PlateVC
+from .ke import KeModel, KeBC, KeVC
+from .battery import BatteryModel, BatteryBC, BatteryVC
+from .motion import MovingMeshModel, StructureDeformationModel
+from .contact import ContactModel, ContactVC
+from .scalar_generic import GenericScalarModel

@@ -289,7 +289,16 @@ class FlowModel(Model):
 
             # ---- momentum predictor --------------------------------------
             mu_f = disc.harmonic_face_gamma(mesh, params["mu"])
-            gradV = maybe_sync(mesh, self._grad(mesh, params, V))
+            # on orthogonal meshes with upwind convection the velocity
+            # gradient is only needed for SOU/non-orthogonal corrections
+            needs_gradV = (not mesh.orthogonal) or (
+                opts["convectionScheme"] == "sou"
+            )
+            gradV = (
+                maybe_sync(mesh, self._grad(mesh, params, V))
+                if needs_gradV
+                else None
+            )
             flux = disc.diffusion_flux(mesh, V, mu_f, gradV)
             flux = flux + disc.convection_flux(
                 mesh, V, mdot, opts["convectionScheme"], gradV

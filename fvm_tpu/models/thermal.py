@@ -114,7 +114,10 @@ class ThermalModel(Model):
             * self._cell_field(self.vc, "specificHeat"),
             "src": self._cell_field(self.vc, "heatSource"),
         }
-        if self.options["nonOrthogonalCorrection"]:
+        needs_grad = self.options["nonOrthogonalCorrection"] and not (
+            mesh.orthogonal and self.options["convectionScheme"] != "sou"
+        )
+        if needs_grad:
             if self._dist:
                 self.params["grad_coeff"] = jax.vmap(ls_gradient_coefficients)(mesh)
             else:

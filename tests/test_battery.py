@@ -1,0 +1,92 @@
+"""BatteryModel: 1D sandwich cell with Butler-Volmer interfaces.
+
+Mirrors the reference's battery suites (SpeciesTest.cas /
+FullBatterySimple.cas drivers) with an analytic series-resistance check in
+the linear (small-overpotential) regime.
+"""
+
+import numpy as np
+import pytest
+
+import fvm_tpu as fvm
+from fvm_tpu.mesh.generate import quad_2d
+from fvm_tpu.models.battery import BatteryModel, FARADAY, RGAS
+
+
+def build_cell(nx=30, V_applied=3.75):
+    dm = fvm.mesh.build_device_mesh(quad_2d(nx, 2))
+    m = BatteryModel(dm)
+    m.options["verbose"] = False
+    x = np.asarray(dm.cell_centroid)[: dm.n_interior_cells, 0]
+    mat = np.where(x < 1 / 3, 0, np.where(x < 2 / 3, 1, 2)).astype(np.int32)
+    m.set_material_regions(mat)
+    m.vc["openCircuitVoltage"] = (0.1, 0.0, 3.8)
+    m.vc["conductivity"] = (100.0, 1.0, 100.0)
+    m.vc["exchangeCurrentDensity"] = 10.0
+    m.bc["left"].bc_type = "SpecifiedPotential"
+    m.bc["left"]["specifiedPotential"] = 0.0
+    m.bc["right"].bc_type = "SpecifiedPotential"
+    m.bc["right"]["specifiedPotential"] = V_applied
+    m.bc["bottom"].bc_type = "Symmetry"
+    m.bc["top"].bc_type = "Symmetry"
+    m.init()
+    return m
+
+
+def test_battery_discharge_current():
+    """Small net overpotential: terminal current matches the linear
+    series-resistance model
+    R_total = R_anode + R_elyte + R_cathode + 2 R_ct,
+    R_ct = RT/(F i0) per unit area."""
+    # OCV difference = 3.8 - 0.1 = 3.7; apply 3.75 -> total eta budget 0.05
+    m = build_cell(V_applied=3.75)
+    hist = m.advance(25)
+    assert hist[-1][1] / hist[0][1] < 1e-6
+    i_in = m.getCurrentIntegral("right")
+    i_out = m.getCurrentIntegral("left")
+    # current conservation through the cell
+    assert i_in + i_out == pytest.approx(0.0, abs=1e-6 * abs(i_in))
+    T = 300.0
+    R_ct = RGAS * T / (FARADAY * 10.0)
+    R_ohm = (1 / 3) / 100.0 + (1 / 3) / 1.0 + (1 / 3) / 100.0
+    i_lin = 0.05 / (R_ohm + 2 * R_ct)
+    assert abs(i_in) == pytest.approx(i_lin, rel=0.05)
+
+
+def test_battery_potential_profile():
+    """Potential is near-flat in the high-conductivity electrodes and drops
+    across the electrolyte + interfaces."""
+    m = build_cell(V_applied=3.75)
+    m.advance(25)
+    phi = m.getPotential().reshape(30, 2).mean(axis=1)
+    x = np.linspace(1 / 60, 1 - 1 / 60, 30)
+    anode = phi[x < 0.3]
+    cathode = phi[x > 0.7]
+    assert np.ptp(anode) < 0.002
+    assert np.ptp(cathode) < 0.002
+    # jumps at the interfaces: electrolyte potential well below cathode
+    assert phi[15] < phi[-1] - 3.0  # most of the 3.7 V OCV drop
+
+
+def test_battery_transient_species_transport():
+    """Transient discharge moves Li: concentration rises on the side
+    receiving current and total Li in each electrode changes with the
+    Faradaic flux i/F."""
+    m = build_cell(V_applied=3.75)
+    m.options["transient"] = True
+    m.options["timeStep"] = 5.0
+    # rebuild with transient state
+    m2 = build_cell.__wrapped__ if hasattr(build_cell, "__wrapped__") else None
+    m = build_cell(V_applied=3.75)
+    m.options["transient"] = True
+    m.options["timeStep"] = 5.0
+    m.init()
+    c0 = m.getConcentration().copy()
+    for _ in range(3):
+        m.advance(6)
+        m.updateTime()
+    c1 = m.getConcentration()
+    # concentration changed where the interfaces inject/remove Li
+    assert np.abs(c1 - c0).max() > 1e-6
+    # far-field cells in electrode interiors barely changed yet
+    assert abs(c1[0] - c0[0]) < np.abs(c1 - c0).max()
