@@ -1,1 +1,5 @@
 from .fluent import read_fluent_mesh
+from .exporters import write_tecplot, write_fluent_data
+from .vtk import write_vtk
+from .matrixmarket import read_matrix_market
+from .persistence import Persistence

@@ -76,9 +76,10 @@ def convection_flux(
 
     mass_flux (nf,) is the mass flow rate through each face in the direction
     of the face area vector (owner -> neighbor).
-    scheme: 'upwind' (first-order, implicit) or 'central'; 'sou' adds a
-    deferred second-order upwind correction using cell gradients.
-    (reference: ConvectionDiscretization.h)
+    scheme: 'upwind' (first-order, implicit), 'central', 'sou'
+    (deferred second-order upwind), or a limiter name
+    ('vanLeer' | 'minmod' | 'superbee') for limited SOU.
+    (reference: ConvectionDiscretization.h, FluxLimiters.h:19-41)
     """
     mpos = jnp.maximum(mass_flux, 0.0)
     mneg = jnp.minimum(mass_flux, 0.0)
@@ -94,6 +95,18 @@ def convection_flux(
         F = dO * po + dN * pn
     else:
         F = dO[:, None] * po + dN[:, None] * pn
+    if scheme in ("vanLeer", "minmod", "superbee") and grad_phi is not None:
+        from .limiters import limited_sou_correction
+
+        if phi.ndim == 1:
+            F = F + limited_sou_correction(mesh, phi, mass_flux, grad_phi, scheme)
+        else:
+            for m in range(phi.shape[1]):
+                F = F.at[:, m].add(
+                    limited_sou_correction(
+                        mesh, phi[:, m], mass_flux, grad_phi[:, m], scheme
+                    )
+                )
     if scheme == "sou" and grad_phi is not None:
         # deferred correction: extrapolate from the upwind cell centroid
         up_is_owner = mass_flux >= 0

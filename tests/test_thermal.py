@@ -208,3 +208,32 @@ def test_persistence_roundtrip():
     m2.init()
     m2.restart(data)
     np.testing.assert_array_equal(m.getTemperature(), m2.getTemperature())
+
+
+@pytest.mark.parametrize("scheme", ["upwind", "sou", "vanLeer", "minmod", "superbee"])
+def test_convection_schemes_step_profile(scheme):
+    """Convected step: higher-order schemes are sharper than upwind and
+    limited ones stay bounded (no over/undershoot)."""
+    m = make_model(quad_2d(40, 2), convective=True, convectionScheme=scheme,
+                   transient=True, timeStep=0.01)
+    m.vc["thermalConductivity"] = 1e-8
+    m.vc["initialTemperature"] = 300.0
+    m.bc["left"].bc_type = "SpecifiedTemperature"
+    m.bc["left"]["specifiedTemperature"] = 400.0
+    m.bc["right"].bc_type = "SpecifiedTemperature"
+    m.bc["right"]["specifiedTemperature"] = 300.0
+    m.bc["bottom"].bc_type = "Symmetry"
+    m.bc["top"].bc_type = "Symmetry"
+    m.init()
+    import jax.numpy as jnp
+    # uniform +x mass flux
+    md = jnp.einsum("fd,d->f", m.mesh.face_area, jnp.asarray([1.0, 0.0]))
+    m.state["massFlux"] = md
+    for _ in range(20):
+        m.advance(2)
+        m.updateTime()
+    T = m.getTemperature().reshape(40, 2).mean(axis=1)
+    # t = 0.2: the front is mid-domain; bounded for monotone schemes
+    if scheme in ("vanLeer", "minmod", "superbee", "upwind"):
+        assert T.max() < 400.0 + 1e-6 and T.min() > 300.0 - 1e-6
+    assert T[0] > 390.0 and T[-1] < 310.0
