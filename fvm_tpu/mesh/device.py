@@ -59,6 +59,9 @@ class DeviceMesh:
     face_dsmag: jnp.ndarray  # (nf,)
     face_e_over_d: jnp.ndarray  # (nf,) |A|^2 / (A . ds)  ("orthogonal" coeff)
     face_t: jnp.ndarray  # (nf, dim) non-orthogonal remainder T
+    # inverse-distance interpolation weight of the OWNER value at the face
+    # (precomputed once; used by every face interpolation)
+    face_wo: jnp.ndarray  # (nf,)
 
     # --- distribution (None/defaults on a single device) ------------------
     # When partitioned, cells [0, n_owned_cells) are owned (interior +
@@ -215,6 +218,9 @@ def assemble_device_mesh(
     amag2 = face_area_mag**2
     e_over_d = amag2 / np.where(a_dot_ds != 0, a_dot_ds, 1.0)
     t_vec = face_area - e_over_d[:, None] * ds
+    do_ = np.linalg.norm(face_centroid - cell_centroid[owner], axis=1)
+    dn_ = np.linalg.norm(face_centroid - cell_centroid[nbr], axis=1)
+    face_wo = dn_ / np.maximum(do_ + dn_, 1e-300)
     tmag = np.abs(np.asarray(t_vec)[:n_interior_faces]).max() if n_interior_faces else 0.0
     scale = np.abs(np.asarray(face_area_mag)).max() if nf else 1.0
     orthogonal = bool(tmag <= 1e-12 * max(scale, 1e-300))
@@ -251,6 +257,7 @@ def assemble_device_mesh(
         face_dsmag=f(dsmag),
         face_e_over_d=f(e_over_d),
         face_t=f(t_vec),
+        face_wo=f(face_wo),
         halo=halo,
         axis_name=axis_name,
         n_owned_cells_=n_owned_cells,

@@ -130,15 +130,7 @@ def face_values(mesh: DeviceMesh, x: jnp.ndarray, weight=0.5):
 
 def cells_to_faces_distance_weighted(mesh: DeviceMesh, x: jnp.ndarray):
     """Interpolate using inverse-distance weights from cell centroids."""
-    do = jnp.linalg.norm(
-        mesh.face_centroid - mesh.take_owner(mesh.cell_centroid), axis=1
-    )
-    dn = jnp.linalg.norm(
-        mesh.face_centroid - mesh.take_nbr(mesh.cell_centroid), axis=1
-    )
-    wo = dn / (do + dn)
-    shape = (-1,) + (1,) * (x.ndim - 1)
-    wo = wo.reshape(shape)
+    wo = mesh.face_wo.reshape((-1,) + (1,) * (x.ndim - 1))
     return wo * mesh.take_owner(x) + (1.0 - wo) * mesh.take_nbr(x)
 
 

@@ -27,10 +27,9 @@ def harmonic_face_gamma(mesh: DeviceMesh, gamma_cell: jnp.ndarray) -> jnp.ndarra
     """
     go = mesh.take_owner(gamma_cell)
     gn = mesh.take_nbr(gamma_cell)
-    # distance weights: fraction of the O->N segment on each side of the face
-    do = jnp.linalg.norm(mesh.face_centroid - mesh.take_owner(mesh.cell_centroid), axis=1)
-    dn = jnp.linalg.norm(mesh.face_centroid - mesh.take_nbr(mesh.cell_centroid), axis=1)
-    w = do / jnp.maximum(do + dn, 1e-300)
+    # distance weights: fraction of the O->N segment on each side of the
+    # face (w = 1 - face_wo, the precomputed owner weight)
+    w = 1.0 - mesh.face_wo
     denom = (1.0 - w) / jnp.maximum(go, 1e-300) + w / jnp.maximum(gn, 1e-300)
     return 1.0 / denom
 

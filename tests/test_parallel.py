@@ -102,3 +102,78 @@ def test_flow_cavity_matches_single_device():
     # same algorithm, same iteration count; inner-solver tolerances allow
     # small drift between the two paths
     np.testing.assert_allclose(VN, V1, atol=5e-4)
+
+
+def test_species_matches_single_device():
+    from fvm_tpu.models import SpeciesModel
+
+    mesh = quad_2d(12, 12)
+
+    def setup(m):
+        m.options["verbose"] = False
+        m.bc["left"].bc_type = "SpecifiedMassFraction"
+        m.bc["left"]["specifiedMassFraction"] = 1.0
+        m.bc["right"].bc_type = "SpecifiedMassFraction"
+        m.bc["bottom"].bc_type = "Symmetry"
+        m.bc["top"].bc_type = "Symmetry"
+        m.init()
+
+    single = SpeciesModel(fvm.mesh.build_device_mesh(mesh))
+    setup(single)
+    single.advance(8)
+
+    part = Partition(quad_2d(12, 12), 4)
+    dist = SpeciesModel(part.sharded_mesh, partition=part)
+    setup(dist)
+    dist.advance(8)
+    np.testing.assert_allclose(
+        dist.getMassFraction(0), single.getMassFraction(0), atol=1e-7
+    )
+
+
+def test_electric_matches_single_device():
+    from fvm_tpu.models import ElectricModel
+
+    mesh = quad_2d(10, 10)
+
+    def setup(m):
+        m.options["verbose"] = False
+        m.bc["left"].bc_type = "SpecifiedPotential"
+        m.bc["left"]["specifiedPotential"] = 100.0
+        m.bc["right"].bc_type = "SpecifiedPotential"
+        m.bc["bottom"].bc_type = "Symmetry"
+        m.bc["top"].bc_type = "Symmetry"
+        m.init()
+
+    single = ElectricModel(fvm.mesh.build_device_mesh(mesh))
+    setup(single)
+    single.advance(6)
+
+    part = Partition(quad_2d(10, 10), 4)
+    dist = ElectricModel(part.sharded_mesh, partition=part)
+    setup(dist)
+    dist.advance(6)
+    np.testing.assert_allclose(dist.getPotential(), single.getPotential(), atol=1e-5)
+
+
+def test_adaptive_timestep_controller():
+    from fvm_tpu.core.timestep import TimeStepController
+    from fvm_tpu.models import ThermalModel
+
+    dm = fvm.mesh.build_device_mesh(quad_2d(8, 8))
+    m = ThermalModel(dm)
+    m.options["verbose"] = False
+    m.options["transient"] = True
+    m.vc["initialTemperature"] = 400.0
+    for s in ("left", "right", "bottom", "top"):
+        m.bc[s].bc_type = "Convective"
+        m.bc[s]["heatTransferCoefficient"] = 1.0
+        m.bc[s]["farFieldTemperature"] = 300.0
+    m.init()
+    tc = TimeStepController(dt0=0.01, target_iterations=6)
+    dts = []
+    for _ in range(4):
+        tc.step_model(m, max_outer=20)
+        dts.append(tc.dt)
+    # quickly-converging steps should let dt grow
+    assert dts[-1] > 0.01
