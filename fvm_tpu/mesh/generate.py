@@ -216,3 +216,88 @@ def hex_3d(
         for k, n in enumerate(names)
     ]
     return Mesh(3, coords, face_nodes, np.asarray(fc), groups)
+
+
+def extrude(mesh2d, nz: int, lz: float = 1.0, z0: float = 0.0):
+    """Extrude a 2D mesh into 3D along z (reference: Mesh::extrude,
+    Mesh.h:314).  2D cells become nz prisms/hexes; the 2D boundary groups
+    become lateral groups, plus new 'zmin'/'zmax' caps."""
+    m = mesh2d
+    if m.dim != 2:
+        raise ValueError("extrude requires a 2D mesh")
+    nn2, nc2 = m.n_nodes, m.n_interior_cells
+    zs = z0 + lz * np.arange(nz + 1) / nz
+    coords = np.concatenate(
+        [
+            np.concatenate(
+                [m.coords, np.full((nn2, 1), z)], axis=1
+            )
+            for z in zs
+        ],
+        axis=0,
+    )
+
+    def nid(n2, k):
+        return k * nn2 + n2
+
+    def cid(c2, k):
+        return k * nc2 + c2
+
+    fn_rows, fc = [], []
+    gidx = {g.name: [] for g in m.boundary_groups}
+    gidx["zmin"] = []
+    gidx["zmax"] = []
+    f = 0
+    # lateral faces: each 2D face extruded into nz quads
+    fc2 = m.face_cells
+    for f2 in range(m.n_faces):
+        nodes2 = m.face_nodes.row(f2)
+        c0, c1 = fc2[f2]
+        bgroup = None
+        if f2 >= m.n_interior_faces:
+            for g in m.boundary_groups:
+                if g.offset <= f2 < g.offset + g.count:
+                    bgroup = g.name
+                    break
+        for k in range(nz):
+            fn_rows.append(
+                [nid(nodes2[0], k), nid(nodes2[1], k),
+                 nid(nodes2[1], k + 1), nid(nodes2[0], k + 1)]
+            )
+            if c1 >= m.n_interior_cells or c1 < 0 or f2 >= m.n_interior_faces:
+                fc.append([cid(c0, k), -1])
+                gidx[bgroup].append(f)
+            else:
+                fc.append([cid(c0, k), cid(c1, k)])
+            f += 1
+    # z-normal faces: each 2D cell at each z level
+    for k in range(nz + 1):
+        for c2 in range(nc2):
+            nodes2 = _cell_poly_nodes(m, c2)
+            fn_rows.append([nid(n2, k) for n2 in nodes2])
+            if k == 0:
+                fc.append([cid(c2, 0), -1])
+                gidx["zmin"].append(f)
+            elif k == nz:
+                fc.append([cid(c2, nz - 1), -1])
+                gidx["zmax"].append(f)
+            else:
+                fc.append([cid(c2, k - 1), cid(c2, k)])
+            f += 1
+
+    face_nodes = CRConnectivity.from_rows(fn_rows, coords.shape[0])
+    groups = []
+    ident = 1
+    for name, idx in gidx.items():
+        groups.append((ident, name, "wall", np.asarray(idx, dtype=np.int64)))
+        ident += 1
+    return Mesh(3, coords, face_nodes, np.asarray(fc), groups)
+
+
+def _cell_poly_nodes(mesh2d, c):
+    """CCW-ordered vertices of a 2D cell."""
+    nodes = list(dict.fromkeys(mesh2d.cell_nodes.row(c).tolist()))
+    pts = mesh2d.coords[nodes]
+    ctr = pts.mean(axis=0)
+    ang = np.arctan2(pts[:, 1] - ctr[1], pts[:, 0] - ctr[0])
+    return [nodes[i] for i in np.argsort(ang)]

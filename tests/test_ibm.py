@@ -83,3 +83,46 @@ def test_ib_thermal_hot_cylinder():
     near = T[(rr > 0.22) & (rr < 0.3)].mean()
     far = T[rr > 0.45].mean()
     assert near > far + 5.0
+
+
+def test_extrude_2d_to_3d():
+    from fvm_tpu.mesh.generate import extrude
+    from fvm_tpu.mesh.metrics import compute_geometry
+
+    m2 = quad_2d(4, 3, lx=2.0, ly=1.5)
+    m3 = extrude(m2, nz=5, lz=0.5)
+    assert m3.dim == 3
+    assert m3.n_interior_cells == 4 * 3 * 5
+    g = compute_geometry(m3)
+    assert g.cell_volume[: m3.n_interior_cells].sum() == pytest.approx(
+        2.0 * 1.5 * 0.5, rel=1e-10
+    )
+    names = {fg.name for fg in m3.boundary_groups}
+    assert {"left", "right", "bottom", "top", "zmin", "zmax"} <= names
+
+
+def test_grid_interpolator():
+    from fvm_tpu.geom import Grid
+
+    xs = np.linspace(0, 1, 11)
+    ys = np.linspace(0, 1, 11)
+    X, Y = np.meshgrid(xs, ys, indexing="ij")
+    vals = np.stack([X + Y, X - Y], axis=-1)
+    g = Grid((xs, ys), vals)
+    out = g.computeInterpolatedVelocity([[0.25, 0.5], [0.7, 0.1]])
+    np.testing.assert_allclose(out, [[0.75, -0.25], [0.8, 0.6]], atol=1e-12)
+
+
+def test_particle_tracking_rotation():
+    from fvm_tpu.geom import ParticleTracker
+
+    mesh = quad_2d(32, 32, lx=2.0, ly=2.0)
+    dm = fvm.mesh.build_device_mesh(mesh)
+    cc = np.asarray(dm.cell_centroid)[: dm.n_interior_cells] - 1.0
+    vel = np.stack([-cc[:, 1], cc[:, 0]], axis=1)  # solid-body rotation
+    pt = ParticleTracker(dm)
+    p0 = np.array([[1.5, 1.0]])
+    traj = pt.track(p0, vel, dt=0.05, n_steps=50)
+    r = np.linalg.norm(traj - 1.0, axis=2)
+    # radius roughly conserved through rotation
+    assert abs(r[-1, 0] - 0.5) < 0.05
