@@ -162,6 +162,7 @@ def assemble_device_mesh(
     n_owned_cells=None,
     n_shards=None,
     as_numpy: bool = False,
+    face_valid: np.ndarray | None = None,
 ) -> DeviceMesh:
     """Low-level device-mesh assembler from flat arrays.
 
@@ -183,6 +184,8 @@ def assemble_device_mesh(
     # drop entries where owner == nbr (dummy faces attached to one cell)
     keep = np.ones(len(rows), dtype=bool)
     keep[nf:] = nbr != owner
+    if face_valid is not None:
+        keep &= np.tile(face_valid, 2)
     rows, cols = rows[keep], cols[keep]
     order = np.argsort(rows, kind="stable")
     rows, cols = rows[order], cols[order]
@@ -207,10 +210,16 @@ def assemble_device_mesh(
     dia = None
     gathers = None
     if axis_name is None and not as_numpy:
-        from ..ops.dia import DIAInfo, MeshGathers
+        from ..ops.dia import DIAInfo, MeshGathers, SlotMajorGathers
 
         dia = DIAInfo.build(cf_nbr, cf_mask)
-        gathers = MeshGathers(owner, nbr, cf_face, n_cells, nf)
+        if face_valid is not None and n_interior_faces == n_interior_cells * K:
+            gathers = SlotMajorGathers(
+                owner, nbr, cf_face, cf_mask, face_valid,
+                n_cells, n_interior_cells, nf, n_interior_faces, K,
+            )
+        else:
+            gathers = MeshGathers(owner, nbr, cf_face, n_cells, nf)
 
     ds = cell_centroid[nbr] - cell_centroid[owner]
     dsmag = np.linalg.norm(ds, axis=1)
@@ -268,24 +277,100 @@ def assemble_device_mesh(
     )
 
 
-def build_device_mesh(mesh: Mesh, geom: MeshGeometry | None = None, dtype=None) -> DeviceMesh:
-    """Bake a host Mesh (+geometry) into the device layout."""
+def build_device_mesh(
+    mesh: Mesh,
+    geom: MeshGeometry | None = None,
+    dtype=None,
+    slot_major: bool = True,
+) -> DeviceMesh:
+    """Bake a host Mesh (+geometry) into the device layout.
+
+    slot_major=True renumbers interior faces into OWNER-SLOT-MAJOR order
+    (face owned by cell c at its j-th owned slot lives at id c*K + j, with
+    padding holes as zero-area dummy faces attached to one extra dummy
+    cell).  In this layout every face<->cell index map has a handful of
+    constant offsets, so the whole assembly fabric (take_owner/take_nbr/
+    take_faces) compiles to broadcasts/rolls instead of XLA gathers —
+    the TPU has no hardware gather (~6 cycles/element), which made these
+    maps the single largest cost of every solver step.
+    """
     if geom is None:
         geom = compute_geometry(mesh)
-    groups = tuple(
-        (g.ident, g.name, g.group_type, g.offset, g.count) for g in mesh.face_groups
-    )
+    groups = [
+        (g.ident, g.name, g.group_type, g.offset, g.count)
+        for g in mesh.face_groups
+    ]
+    fc = mesh.face_cells
+    fa = geom.face_area
+    fam = geom.face_area_mag
+    fcn = geom.face_centroid
+    ccn = geom.cell_centroid
+    cv = geom.cell_volume
+    n_int_c = mesh.n_interior_cells
+    n_int_f = mesh.n_interior_faces
+    nc = mesh.n_cells
+    nf = mesh.n_faces
+    face_valid = None
+
+    if slot_major and n_int_c > 0:
+        # global slot stride = max faces per interior cell
+        counts_all = np.bincount(
+            np.concatenate([fc[:, 0], fc[fc[:, 1] < n_int_c, 1]]),
+            minlength=n_int_c,
+        )
+        K = int(counts_all[:n_int_c].max())
+        own_int = fc[:n_int_f, 0]
+        # rank of each interior face within its owner (stable)
+        order = np.argsort(own_int, kind="stable")
+        ranks = np.empty(n_int_f, dtype=np.int64)
+        seq = np.arange(n_int_f)
+        starts = np.searchsorted(own_int[order], np.arange(n_int_c))
+        ranks[order] = seq - starts[own_int[order]]
+        new_pos_int = own_int * K + ranks
+        n_int_f_new = n_int_c * K
+        nf_new = n_int_f_new + (nf - n_int_f)
+        dummy_cell = nc  # one extra trash cell
+        # scatter old faces into the padded layout
+        def scat(a, fill=0.0):
+            out = np.full((nf_new,) + a.shape[1:], fill, dtype=a.dtype)
+            out[new_pos_int] = a[:n_int_f]
+            out[n_int_f_new:] = a[n_int_f:]
+            return out
+
+        fc2 = np.full((nf_new, 2), dummy_cell, dtype=fc.dtype)
+        fc2[new_pos_int] = fc[:n_int_f]
+        fc2[n_int_f_new:] = fc[n_int_f:]
+        face_valid = np.zeros(nf_new, dtype=bool)
+        face_valid[new_pos_int] = True
+        face_valid[n_int_f_new:] = True
+        fa = scat(fa)
+        fam = scat(fam)
+        fcn = scat(fcn)
+        fc = fc2
+        ccn = np.concatenate([ccn, np.zeros((1, mesh.dim))], axis=0)
+        cv = np.concatenate([cv, np.zeros(1)])
+        shift = n_int_f_new - n_int_f
+        groups = [
+            (g[0], g[1], g[2], g[3] + (shift if g[2] != "interior" else 0),
+             g[4] if g[2] != "interior" else n_int_f_new)
+            for g in groups
+        ]
+        n_int_f = n_int_f_new
+        nc = nc + 1
+        nf = nf_new
+
     return assemble_device_mesh(
         mesh.dim,
-        mesh.face_cells,
-        groups,
-        mesh.n_interior_cells,
-        mesh.n_interior_faces,
-        mesh.n_cells,
-        geom.face_area,
-        geom.face_area_mag,
-        geom.face_centroid,
-        geom.cell_centroid,
-        geom.cell_volume,
+        fc,
+        tuple(groups),
+        n_int_c,
+        n_int_f,
+        nc,
+        fa,
+        fam,
+        fcn,
+        ccn,
+        cv,
         dtype=dtype,
+        face_valid=face_valid,
     )

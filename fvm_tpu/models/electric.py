@@ -191,11 +191,21 @@ class ElectricModel(Model):
     def set_immersed_boundary(self, mask, value) -> None:
         """Pin masked cells to an electrode potential (the reference's
         IBM electrostatics pipeline, src/fvm/test/IBM_PARALLEL)."""
+        import numpy as _np
+
         dtype = self.mesh.cell_volume.dtype
-        self.params["ib_mask"] = jnp.asarray(mask, bool)
+        nc = self.mesh.n_cells
+        m = _np.zeros(nc, dtype=bool)
+        marr = _np.asarray(mask, dtype=bool)
+        m[: len(marr)] = marr  # device mesh may append a padding cell
+        self.params["ib_mask"] = jnp.asarray(m)
         v = jnp.asarray(value, dtype)
         if v.ndim == 0:
-            v = jnp.full(self.mesh.n_cells, v, dtype)
+            v = jnp.full(nc, v, dtype)
+        elif v.shape[0] != nc:
+            vv = _np.zeros(nc)
+            vv[: v.shape[0]] = _np.asarray(v)
+            v = jnp.asarray(vv, dtype)
         self.params["ib_value"] = v
 
     def _linearize_charge(self, mesh, params, state, bcvals, E_field):

@@ -207,3 +207,82 @@ class MeshGathers:
         if self.slots is None:
             return F[cf_face]
         return jnp.stack([sg(F) for sg in self.slots], axis=1)
+
+
+class SlotMajorGathers:
+    """Gather bundle for the owner-slot-major face layout.
+
+    Interior face f = c*K + j is the j-th face owned by cell c, so:
+      * owner(x)[f]  = x[f // K]          -> a repeat/broadcast, no gather;
+      * nbr(x)[f]    = x[c + delta_b]     -> per-offset slices + repeat;
+      * F[cf_face]   -> plain ShiftGather on the flattened table (all
+        offsets constant in this layout).
+    Boundary faces live in a contiguous tail handled by small gathers.
+    """
+
+    def __init__(self, owner, nbr, cf_face, cf_mask, face_valid,
+                 n_cells, n_int_cells, n_faces, n_int_faces, K):
+        self.K = int(K)
+        self.nc_int = int(n_int_cells)
+        self.n_int_f = int(n_int_faces)
+        self.n_src_cells = int(n_cells)
+        assert self.n_int_f == self.nc_int * self.K
+        self.bnd_owner = jnp.asarray(owner[self.n_int_f:], jnp.int32)
+        self.bnd_nbr = jnp.asarray(nbr[self.n_int_f:], jnp.int32)
+
+        # neighbor offsets (cell space) for valid interior faces
+        fint = np.arange(self.n_int_f)
+        c_of = fint // self.K
+        delta = np.where(face_valid[: self.n_int_f],
+                         nbr[: self.n_int_f] - c_of, 0)
+        vals, counts = np.unique(delta[face_valid[: self.n_int_f]],
+                                 return_counts=True)
+        order = np.argsort(counts)[::-1]
+        keep = [int(v) for v, c in zip(vals[order][:16], counts[order][:16])
+                if c >= 0.002 * max(self.n_int_f, 1)]
+        bucket = np.full(self.n_int_f, -1, dtype=np.int32)
+        for i, v in enumerate(keep):
+            bucket[(delta == v) & face_valid[: self.n_int_f]] = i
+        fb = face_valid[: self.n_int_f] & (bucket < 0)
+        self.nbr_offsets = tuple(keep)
+        self.nbr_bucket = jnp.asarray(bucket)
+        self.nbr_fb_pos = jnp.asarray(np.nonzero(fb)[0].astype(np.int32))
+        self.nbr_fb_idx = jnp.asarray(nbr[: self.n_int_f][fb].astype(np.int32))
+        self.pad_lo = max(0, -min(keep)) if keep else 0
+        self.pad_hi = (max(0, max(keep) + self.nc_int - self.n_src_cells)
+                       if keep else 0)
+
+        # flattened cf_face map (affine in this layout)
+        self.cf_sg = ShiftGather.build(cf_face.reshape(-1), n_faces)
+        self.slots = None  # signals take_faces to use cf_sg
+
+    # -- face <- cell maps -------------------------------------------------
+
+    def owner(self, x):
+        head = jnp.repeat(x[: self.nc_int], self.K, axis=0)
+        tail = x[self.bnd_owner]
+        return jnp.concatenate([head, tail], axis=0)
+
+    def nbr(self, x):
+        trailing = x.shape[1:]
+        pad = [(self.pad_lo, self.pad_hi)] + [(0, 0)] * len(trailing)
+        xp = jnp.pad(x, pad)
+        head = jnp.repeat(x[: self.nc_int], self.K, axis=0)
+        bshape = (self.n_int_f,) + (1,) * len(trailing)
+        for i, d in enumerate(self.nbr_offsets):
+            seg = jax.lax.slice_in_dim(
+                xp, self.pad_lo + d, self.pad_lo + d + self.nc_int, axis=0
+            )
+            cand = jnp.repeat(seg, self.K, axis=0)
+            head = jnp.where((self.nbr_bucket == i).reshape(bshape), cand, head)
+        if self.nbr_fb_pos.shape[0]:
+            head = head.at[self.nbr_fb_pos].set(x[self.nbr_fb_idx])
+        tail = x[self.bnd_nbr]
+        return jnp.concatenate([head, tail], axis=0)
+
+    def take_faces(self, F, cf_face):
+        if self.cf_sg is None:
+            return F[cf_face]
+        out = self.cf_sg(F)
+        n, Kt = cf_face.shape
+        return out.reshape((n, Kt) + F.shape[1:])

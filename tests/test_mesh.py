@@ -107,8 +107,11 @@ def test_device_mesh_tables():
     nbr = np.asarray(dm.face_cell1)
     # every interior cell has 4 faces
     assert mask[: m.n_interior_cells].sum() == 4 * m.n_interior_cells
-    # ghost rows have exactly one face
-    assert (mask[m.n_interior_cells :].sum(axis=1) == 1).all()
+    # ghost rows have exactly one face (the slot-major dummy cell, if
+    # present at the end, has none)
+    n_gh = m.n_faces - m.n_interior_faces
+    gh = slice(m.n_interior_cells, m.n_interior_cells + n_gh)
+    assert (mask[gh].sum(axis=1) == 1).all()
     # cf_nbr consistent with face_cells
     cn = np.asarray(dm.cf_nbr)
     for c in range(dm.n_cells):
