@@ -227,6 +227,21 @@ def assemble_device_mesh(
     amag2 = face_area_mag**2
     e_over_d = amag2 / np.where(a_dot_ds != 0, a_dot_ds, 1.0)
     t_vec = face_area - e_over_d[:, None] * ds
+    # limited non-orthogonal correction: the deferred-correction outer
+    # iteration is stable only while the explicit part stays below the
+    # implicit two-point part, whose scale is e_over_d * |ds|; cap |T|
+    # there (lambda = 0.8).  Unlimited corrections diverge on severely
+    # skewed cells (|T| up to ~2|A| on the reference's beam meshes).
+    tmag_ = np.linalg.norm(t_vec, axis=1)
+    implicit_scale = np.abs(e_over_d) * dsmag
+    cap = np.minimum(1.0, 0.8 * implicit_scale / np.maximum(tmag_, 1e-300))
+    t_vec = t_vec * cap[:, None]
+    # no deferred correction on boundary faces: the ghost sits AT the face
+    # (two-point term is the proper one-sided gradient) and ghost-cell
+    # gradients are rank-deficient
+    bmask = np.zeros(nf, dtype=bool)
+    bmask[n_interior_faces:] = True
+    t_vec = np.where(bmask[:, None], 0.0, t_vec)
     do_ = np.linalg.norm(face_centroid - cell_centroid[owner], axis=1)
     dn_ = np.linalg.norm(face_centroid - cell_centroid[nbr], axis=1)
     face_wo = dn_ / np.maximum(do_ + dn_, 1e-300)

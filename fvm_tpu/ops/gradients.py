@@ -50,6 +50,15 @@ def ls_gradient_coefficients(mesh: DeviceMesh) -> jnp.ndarray:
 
     Minv = small_inv(Mreg)
     coeff = jnp.einsum("nij,nkj,nk->nki", Minv, d, w)
+    # rank-deficient stencils (ghost cells: one neighbor) leave near-null
+    # directions in M whose regularized inverse amplifies fp noise by
+    # ~1/eps; physically no coefficient can exceed O(1/|d|), so clamp
+    # (unclamped ghost gradients reached 2e4 on skewed tet meshes and
+    # destabilized the deferred non-orthogonal correction)
+    cmag = jnp.linalg.norm(coeff, axis=2)
+    cap = 4.0 / jnp.sqrt(jnp.maximum(d2, 1e-300))
+    scale_c = jnp.minimum(1.0, cap / jnp.maximum(cmag, 1e-300))
+    coeff = coeff * scale_c[:, :, None]
     return jnp.where(mask, coeff, 0.0)
 
 

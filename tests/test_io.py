@@ -122,3 +122,33 @@ def test_persistence_file_roundtrip(tmp_path):
     t2.init()
     Persistence(path, "r").restore_model("thermal", t2)
     np.testing.assert_array_equal(t.getTemperature(), t2.getTemperature())
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not have_ref, reason="reference meshes unavailable")
+def test_thermal_on_reference_3d_beam():
+    """Heat conduction on the reference's 45k-cell unstructured 3D beam
+    case (binary Fluent sections, mixed face counts)."""
+    m = read_fluent_mesh(f"{REF}/3d-beam-45k.cas")
+    assert m.dim == 3 and m.n_interior_cells == 44630
+    dm = fvm.mesh.build_device_mesh(m)
+    t = ThermalModel(dm)
+    t.options["verbose"] = False
+    t.bc["beam-bot"].bc_type = "SpecifiedTemperature"
+    t.bc["beam-bot"]["specifiedTemperature"] = 400.0
+    t.bc["beam-top"].bc_type = "SpecifiedTemperature"
+    t.bc["beam-top"]["specifiedTemperature"] = 400.0
+    t.bc["outwalls"].bc_type = "Convective"
+    t.bc["outwalls"]["heatTransferCoefficient"] = 1e-3
+    t.bc["outwalls"]["farFieldTemperature"] = 300.0
+    for g in ("beam-side-1", "beam-side-2", "beam-tip"):
+        t.bc[g].bc_type = "Symmetry"
+    t.init()
+    hist = t.advance(20)
+    assert hist[-1][1] / hist[0][1] < 1e-6
+    T = t.getTemperature()
+    assert 300.0 - 1e-6 <= T.min() and T.max() <= 400.0 + 1e-6
+    # energy balance: beam heat in = convective loss out
+    qin = t.getHeatFluxIntegral("beam-bot") + t.getHeatFluxIntegral("beam-top")
+    qout = t.getHeatFluxIntegral("outwalls")
+    assert qin + qout == pytest.approx(0.0, abs=2e-5 * abs(qin))
