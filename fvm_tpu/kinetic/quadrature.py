@@ -58,6 +58,30 @@ class Quadrature:
         T = jnp.asarray(T)[..., None]
         return rho / (2.0 * jnp.pi * T) ** 1.5 * jnp.exp(-c2 / (2.0 * T))
 
+    @staticmethod
+    def spherical(n_r: int = 8, n_polar: int = 6, n_azimuthal: int = 8,
+                  T0: float = 1.0, r_max: float = 6.0):
+        """Spherical-coordinate ordinates (reference Quadrature.h spherical
+        mode): Gauss-Legendre radial shells x S_N angular directions.
+
+        Useful for flows where angular resolution matters more than the
+        cartesian tensor structure (no specular-mirror permutation
+        support: use cartesian for symmetry planes).
+        """
+        from .phonon import sn_directions
+
+        q = Quadrature.__new__(Quadrature)
+        xr, wr = np.polynomial.legendre.leggauss(n_r)
+        rmax = r_max * np.sqrt(T0)
+        r = 0.5 * rmax * (xr + 1.0)
+        wr = 0.5 * rmax * wr
+        s, ws = sn_directions(n_polar, n_azimuthal)
+        q.c = (r[:, None, None] * s[None, :, :]).reshape(-1, 3)
+        q.w = (wr[:, None] * r[:, None] ** 2 * ws[None, :]).reshape(-1)
+        q.N = q.c.shape[0]
+        q.T0 = T0
+        return q
+
     def moments(self, f):
         """Conserved moments: rho (..., ), momentum (.., 3), energy."""
         import jax.numpy as jnp

@@ -56,6 +56,16 @@ class ElectricVC(BoundaryCondition):
         "initialPotential": 0.0,
         "mobility": 1e-10,
         "diffusivity": 1e-12,
+        # charge injection at contacts (Fowler-Nordheim-shaped,
+        # reference InjectionDiscretization.h / TunnelingDiscretization.h)
+        "injectionA": 0.0,  # prefactor [A/V^2-ish units]
+        "injectionB": 1.0,  # exponential field scale
+        # trap kinetics (reference CaptureDiscretization.h /
+        # EmissionDiscretization.h)
+        "trapDensity": 0.0,  # N_t
+        "captureCoefficient": 0.0,  # k_cap
+        "emissionCoefficient": 0.0,  # k_em
+        "initialTrappedCharge": 0.0,
     }
 
 
@@ -63,6 +73,8 @@ class ElectricModelOptions(ModelOptions):
     _defaults = {
         "electrostatics_enable": True,
         "chargetransport_enable": False,
+        "injection_enable": False,
+        "trapping_enable": False,
         "transient": False,
         "timeStep": 1.0,
         "nonOrthogonalCorrection": True,
@@ -92,15 +104,20 @@ class ElectricModel(Model):
         self.state = {
             "potential": self._cell_field(self.vc, "initialPotential"),
             "charge": self._cell_field(self.vc, "initialCharge"),
+            "trapped": self._cell_field(self.vc, "initialTrappedCharge"),
         }
         if self.options["transient"]:
             self.state["charge_N1"] = self.state["charge"]
+            self.state["trapped_N1"] = self.state["trapped"]
 
         self.params = {
             "eps": self._cell_field(self.vc, "dielectric_constant", extend_ghosts=True)
             * EPS0,
             "mobility": self._cell_field(self.vc, "mobility", extend_ghosts=True),
             "diffusivity": self._cell_field(self.vc, "diffusivity", extend_ghosts=True),
+            "trapDensity": self._cell_field(self.vc, "trapDensity"),
+            "k_cap": self._cell_field(self.vc, "captureCoefficient"),
+            "k_em": self._cell_field(self.vc, "emissionCoefficient"),
         }
         if self.options["nonOrthogonalCorrection"]:
             self.params["grad_coeff"] = (
@@ -149,7 +166,7 @@ class ElectricModel(Model):
 
     def _linearize_potential(self, mesh, params, state, bcvals):
         phi = maybe_sync(mesh, state["potential"])
-        rho = state["charge"]
+        rho = state["charge"] + state["trapped"]
         eps_f = disc.harmonic_face_gamma(mesh, params["eps"])
         gradp = None
         if "grad_coeff" in params:
@@ -210,6 +227,7 @@ class ElectricModel(Model):
 
     def _linearize_charge(self, mesh, params, state, bcvals, E_field):
         c = maybe_sync(mesh, state["charge"])
+        # E_field used by injection fluxes below
         D_f = disc.harmonic_face_gamma(mesh, params["diffusivity"])
         gradc = None
         if "grad_coeff" in params:
@@ -221,23 +239,48 @@ class ElectricModel(Model):
         drift = mob_f * jnp.einsum("fd,fd->f", E_f, mesh.face_area)
         flux = flux + disc.convection_flux(mesh, c, drift, "upwind", gradc)
 
-        # charge flux at boundaries: zero unless explicitly specified
-        # (electrode absorption models to come with the injection/tunneling
-        # kernels)
+        # charge flux at boundaries: zero unless explicitly specified or
+        # injected at contacts (Fowler-Nordheim-shaped, reference
+        # InjectionDiscretization.h: J = A E_n^2 exp(-B/E_n) for fields
+        # driving charge into the dielectric)
+        inj_on = self.options["injection_enable"]
+        A_inj = float(self.vc["injectionA"])
+        B_inj = float(self.vc["injectionB"])
         for g, bc in self._group_bcs():
             sl = mesh.group_faces(g)
             if bc.bc_type == "SpecifiedCharge":
                 qf = bcvals[f"{g[1]}:specifiedChargeFlux"]
                 flux = bck.set_flux_fixed(flux, sl, -qf * mesh.face_area_mag[sl])
+            elif inj_on and bc.bc_type == "SpecifiedPotential":
+                amag = jnp.maximum(mesh.face_area_mag[sl], 1e-300)
+                nhat = mesh.face_area[sl] / amag[:, None]
+                E_f = E_field[mesh.face_cell0[sl]]
+                En = -jnp.einsum("fd,fd->f", E_f, nhat[:, : mesh.dim])
+                En = jnp.maximum(En, 0.0)  # field pushing charge inward
+                J = A_inj * En * En * jnp.exp(-B_inj / jnp.maximum(En, 1e-30))
+                flux = bck.set_flux_fixed(flux, sl, -J * mesh.face_area_mag[sl])
             else:
                 flux = bck.set_flux_fixed(flux, sl, 0.0)
 
         diag_cell = jnp.zeros(mesh.n_cells, c.dtype)
         r_cell = jnp.zeros(mesh.n_cells, c.dtype)
+        if self.options["trapping_enable"]:
+            # capture - emission exchange with the trap population
+            # (reference Capture/EmissionDiscretization)
+            ct = state["trapped"]
+            cap = params["k_cap"] * c * jnp.maximum(params["trapDensity"] - ct, 0.0)
+            em = params["k_em"] * ct
+            V = mesh.cell_volume
+            r_cell = r_cell + (em - cap) * V
+            diag_cell = diag_cell + params["k_cap"] * jnp.maximum(
+                params["trapDensity"] - ct, 0.0
+            ) * V
         if self.options["transient"]:
-            diag_cell, r_cell = disc.transient_term(
+            d2, r2 = disc.transient_term(
                 mesh, c, state["charge_N1"], self.options["timeStep"]
             )
+            diag_cell = diag_cell + d2
+            r_cell = r_cell + r2
         A, r = assembly.assemble(mesh, flux, r_cell=r_cell, diag_cell=diag_cell)
         for g, bc in self._group_bcs():
             gc = mesh.ghost_cells_of_group(g)
@@ -275,6 +318,21 @@ class ElectricModel(Model):
                 aux["charge_rnorm"] = Ac.norm(rc)
                 dc, _ = csolver.solve_fn(Ac, rc, jnp.zeros_like(rc))
                 state = dict(state, charge=state["charge"] + dc)
+                if opts["trapping_enable"] and opts["transient"]:
+                    # explicit trap update over the step
+                    dt = opts["timeStep"]
+                    c_new = state["charge"]
+                    ct = state["trapped"]
+                    cap = params["k_cap"] * c_new * jnp.maximum(
+                        params["trapDensity"] - ct, 0.0
+                    )
+                    em = params["k_em"] * ct
+                    state = dict(
+                        state,
+                        trapped=jnp.maximum(
+                            state["trapped_N1"] + dt * (cap - em), 0.0
+                        ),
+                    )
             return state, aux
 
         return step
@@ -306,6 +364,12 @@ class ElectricModel(Model):
         if not self.options["transient"]:
             raise ConfigError("ElectricModel: transient option is off")
         self.state["charge_N1"] = self.state["charge"]
+        self.state["trapped_N1"] = self.state["trapped"]
+
+    def getTrappedCharge(self) -> np.ndarray:
+        if self._dist:
+            return self.partition.gather_cells(self.state["trapped"])
+        return np.asarray(self.state["trapped"][: self.mesh.n_interior_cells])
 
     def getPotential(self) -> np.ndarray:
         if self._dist:

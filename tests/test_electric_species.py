@@ -130,3 +130,43 @@ def test_species_flux_integral():
     m.advance(5)
     # J = D dc/dx * area = 2*1*1 = 2 into the domain at left
     assert m.getMassFluxIntegral("left") == pytest.approx(2.0, rel=1e-7)
+
+
+def test_charge_injection_and_trapping():
+    """MEMS dielectric charging: field-driven injection at the biased
+    contact grows the free-charge population; traps capture part of it."""
+    dm = fvm.mesh.build_device_mesh(quad_2d(12, 4))
+    m = ElectricModel(dm)
+    m.options["verbose"] = False
+    m.options["chargetransport_enable"] = True
+    m.options["injection_enable"] = True
+    m.options["trapping_enable"] = True
+    m.options["transient"] = True
+    m.options["timeStep"] = 0.1
+    # reduced units: eps = 1 so the space-charge feedback stays mild
+    m.vc["dielectric_constant"] = 1.0 / EPS0
+    m.vc["initialCharge"] = 1e-15
+    m.vc["mobility"] = 1e-3
+    m.vc["diffusivity"] = 1e-4
+    m.vc["injectionA"] = 1e-5
+    m.vc["injectionB"] = 5.0
+    m.vc["trapDensity"] = 1.0
+    m.vc["captureCoefficient"] = 0.5
+    m.vc["emissionCoefficient"] = 0.01
+    m.bc["left"].bc_type = "SpecifiedPotential"
+    m.bc["left"]["specifiedPotential"] = 50.0
+    m.bc["right"].bc_type = "SpecifiedPotential"
+    m.bc["right"]["specifiedPotential"] = 0.0
+    m.bc["bottom"].bc_type = "Symmetry"
+    m.bc["top"].bc_type = "Symmetry"
+    m.init()
+    for _ in range(5):
+        m.advance(3)
+        m.updateTime()
+    c = m.getCharge()
+    ct = m.getTrappedCharge()
+    # injection happened: charge grew far beyond the initial seed
+    assert c.max() > 1e-6
+    # traps captured some of it
+    assert ct.max() > 0.0
+    assert ct.max() <= 1.0 + 1e-9  # bounded by trap density

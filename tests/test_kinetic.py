@@ -131,3 +131,14 @@ def test_phonon_ballistic_limit():
     q = m.heat_flux()[:, 0].mean()
     k_fourier_flux = (1.0 * 1.0 * 50.0 / 3.0) * 20.0  # enormous
     assert 0 < q < 0.1 * k_fourier_flux
+
+
+def test_spherical_quadrature_moments():
+    q = Quadrature.spherical(n_r=16, n_polar=8, n_azimuthal=8)
+    rho, u, T = 1.2, np.array([[0.1, -0.05, 0.0]]), 0.9
+    f = q.maxwellian(jnp.asarray([rho]), jnp.asarray(u), jnp.asarray([T]))
+    r, m, e = q.moments(f)
+    np.testing.assert_allclose(float(r[0]), rho, rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(m[0]) / rho, u[0], atol=2e-3)
+    e_exact = rho * (0.5 * (u[0] ** 2).sum() + 1.5 * T)
+    np.testing.assert_allclose(float(e[0]), e_exact, rtol=5e-3)
