@@ -51,7 +51,7 @@ def main():
     # AMG used directly as the pressure solver: each V-cycle contracts the
     # residual ~5-10x, so rtol 1e-3 needs ~3 cycles vs ~16 inside BiCGStab
     flow.options["pressureLinearSolver"] = AMG(
-        coarse_size=256, relative_tolerance=1e-3, max_iterations=12
+        coarse_size=256, relative_tolerance=1e-3, max_iterations=6
     )
     flow.options["momentumLinearSolver"] = BiCGStab(
         relative_tolerance=1e-2, max_iterations=10
@@ -64,7 +64,7 @@ def main():
     thermal.options["verbose"] = False
     thermal.options["convective"] = True
     thermal.options["linearSolver"] = AMG(
-        coarse_size=256, relative_tolerance=1e-3, max_iterations=12
+        coarse_size=256, relative_tolerance=1e-3, max_iterations=6
     )
     thermal.bc["left"].bc_type = "SpecifiedTemperature"
     thermal.bc["left"]["specifiedTemperature"] = 400.0
