@@ -1,10 +1,14 @@
-"""Phonon Boltzmann transport (gray, relaxation-time approximation).
+"""Phonon Boltzmann transport (gray or non-gray, relaxation-time approx).
 
 TPU-native counterpart of the reference's phononbase module
 (reference: phononbase/PhononModel.h:32 — ``advance`` :530 sweeps the BTE
 per direction/mode, ``updateTL`` :302 recovers the lattice temperature;
-k-space machinery in Kspace.h/pmode.h; the non-gray dispersion and COMET
-coarsening are not yet ported — this is the gray limit, one band).
+k-space machinery in Kspace.h:28/pmode.h:18, dispersion bands in
+DensityOfStates.h).  Non-gray transport: pass ``bands`` — per-band
+(C_b, vg_b, tau_b) — and the directional energies become one
+(n_cells, D*B) array; all bands relax toward a COMMON lattice
+temperature fixed by total energy conservation (the reference's
+updateTL).  COMET coarsening is not yet ported.
 
 Equation per direction d (group velocity vg, relaxation time tau):
     d e''/dt + vg s_d . grad e'' = (e0 - e'') / tau
@@ -76,13 +80,17 @@ class PhononModelOptions(ModelOptions):
 class PhononModel(Model):
     name = "PhononModel"
 
-    def __init__(self, mesh: DeviceMesh, n_polar=4, n_azimuthal=8, partition=None):
+    def __init__(self, mesh: DeviceMesh, n_polar=4, n_azimuthal=8,
+                 bands=None, partition=None):
+        """bands: optional list of (C_b, vg_b, tau_b) tuples for non-gray
+        transport; defaults to one band from the VC entries."""
         super().__init__(mesh, partition)
         self.vc = PhononVC()
         s, w = sn_directions(n_polar, n_azimuthal)
         self.s = s  # (D, 3)
         self.w = w  # (D,)
         self.D = len(w)
+        self.bands = bands  # resolved in init()
         if self._dist:
             raise ConfigError("PhononModel: multi-device support pending")
 
@@ -94,31 +102,50 @@ class PhononModel(Model):
 
     # ------------------------------------------------------------------
 
+    def _band_arrays(self):
+        if self.bands is None:
+            self.bands = [(
+                float(self.vc["specificHeat"]),
+                float(self.vc["groupVelocity"]),
+                float(self.vc["relaxationTime"]),
+            )]
+        C = np.array([b[0] for b in self.bands])
+        vg = np.array([b[1] for b in self.bands])
+        tau = np.array([b[2] for b in self.bands])
+        return C, vg, tau
+
     def _e0_of_T(self, T):
-        C = float(self.vc["specificHeat"])
+        """Per-band equilibrium (..., B) from lattice temperature."""
+        C, _, _ = self._band_arrays()
         Tref = float(self.vc["referenceTemperature"])
-        return C * (T - Tref) / (4.0 * np.pi)
+        return (
+            jnp.asarray(T)[..., None] - Tref
+        ) * jnp.asarray(C) / (4.0 * np.pi)
 
     def temperature(self, e=None):
-        """Lattice temperature from the directional energies."""
+        """Lattice temperature from total energy (reference updateTL)."""
         if e is None:
             e = self.state["e"]
-        C = float(self.vc["specificHeat"])
+        C, _, _ = self._band_arrays()
         Tref = float(self.vc["referenceTemperature"])
         w = jnp.asarray(self.w, e.dtype)
-        etot = jnp.einsum("cd,d->c", e, w)
-        return Tref + etot / C
+        B = len(C)
+        eb = e.reshape(e.shape[0], self.D, B)
+        etot = jnp.einsum("cdb,d->c", eb, w)
+        return Tref + etot / float(C.sum())
 
     def getTemperature(self) -> np.ndarray:
         return np.asarray(self.temperature()[: self.mesh.n_interior_cells])
 
     def heat_flux(self) -> np.ndarray:
-        """q = vg sum_d w_d s_d e''_d, (n_interior, 3)."""
+        """q = sum_b vg_b sum_d w_d s_d e''_bd, (n_interior, 3)."""
         e = self.state["e"]
-        vg = float(self.vc["groupVelocity"])
+        C, vg, tau = self._band_arrays()
         w = jnp.asarray(self.w, e.dtype)
         s = jnp.asarray(self.s, e.dtype)
-        q = vg * jnp.einsum("cd,d,di->ci", e, w, s)
+        B = len(C)
+        eb = e.reshape(e.shape[0], self.D, B)
+        q = jnp.einsum("cdb,b,d,di->ci", eb, jnp.asarray(vg), w, s)
         return np.asarray(q[: self.mesh.n_interior_cells])
 
     # ------------------------------------------------------------------
@@ -126,17 +153,27 @@ class PhononModel(Model):
     def init(self) -> None:
         mesh = self.mesh
         dtype = mesh.cell_volume.dtype
+        C, vg, tau = self._band_arrays()
+        B = len(C)
+        self.B = B
         T0 = self.vc.resolve("initialTemperature", mesh.n_cells, dtype)
-        e0 = self._e0_of_T(T0)
-        self.state = {"e": jnp.tile(e0[:, None], (1, self.D))}
+        e0 = self._e0_of_T(T0)  # (nc, B)
+        self.state = {
+            "e": jnp.tile(e0[:, None, :], (1, self.D, 1)).reshape(
+                mesh.n_cells, self.D * B
+            )
+        }
         if self.options["transient"]:
             self.state["e_N1"] = self.state["e"]
+        tau_db = jnp.tile(jnp.asarray(tau, dtype)[None, :], (self.D, 1)).reshape(-1)
         self.params = {
-            "tau": self.vc.resolve("relaxationTime", mesh.n_cells, dtype),
+            "tau_db": tau_db,  # (D*B,) per-column relaxation time
         }
-        vg = float(self.vc["groupVelocity"])
         s = jnp.asarray(self.s, dtype)
-        mdot = vg * jnp.einsum("fd,nd->fn", mesh.face_area, s[:, : mesh.dim])
+        sA = jnp.einsum("fd,nd->fn", mesh.face_area, s[:, : mesh.dim])
+        mdot = (
+            sA[:, :, None] * jnp.asarray(vg, dtype)[None, None, :]
+        ).reshape(mesh.n_faces, self.D * B)
         self._dO = jnp.maximum(mdot, 0.0)
         self._dN = jnp.minimum(mdot, 0.0)
         # mirror permutations for specular reflection
@@ -171,19 +208,25 @@ class PhononModel(Model):
                 ],
                 axis=1,
             )
-            sn = jnp.einsum("nd,fd->fn", s3, nhat)
+            B = self.B
+            sn_d = jnp.einsum("nd,fd->fn", s3, nhat)  # (count, D)
+            sn = jnp.repeat(sn_d, B, axis=1)  # (count, D*B)
             incoming = sn < 0
             eo = e[mesh.face_cell0[sl]]
             t = bc.bc_type
             if t == "Isothermal":
                 Tw = bcvals[f"{g[1]}:specifiedTemperature"]
-                ew = self._e0_of_T(Tw)[:, None]
+                ewb = self._e0_of_T(Tw)  # (count, B)
+                ew = jnp.tile(ewb[:, None, :], (1, self.D, 1)).reshape(
+                    g[4], self.D * B
+                )
                 e = e.at[gc].set(jnp.where(incoming, ew, eo))
             elif t == "Adiabatic":
-                # diffuse reflection with zero net energy flux
+                # diffuse reflection with zero net energy flux (per band)
                 w = jnp.asarray(self.w, e.dtype)
-                out_flux = jnp.sum(jnp.where(~incoming, eo * w * sn, 0.0), axis=1)
-                in_unit = jnp.sum(jnp.where(incoming, w * sn, 0.0), axis=1)
+                wB = jnp.repeat(w, B)
+                out_flux = jnp.sum(jnp.where(~incoming, eo * wB * sn, 0.0), axis=1)
+                in_unit = jnp.sum(jnp.where(incoming, wB * sn, 0.0), axis=1)
                 e_refl = out_flux / jnp.maximum(-in_unit, 1e-300)
                 e = e.at[gc].set(jnp.where(incoming, e_refl[:, None], eo))
             else:  # Symmetry: specular
@@ -191,7 +234,8 @@ class PhononModel(Model):
                     np.argmax(np.abs(np.asarray(mesh.face_area)[sl.start]) + 1e-30)
                 )
                 perm = self._mirror[axis]
-                e = e.at[gc].set(eo[:, perm])
+                permB = (perm[:, None] * B + jnp.arange(B)[None, :]).reshape(-1)
+                e = e.at[gc].set(eo[:, permB])
         return e
 
     def _build_step(self):
@@ -201,13 +245,21 @@ class PhononModel(Model):
         inner_tol = float(opts["innerTolerance"])
         w = jnp.asarray(self.w)
 
+        B = self.B
+        Carr, _, _ = self._band_arrays()
+
         def step(state, params, bcvals):
             e = state["e"]
             e = self._refresh_ghosts(e, bcvals)
-            # equilibrium: isotropic average (energy-conserving)
-            e0 = jnp.einsum("cd,d->c", e, w)[:, None] / (4.0 * jnp.pi)
+            # equilibrium: all bands relax toward the COMMON lattice
+            # temperature (energy-conserving across bands)
+            T = self.temperature(e)
+            e0b = self._e0_of_T(T)  # (nc, B)
+            e0 = jnp.tile(e0b[:, None, :], (1, self.D, 1)).reshape(
+                mesh.n_cells, self.D * B
+            )
             V = mesh.cell_volume[:, None]
-            tau = params["tau"][:, None]
+            tau = params["tau_db"][None, :]
             diag_extra = V / tau
             b = V / tau * e0
             if opts["transient"]:

@@ -142,3 +142,27 @@ def test_spherical_quadrature_moments():
     np.testing.assert_allclose(np.asarray(m[0]) / rho, u[0], atol=2e-3)
     e_exact = rho * (0.5 * (u[0] ** 2).sum() + 1.5 * T)
     np.testing.assert_allclose(float(e[0]), e_exact, rtol=5e-3)
+
+
+def test_phonon_nongray_two_bands():
+    """Two-band dispersion: effective conductivity = sum of band
+    conductivities (k_b = C_b vg_b^2 tau_b / 3) in the diffusive limit."""
+    from fvm_tpu.kinetic import PhononModel
+
+    dm = fvm.mesh.build_device_mesh(quad_2d(12, 3))
+    bands = [(0.7, 1.0, 0.03), (0.3, 2.0, 0.01)]
+    m = PhononModel(dm, n_polar=6, n_azimuthal=8, bands=bands)
+    m.options["verbose"] = False
+    m.bc["left"].bc_type = "Isothermal"
+    m.bc["left"]["specifiedTemperature"] = 305.0
+    m.bc["right"].bc_type = "Isothermal"
+    m.bc["right"]["specifiedTemperature"] = 295.0
+    m.bc["bottom"].bc_type = "Symmetry"
+    m.bc["top"].bc_type = "Symmetry"
+    m.init()
+    m.advance(150)
+    q = m.heat_flux()[:, 0].mean()
+    k_eff = sum(C * vg * vg * tau / 3.0 for C, vg, tau in bands)
+    assert q == pytest.approx(k_eff * 10.0, rel=0.3)
+    T = m.getTemperature()
+    assert 295.0 < T.mean() < 305.0
