@@ -76,7 +76,12 @@ class FloatVarDict(dict):
         arr = jnp.asarray(v, dtype=dtype)
         if arr.ndim == 0:
             return jnp.full((size,), arr, dtype=arr.dtype)
-        if arr.shape[0] != size:
+        if arr.shape[0] < size:
+            # device meshes append ghost/padding cells beyond the host
+            # mesh's interior count; zero-pad user arrays up to size
+            pad = [(0, size - arr.shape[0])] + [(0, 0)] * (arr.ndim - 1)
+            arr = jnp.pad(arr, pad)
+        elif arr.shape[0] != size:
             raise ConfigError(
                 f"{name}: array of shape {arr.shape} does not match size {size}"
             )

@@ -370,6 +370,44 @@ class BatteryModel(Model):
     def getConcentration(self) -> np.ndarray:
         return np.asarray(self.state["c"][: self.mesh.n_interior_cells])
 
+    def get_heat_source(self) -> np.ndarray:
+        """Volumetric heat generation (nc,): face-based Joule dissipation
+        i_f * dphi_f on conduction faces plus |i * eta| at the
+        Butler-Volmer interfaces (irreversible reaction + half-cell ohmic
+        heat).  Feed to a ThermalModel via vc['heatSource'] (the
+        reference's BatteryLinearizeThermalInterface coupling).
+        """
+        mesh = self.mesh
+        params = self.params
+        phi = self.state["phi"]
+        import fvm_tpu.ops.discretizations as disc
+
+        iface = params["iface"]
+        amag = mesh.face_area_mag
+        sig_f = disc.harmonic_face_gamma(mesh, params["sigma"])
+        dphi = mesh.take_owner(phi) - mesh.take_nbr(phi)
+        # conduction faces: q = sigma_f e_over_d (dphi)^2  (>= 0)
+        q_cond = sig_f * mesh.face_e_over_d * dphi * dphi
+        # interface faces: |i| * |eta_raw| per area (reaction + half-cell)
+        i_bv = self._bv_current(params, phi, self.state["c"])
+        po = mesh.take_owner(phi)
+        pn = mesh.take_nbr(phi)
+        U0o = mesh.take_owner(params["U0"])
+        U0n = mesh.take_nbr(params["U0"])
+        side = params["elec_side"]
+        eta_raw = (
+            jnp.where(side > 0, po, pn)
+            - jnp.where(side > 0, pn, po)
+            - jnp.where(side > 0, U0o, U0n)
+        )
+        q_if = jnp.abs(i_bv * eta_raw) * amag
+        q_face = jnp.where(iface, q_if, q_cond)
+        qc = jnp.zeros(mesh.n_cells, phi.dtype)
+        qc = qc.at[mesh.face_cell0].add(0.5 * q_face)
+        qc = qc.at[mesh.face_cell1].add(0.5 * q_face)
+        qc = qc / jnp.maximum(mesh.cell_volume, 1e-300)
+        return np.asarray(qc[: mesh.n_interior_cells])
+
     def getCurrentIntegral(self, group_name) -> float:
         """Net current INTO the domain through a boundary group."""
         mesh = self.mesh

@@ -3,7 +3,9 @@
 TPU-native counterpart of the reference's KeModel
 (reference: KeModel.h:19, KeModel_impl.h with
 SourceDiscretizationene.h / SourceDiscretizationdissi.h for the k / eps
-source terms; wall functions in WallDiscretization.h are not yet ported).
+source terms; wall functions follow WallDiscretization.h: zero-gradient
+k, eps fixed at Cmu^0.75 k^1.5/(kappa y) in wall cells, log-law production,
+and getWallViscosity() for the momentum wall shear).
 
 Equations (standard high-Re k-eps, constants Cmu=0.09, C1=1.44, C2=1.92,
 sigma_k=1.0, sigma_e=1.3):
@@ -37,6 +39,8 @@ C1 = 1.44
 C2 = 1.92
 SIGMA_K = 1.0
 SIGMA_E = 1.3
+KAPPA = 0.4187  # von Karman
+E_WALL = 9.793  # log-law constant
 
 
 class KeBC(BoundaryCondition):
@@ -103,6 +107,24 @@ class KeModel(Model):
                 else ls_gradient_coefficients(mesh)
             ),
         }
+        # wall-function data: wall-adjacent cells + distance to the wall
+        # (reference: WallDiscretization.h)
+        import numpy as np_
+
+        wall_mask = np_.zeros(mesh.n_cells, dtype=bool)
+        wall_dist = np_.full(mesh.n_cells, 1.0)
+        for g, bc in self._group_bcs():
+            if bc.bc_type == "Wall":
+                sl = mesh.group_faces(g)
+                own = np_.asarray(mesh.face_cell0)[sl]
+                cc = np_.asarray(mesh.cell_centroid)[own]
+                fc = np_.asarray(mesh.face_centroid)[sl]
+                d = np_.linalg.norm(cc - fc, axis=1)
+                wall_mask[own] = True
+                wall_dist[own] = np_.minimum(wall_dist[own], np_.maximum(d, 1e-12))
+        self.params["wall_mask"] = jnp.asarray(wall_mask)
+        self.params["wall_dist"] = jnp.asarray(wall_dist)
+
         solver = self.options.get("linearSolver")
         if solver is None:
             solver = BiCGStab(
@@ -125,6 +147,22 @@ class KeModel(Model):
             self.state["velocity"] = jnp.asarray(velocity)
         if mass_flux is not None:
             self.state["massFlux"] = jnp.asarray(mass_flux)
+
+    def getWallViscosity(self, group_name) -> np.ndarray:
+        """Effective wall viscosity per wall face for the momentum wall
+        shear: mu_w = rho u_tau kappa y / ln(E y+)
+        (reference WallDiscretization.h)."""
+        mesh = self.mesh
+        g = mesh.group_by_name(group_name) if isinstance(group_name, str) else group_name
+        sl = mesh.group_faces(g)
+        own = np.asarray(mesh.face_cell0)[sl]
+        k = np.asarray(self.state["k"])[own]
+        rho = np.asarray(self.params["rho"])[own]
+        mu = np.asarray(self.params["mu"])[own]
+        y = np.asarray(self.params["wall_dist"])[own]
+        u_tau = CMU**0.25 * np.sqrt(np.maximum(k, 1e-30))
+        yplus = np.maximum(rho * u_tau * y / mu, 11.0)
+        return rho * u_tau * KAPPA * y / np.log(E_WALL * yplus)
 
     def getTurbulentViscosity(self) -> np.ndarray:
         k = self.state["k"]
@@ -162,8 +200,16 @@ class KeModel(Model):
             mesh, phi, state["massFlux"], opts["convectionScheme"], gradp
         )
         V = mesh.cell_volume
+        wall = params.get("wall_mask")
+        yw = params.get("wall_dist")
         if which == "k":
             # r += (P - rho eps) V ; implicit destruction: diag += rho eps/k V
+            # wall cells: production from the log-law shear
+            # P_w = u_tau^3 / (kappa y), u_tau = Cmu^(1/4) sqrt(k)
+            if wall is not None:
+                u_tau = CMU**0.25 * jnp.sqrt(k)
+                P_wall = rho * u_tau**3 / (KAPPA * yw)
+                P = jnp.where(wall, P_wall, P)
             r_cell = (P - rho * e) * V
             diag_cell = rho * e / k * V
         else:
@@ -178,6 +224,11 @@ class KeModel(Model):
             diag_cell = diag_cell + d2
             r_cell = r_cell + r2
         A, r = assembly.assemble(mesh, flux, r_cell=r_cell, diag_cell=diag_cell)
+        if which == "eps" and wall is not None:
+            # wall cells: eps pinned to the equilibrium value
+            # eps_w = Cmu^(3/4) k^(3/2) / (kappa y)
+            eps_wall = CMU**0.75 * k**1.5 / (KAPPA * yw)
+            A, r = assembly.dirichlet_cells(A, r, wall, eps_wall, phi)
         key = "specifiedK" if which == "k" else "specifiedE"
         for g, bc in self._group_bcs():
             gc = mesh.ghost_cells_of_group(g)
@@ -188,7 +239,7 @@ class KeModel(Model):
                 A, r = bck.dirichlet_rows(
                     mesh, A, r, gc, bcvals[f"{g[1]}:{key}"], phi, valid, scale
                 )
-            else:  # Wall / Symmetry: zero-gradient (wall functions pending)
+            else:  # Wall / Symmetry: zero-gradient ghost (standard for k at walls)
                 A, r = bck.extrapolation_rows(mesh, A, r, gc, phi, valid, scale)
         A, r = assembly.identity_unowned_rows(mesh, A, r)
         return A, r
@@ -208,6 +259,12 @@ class KeModel(Model):
             )
             de, _ = solver.solve_fn(Ae, re, jnp.zeros_like(re))
             enew = jnp.maximum(state["eps"] + urf * de, 1e-20)
+            wall = params.get("wall_mask")
+            if wall is not None:
+                # wall cells: eps hard-fixed at the log-law equilibrium
+                # value (under-relaxation must not dilute the pin)
+                eps_wall = CMU**0.75 * knew**1.5 / (KAPPA * params["wall_dist"])
+                enew = jnp.where(wall, eps_wall, enew)
             state = dict(state, eps=enew)
             rnorm = jnp.sqrt(Ak.norm(rk) ** 2 + Ae.norm(re) ** 2)
             return state, {"rnorm": rnorm}

@@ -90,3 +90,41 @@ def test_battery_transient_species_transport():
     assert np.abs(c1 - c0).max() > 1e-6
     # far-field cells in electrode interiors barely changed yet
     assert abs(c1[0] - c0[0]) < np.abs(c1 - c0).max()
+
+
+def test_battery_heat_generation():
+    """Total heat = I * (V_applied - OCV): ohmic + reaction heats account
+    for the full overpotential budget."""
+    m = build_cell(V_applied=3.75)
+    m.advance(15)
+    q = m.get_heat_source()
+    V = np.asarray(m.mesh.cell_volume)[: m.mesh.n_interior_cells]
+    Q_total = float((q * V).sum())
+    i = abs(m.getCurrentIntegral("right"))
+    # OCV = 3.7, applied 3.75 -> dissipation = i * 0.05
+    assert Q_total == pytest.approx(i * 0.05, rel=0.05)
+    assert (q >= -1e-12).all()
+
+
+def test_battery_thermal_coupling_roundtrip():
+    """Feed battery heat into a ThermalModel and check it warms up."""
+    from fvm_tpu.models import ThermalModel
+
+    m = build_cell(V_applied=3.75)
+    m.advance(15)
+    q = m.get_heat_source()
+
+    t = ThermalModel(m.mesh)
+    t.options["verbose"] = False
+    t.vc["heatSource"] = q * 1e3  # scaled for a visible dT
+    t.vc["initialTemperature"] = 300.0
+    for s in ("left", "right"):
+        t.bc[s].bc_type = "SpecifiedTemperature"
+        t.bc[s]["specifiedTemperature"] = 300.0
+    t.bc["bottom"].bc_type = "Symmetry"
+    t.bc["top"].bc_type = "Symmetry"
+    t.init()
+    t.advance(5)
+    T = t.getTemperature()
+    assert T.max() > 300.0 + 1e-3
+    assert T.min() >= 300.0 - 1e-9

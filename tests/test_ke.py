@@ -75,3 +75,41 @@ def test_ke_with_shear_production():
         m2.updateTime()
     assert k_sheared > m2.getK().mean()
     assert m.getTurbulentViscosity().min() > 0
+
+
+def test_wall_functions_equilibrium():
+    """Sheared near-wall flow: wall functions keep k/eps positive and the
+    wall-cell dissipation matches eps_w = Cmu^0.75 k^1.5/(kappa y)."""
+    import jax.numpy as jnp
+    from fvm_tpu.models.ke import CMU, KAPPA
+
+    dm = fvm.mesh.build_device_mesh(quad_2d(4, 16))
+    m = KeModel(dm)
+    m.options["verbose"] = False
+    m.options["transient"] = True
+    m.options["timeStep"] = 0.01
+    m.vc["initialK"] = 0.1
+    m.vc["initialE"] = 0.3
+    m.vc["viscosity"] = 1e-4
+    m.bc["bottom"].bc_type = "Wall"
+    m.bc["top"].bc_type = "SpecifiedKE"
+    m.bc["top"]["specifiedK"] = 0.1
+    m.bc["top"]["specifiedE"] = 0.3
+    m.bc["left"].bc_type = "Symmetry"
+    m.bc["right"].bc_type = "Symmetry"
+    m.init()
+    cc = dm.cell_centroid
+    V = jnp.stack([cc[:, 1] * 2.0, jnp.zeros(dm.n_cells)], axis=1)
+    m.set_flow_state(velocity=V)
+    for _ in range(10):
+        m.advance(3)
+        m.updateTime()
+    k = m.getK()
+    e = m.getEpsilon()
+    assert (k > 0).all() and (e > 0).all()
+    wall = np.asarray(m.params["wall_mask"])[: dm.n_interior_cells]
+    y = np.asarray(m.params["wall_dist"])[: dm.n_interior_cells]
+    e_wall_expect = CMU**0.75 * k[wall] ** 1.5 / (KAPPA * y[wall])
+    np.testing.assert_allclose(e[wall], e_wall_expect, rtol=1e-4)
+    muw = m.getWallViscosity("bottom")
+    assert (muw > 0).all()
