@@ -3,7 +3,10 @@
 TPU-native counterpart of the reference's StructureModel
 (reference: StructureModel.h:19, StructureModel_impl.h — displacement-based
 FVM elasticity with StructureSourceDiscretization.h providing the stress
-divergence; creep/plasticity at :553-568,713 are not yet ported).
+divergence; creep/plasticity follows StructurePlasticDiscretization.h:102-160
++ StructureModel_impl.h:713 creepInit: explicit Norton power-law plastic
+strain update from the deviatoric/von-Mises stress, with the plastic
+traction 2 mu eps_p . A subtracted from the elastic face flux).
 
 Formulation (segregated displacement, standard FVM solid mechanics):
     div sigma = b,   sigma = mu (grad w + grad w^T) + lambda tr(grad w) I
@@ -79,6 +82,14 @@ class StructureModelOptions(ModelOptions):
     _defaults = {
         "transient": False,
         "timeStep": 1e-3,
+        # Norton power-law creep (reference StructurePlasticDiscretization.h:
+        # creepModel 1): deps_p/dt = A (VM/Sy0)^m * devStress / VM.
+        # Plastic flow is deviatoric (trace-free), so no lambda term appears
+        # in the plastic traction.
+        "creep": False,
+        "creepConstant": 1e-3,  # A
+        "creepExponent": 1.0,  # m
+        "yieldStress": 1.0,  # Sy0
         "nonOrthogonalCorrection": True,
         "relativeTolerance": 1e-8,
         "absoluteTolerance": 1e-30,
@@ -111,6 +122,12 @@ class StructureModel(Model):
         if self.options["transient"]:
             self.state["deformation_N1"] = self.state["deformation"]
             self.state["deformation_N2"] = self.state["deformation"]
+        if self.options["creep"]:
+            # in 2D only the in-plane block is stored; eps_p_zz is implied
+            # by incompressible plastic flow: eps_p_zz = -tr(eps_p_2d)
+            self.state["plastic_strain"] = self._full_cells(
+                0.0, trailing=(dim, dim)
+            )
 
         E = self._cell_field(self.vc, "youngsModulus", extend_ghosts=True)
         nu = self._cell_field(self.vc, "poissonsRatio", extend_ghosts=True)
@@ -174,7 +191,7 @@ class StructureModel(Model):
             # traction/force/free groups keep the zero-gradient copy
         return dict(state, deformation=w)
 
-    def _stress_flux(self, mesh, params, w):
+    def _stress_flux(self, mesh, params, state, w):
         """Block-linearized traction flux.
 
         Explicit flux: full face-interpolated stress  F = -sigma_f . A.
@@ -209,6 +226,16 @@ class StructureModel(Model):
         )
         t_A = jnp.einsum("fij,fj->fi", sigma, mesh.face_area)
         F = -t_A
+        ep = state.get("plastic_strain")
+        if ep is not None:
+            # plastic traction: sigma_total = sigma_el - 2 mu eps_p
+            # (deviatoric flow => no lambda tr(eps_p) term)
+            epf = assembly.cells_to_faces_distance_weighted(
+                mesh, maybe_sync(mesh, bck.extend_to_ghosts(mesh, ep))
+            )
+            F = F + 2.0 * mu_f[:, None] * jnp.einsum(
+                "fij,fj->fi", epf, mesh.face_area
+            )
 
         d = mesh.face_ds
         Av = mesh.face_area
@@ -228,7 +255,7 @@ class StructureModel(Model):
         its exact jvp."""
         opts = self.options
         dim = mesh.dim
-        F, dO, dN, gamma_f, gradw = self._stress_flux(mesh, params, w)
+        F, dO, dN, gamma_f, gradw = self._stress_flux(mesh, params, state, w)
 
         for g, bc in self._group_bcs():
             sl = mesh.group_faces(g)
@@ -350,7 +377,7 @@ class StructureModel(Model):
         return np.asarray(self.state["deformation"][: self.mesh.n_interior_cells])
 
     def getStress(self) -> np.ndarray:
-        """Cell stress tensors (n_interior, dim, dim)."""
+        """Cell stress tensors (n_interior, dim, dim), plastic part removed."""
         mesh = self.mesh
         w = self.state["deformation"]
         G = gradient(mesh, self.params["grad_coeff"], w)
@@ -361,4 +388,75 @@ class StructureModel(Model):
             mu[:, None, None] * (G + jnp.swapaxes(G, 1, 2))
             + lam[:, None, None] * tr[:, None, None] * eye
         )
+        ep = self.state.get("plastic_strain")
+        if ep is not None:
+            sigma = sigma - 2.0 * mu[:, None, None] * ep
         return np.asarray(sigma[: mesh.n_interior_cells])
+
+    # -------------------------------------------------- creep / plasticity
+
+    def _stress_3d(self):
+        """Full 3x3 cell stress (plane strain embedding in 2D: the
+        out-of-plane components sigma_zz = lam tr(G) + 2 mu tr(eps_p_2d)
+        follow from eps_zz = 0 and trace-free plastic flow)."""
+        mesh = self.mesh
+        dim = mesh.dim
+        w = self.state["deformation"]
+        G = gradient(mesh, self.params["grad_coeff"], w)
+        mu, lam = self.params["mu"], self.params["lam"]
+        ep = self.state.get("plastic_strain")
+        if ep is None:
+            ep = jnp.zeros((mesh.n_cells, dim, dim), w.dtype)
+        nc = mesh.n_cells
+        G3 = jnp.zeros((nc, 3, 3), w.dtype).at[:, :dim, :dim].set(G)
+        ep3 = jnp.zeros((nc, 3, 3), w.dtype).at[:, :dim, :dim].set(ep)
+        if dim == 2:
+            ep3 = ep3.at[:, 2, 2].set(-jnp.trace(ep, axis1=1, axis2=2))
+        tr = jnp.trace(G3, axis1=1, axis2=2)
+        eye3 = jnp.eye(3, dtype=w.dtype)
+        sigma = (
+            mu[:, None, None] * (G3 + jnp.swapaxes(G3, 1, 2))
+            - 2.0 * mu[:, None, None] * ep3
+            + lam[:, None, None] * tr[:, None, None] * eye3
+        )
+        return sigma
+
+    def getVMStress(self) -> np.ndarray:
+        """Von Mises stress per interior cell
+        (reference StructureModel_impl.h creepInit VMStress)."""
+        sigma = self._stress_3d()
+        tr = jnp.trace(sigma, axis1=1, axis2=2)
+        dev = sigma - (tr / 3.0)[:, None, None] * jnp.eye(3, dtype=sigma.dtype)
+        vm = jnp.sqrt(1.5 * jnp.einsum("nij,nij->n", dev, dev))
+        return np.asarray(vm[: self.mesh.n_interior_cells])
+
+    def advanceCreep(self, dt=None) -> None:
+        """Explicit Norton power-law plastic-strain update
+        (reference StructurePlasticDiscretization.h:119-136, creepModel 1):
+            eps_p += A (VM/Sy0)^m * dev(sigma)/VM * dt
+        Call once per (pseudo-)time step, then re-advance() to relax the
+        displacement field against the new plastic strain."""
+        opts = self.options
+        if not opts["creep"]:
+            raise ConfigError("StructureModel: creep option is off")
+        if dt is None:
+            dt = opts["timeStep"]
+        dim = self.mesh.dim
+        sigma = self._stress_3d()
+        tr = jnp.trace(sigma, axis1=1, axis2=2)
+        dev = sigma - (tr / 3.0)[:, None, None] * jnp.eye(3, dtype=sigma.dtype)
+        vm = jnp.sqrt(1.5 * jnp.einsum("nij,nij->n", dev, dev))
+        A = float(opts["creepConstant"])
+        m = float(opts["creepExponent"])
+        Sy = float(opts["yieldStress"])
+        mult = A * (vm / Sy) ** m / jnp.maximum(vm, 1e-300)
+        dep3 = mult[:, None, None] * dev * dt
+        self.state["plastic_strain"] = (
+            self.state["plastic_strain"] + dep3[:, :dim, :dim]
+        )
+
+    def getPlasticStrain(self) -> np.ndarray:
+        ep = self.state.get("plastic_strain")
+        if ep is None:
+            raise ConfigError("StructureModel: creep option is off")
+        return np.asarray(ep[: self.mesh.n_interior_cells])

@@ -90,3 +90,47 @@ def test_body_force_gravity():
     np.testing.assert_allclose(
         s[sel, 1, 1], -rho * gmag * (H - y[sel]), rtol=5e-3, atol=5e-3
     )
+
+
+def test_creep_shear_relaxation():
+    """Pure shear held at fixed boundary displacement: Norton creep (m=1)
+    relaxes sigma_xy by the exact explicit recurrence
+    sigma_{n+1} = sigma_n (1 - 2 A mu dt / Sy)."""
+    import jax.numpy as jnp
+
+    dm = fvm.mesh.build_device_mesh(quad_2d(6, 6))
+    m = StructureModel(dm)
+    m.options["verbose"] = False
+    m.options["creep"] = True
+    A, Sy, dt = 0.05, 1.0, 0.1
+    m.options["creepConstant"] = A
+    m.options["creepExponent"] = 1.0
+    m.options["yieldStress"] = Sy
+    m.vc["youngsModulus"] = 1.0
+    m.vc["poissonsRatio"] = 0.25
+    mu = 1.0 / (2 * 1.25)
+    gam = 0.1
+    for s in ("left", "right", "bottom", "top"):
+        m.bc[s].bc_type = "SpecifiedDeformation"
+    m.init()
+    # impose w = (gam*y, 0) on each boundary group's faces
+    for s in ("left", "right", "bottom", "top"):
+        g = dm.group_by_name(s)
+        fy = np.asarray(dm.face_centroid)[dm.group_faces(g), 1]
+        m.bc[s]["specifiedXDeformation"] = gam * fy
+        m.bc[s]["specifiedYDeformation"] = 0.0
+    m.advance(5)
+    s0 = m.getStress()[:, 0, 1]
+    np.testing.assert_allclose(s0, mu * gam, rtol=1e-8)
+    decay = 1.0 - 2.0 * A * mu * dt / Sy
+    sig = mu * gam
+    for _ in range(5):
+        m.advanceCreep(dt)
+        m.advance(3)  # stays converged: uniform eps_p has zero divergence
+        sig *= decay
+        np.testing.assert_allclose(m.getStress()[:, 0, 1], sig, rtol=1e-6)
+    # von Mises consistency: pure shear -> VM = sqrt(3) |sigma_xy|
+    np.testing.assert_allclose(
+        m.getVMStress(), np.sqrt(3.0) * abs(sig), rtol=1e-6
+    )
+    assert abs(m.getPlasticStrain()[:, 0, 1].mean() - (mu * gam - sig) / (2 * mu)) < 1e-8
