@@ -53,6 +53,7 @@ from .base import Model, ResidualHistory
 class FlowBC(BoundaryCondition):
     _allowed_types = (
         "NoSlipWall",
+        "SlipJump",
         "VelocityBoundary",
         "PressureBoundary",
         "Symmetry",
@@ -62,6 +63,7 @@ class FlowBC(BoundaryCondition):
         "specifiedYVelocity": 0.0,
         "specifiedZVelocity": 0.0,
         "specifiedPressure": 0.0,
+        "accomodationCoefficient": 1.0,
     }
 
 
@@ -86,6 +88,11 @@ class FlowModelOptions(ModelOptions):
         "convectionScheme": "upwind",
         "nonOrthogonalCorrection": True,
         "momentumTolerance": 1e-4,
+        # Maxwell slip-jump wall constants (reference FlowModelSlipJump.h:
+        # lambda = mu/p sqrt(pi R T/2), R = 8314.472/molWt)
+        "operatingPressure": 101325.0,
+        "operatingTemperature": 300.0,
+        "molecularWeight": 28.966,
         "continuityTolerance": 1e-4,
         "absoluteTolerance": 1e-50,
         "verbose": True,
@@ -192,7 +199,7 @@ class FlowModel(Model):
         comps = ("specifiedXVelocity", "specifiedYVelocity", "specifiedZVelocity")[:dim]
         return jnp.stack([bcvals[f"{g[1]}:{c}"] for c in comps], axis=1)
 
-    def _refresh_ghosts(self, mesh, state, bcvals):
+    def _refresh_ghosts(self, mesh, params, state, bcvals):
         """Set ghost V and p from BCs (explicit, before linearization)."""
         V = state["velocity"]
         p = state["pressure"]
@@ -204,6 +211,32 @@ class FlowModel(Model):
             t = bc.bc_type
             if t in ("NoSlipWall", "VelocityBoundary"):
                 V = V.at[gc].set(self._bc_velocity(mesh, bcvals, g))
+            elif t == "SlipJump":
+                # Maxwell first-order slip (reference FlowModelSlipJump.h:
+                # 47-86): wall velocity = normal part of the specified
+                # velocity + sigma*lambda/(dn + sigma*lambda) of the
+                # tangential cell velocity, relative to the moving wall.
+                owners = mesh.face_cell0[sl]
+                amag = jnp.maximum(mesh.face_area_mag[sl], 1e-300)
+                nhat = mesh.face_area[sl] / amag[:, None]
+                Vo = V[owners]
+                Vo_t = Vo - jnp.sum(Vo * nhat, axis=1, keepdims=True) * nhat
+                bv = self._bc_velocity(mesh, bcvals, g)
+                bvn = jnp.sum(bv * nhat, axis=1, keepdims=True) * nhat
+                bv_t = bv - bvn
+                opts = self.options
+                Rgas = 8314.472 / float(opts["molecularWeight"])
+                lam_mfp = (
+                    params["mu"][owners]
+                    / float(opts["operatingPressure"])
+                    * np.sqrt(0.5 * np.pi * Rgas * float(opts["operatingTemperature"]))
+                )
+                sig = bcvals[f"{g[1]}:accomodationCoefficient"]
+                dn = jnp.abs(
+                    jnp.einsum("fd,fd->f", mesh.face_ds[sl], nhat)
+                )
+                coeff = (sig * lam_mfp / (dn + sig * lam_mfp))[:, None]
+                V = V.at[gc].set(bvn + bv_t + coeff * (Vo_t - bv_t))
             elif t == "Symmetry":
                 owners = mesh.face_cell0[sl]
                 amag = jnp.maximum(mesh.face_area_mag[sl], 1e-300)
@@ -224,7 +257,7 @@ class FlowModel(Model):
         for g, bc in self._group_bcs():
             sl = mesh.group_faces(g)
             t = bc.bc_type
-            if t in ("NoSlipWall", "Symmetry"):
+            if t in ("NoSlipWall", "SlipJump", "Symmetry"):
                 continue  # zero
             rho_f = params["rho"][mesh.face_cell0[sl]]
             if t == "VelocityBoundary":
@@ -272,7 +305,7 @@ class FlowModel(Model):
                 velocity=maybe_sync(mesh, state["velocity"]),
                 pressure=maybe_sync(mesh, state["pressure"]),
             )
-            state = self._refresh_ghosts(mesh, state, bcvals)
+            state = self._refresh_ghosts(mesh, params, state, bcvals)
             V = state["velocity"]
             p = state["pressure"]
             mdot = state["massFlux"]
@@ -334,7 +367,10 @@ class FlowModel(Model):
 
             # ---- Rhie-Chow face mass flux --------------------------------
             state2 = self._refresh_ghosts(
-                mesh, dict(state, velocity=maybe_sync(mesh, V), pressure=p), bcvals
+                mesh,
+                params,
+                dict(state, velocity=maybe_sync(mesh, V), pressure=p),
+                bcvals,
             )
             V = state2["velocity"]
             rho_f = assembly.cells_to_faces_distance_weighted(mesh, params["rho"])

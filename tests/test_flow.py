@@ -100,3 +100,43 @@ def test_inlet_outlet_channel():
     # slip walls + uniform inlet => plug flow u=1 everywhere
     V = m.getVelocity()
     np.testing.assert_allclose(V[:, 0], 1.0, rtol=5e-3)
+
+
+def test_slip_jump_couette():
+    """Couette flow with Maxwell slip walls: u(y) = U (y+Ls)/(H+2Ls) with
+    slip length Ls = sigma*lambda (reference FlowModelSlipJump.h).
+    Equal-pressure ends admit the through-flow; sides must NOT be Symmetry
+    (that would force u.n = 0 and kill the Couette profile)."""
+
+    def run(acc):
+        m = FlowModel(dm)
+        m.options["verbose"] = False
+        m.vc["viscosity"] = 1.0
+        # pick constants so lambda = mu/p * sqrt(0.5 pi R T) = 0.1:
+        # R = 8314.472/molWt = 1, T = 2/pi -> sqrt term = 1, p = 10
+        m.options["molecularWeight"] = 8314.472
+        m.options["operatingTemperature"] = 2.0 / np.pi
+        m.options["operatingPressure"] = 10.0
+        m.bc["bottom"].bc_type = "SlipJump"
+        m.bc["bottom"]["accomodationCoefficient"] = acc
+        m.bc["top"].bc_type = "SlipJump"
+        m.bc["top"]["specifiedXVelocity"] = 1.0
+        m.bc["top"]["accomodationCoefficient"] = acc
+        m.bc["left"].bc_type = "PressureBoundary"
+        m.bc["right"].bc_type = "PressureBoundary"
+        m.init()
+        m.advance(400)
+        return m.getVelocity()
+
+    dm = fvm.mesh.build_device_mesh(quad_2d(4, 16))
+    y = np.asarray(dm.cell_centroid)[: dm.n_interior_cells, 1]
+    Ls = 0.1
+    V = run(1.0)
+    u_exact = (y + Ls) / (1.0 + 2.0 * Ls)
+    np.testing.assert_allclose(V[:, 0], u_exact, atol=3e-3)
+    # slip velocity at the bottom wall row is U*Ls/(H+2Ls) > 0
+    u_bot = V[:, 0][y < y.min() + 1e-9].mean()
+    assert u_bot > 0.5 * Ls / (1 + 2 * Ls)
+    # accomodation -> 0 recovers no-slip Couette u = y
+    V2 = run(1e-12)
+    np.testing.assert_allclose(V2[:, 0], y, atol=3e-3)
