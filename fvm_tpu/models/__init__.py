@@ -6,6 +6,7 @@ from .species import SpeciesModel, SpeciesBC, SpeciesVC
 from .structure import StructureModel, StructureBC, StructureVC
 from .vacancy import VacancyModel, VacancyBC, VacancyVC
 from .fracture import FractureModel, FractureBC, FractureVC
+from .squeeze_film import SqueezeFilmModel, SqueezeFilmBC, SqueezeFilmVC
 from .property_models import IdealGasDensityModel, RosselandModel, IdealGasVC, RosselandVC
 from .shocktube import ShockTube
 from .onedconduction import OneDConduction

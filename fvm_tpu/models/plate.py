@@ -106,7 +106,11 @@ class PlateModel(Model):
             "rho_h": self._cell_field(self.vc, "density")
             * self._cell_field(self.vc, "thickness"),
             "q": self._cell_field(self.vc, "pressure"),
-            "grad_coeff": ls_gradient_coefficients(mesh),
+            "grad_coeff": (
+                jax.vmap(ls_gradient_coefficients)(mesh)
+                if self._dist
+                else ls_gradient_coefficients(mesh)
+            ),
         }
         solver = self.options.get("linearSolver")
         if solver is None:
@@ -116,6 +120,9 @@ class PlateModel(Model):
                 max_iterations=400,
             )
             self.options["linearSolver"] = solver
+        if self._dist:
+            self.state = self.partition.device_put(self.state)
+            self.params = self.partition.device_put(self.params)
         self._step = self._wrap_step(self._build_step())
         self._initial_norm = None
         self._initialized = True
@@ -259,6 +266,11 @@ class PlateModel(Model):
                 A, r = transform_rows_block(
                     mesh, A, r, gc, T, u, valid, scale, extra
                 )
+        if mesh.n_owned_cells_ is not None and mesh.n_owned_cells < mesh.n_cells:
+            hs = slice(mesh.n_owned_cells, mesh.n_cells)
+            eyeh = jnp.eye(3, dtype=u.dtype)
+            A = A.replace(diag=A.diag.at[hs].set(eyeh), off=A.off.at[hs].set(0.0))
+            r = r.at[hs].set(0.0)
         return A, r
 
     def _build_step(self):
@@ -269,7 +281,9 @@ class PlateModel(Model):
             state = dict(state, u=u)
             A, r = self._system(mesh, params, state, bcvals, u)
             rnorm = A.norm(r)
-            Rfn = lambda uu: self._system(mesh, params, state, bcvals, uu)[1]
+            Rfn = lambda uu: self._system(
+                mesh, params, state, bcvals, maybe_sync(mesh, uu)
+            )[1]
             op = MatrixFreeOperator(newton_operator(Rfn, u), A)
             du, _ = solver.solve_fn(op, r, jnp.zeros_like(r))
             return dict(state, u=u + du), {"rnorm": rnorm}
@@ -305,9 +319,13 @@ class PlateModel(Model):
         self.state["u_N1"] = self.state["u"]
 
     def getDeflection(self) -> np.ndarray:
+        if self._dist:
+            return self.partition.gather_cells(self.state["u"])[:, 2]
         return np.asarray(self.state["u"][: self.mesh.n_interior_cells, 2])
 
     def getRotations(self) -> np.ndarray:
+        if self._dist:
+            return self.partition.gather_cells(self.state["u"])[:, :2]
         return np.asarray(self.state["u"][: self.mesh.n_interior_cells, :2])
 
     def set_pressure(self, q) -> None:

@@ -334,8 +334,12 @@ class StructureModel(Model):
             rnorm = A.norm(r)
 
             # Jacobian-free Newton-Krylov: exact Jacobian action by AD,
-            # block surrogate as preconditioner
-            Rfn = lambda ww: self._system(mesh, params, state, bcvals, ww)[1]
+            # block surrogate as preconditioner.  The halo sync at entry
+            # makes the jvp tangents (the Krylov vectors) exchange their
+            # halos too — all_to_all is linear.
+            Rfn = lambda ww: self._system(
+                mesh, params, state, bcvals, maybe_sync(mesh, ww)
+            )[1]
             op = MatrixFreeOperator(newton_operator(Rfn, w), A)
             dw, _ = solver.solve_fn(op, r, jnp.zeros_like(r))
             state = dict(state, deformation=w + urf * dw)

@@ -177,3 +177,70 @@ def test_adaptive_timestep_controller():
         dts.append(tc.dt)
     # quickly-converging steps should let dt grow
     assert dts[-1] > 0.01
+
+
+def test_structure_matches_single_device():
+    """JFNK elasticity on 2 shards vs single device (block system +
+    matrix-free Newton over the halo)."""
+    from fvm_tpu.models.structure import StructureModel
+
+    mesh = quad_2d(12, 6, lx=2.0, ly=1.0)
+
+    def setup(m):
+        m.options["verbose"] = False
+        m.vc["youngsModulus"] = 10.0
+        m.vc["poissonsRatio"] = 0.3
+        m.bc["left"].bc_type = "SpecifiedDeformation"
+        m.bc["right"].bc_type = "SpecifiedTraction"
+        m.bc["right"]["specifiedYTraction"] = 0.05
+        m.bc["bottom"].bc_type = "ZeroTraction"
+        m.bc["top"].bc_type = "ZeroTraction"
+        m.init()
+
+    single = StructureModel(fvm.mesh.build_device_mesh(mesh))
+    setup(single)
+    single.advance(8)
+    w1 = single.getDeformation()
+
+    part = Partition(quad_2d(12, 6, lx=2.0, ly=1.0), 2)
+    dist = StructureModel(part.sharded_mesh, partition=part)
+    setup(dist)
+    hist = dist.advance(8)
+    wN = dist.getDeformation()
+
+    np.testing.assert_allclose(wN, w1, atol=1e-6 * np.abs(w1).max())
+    assert hist[-1][1] / hist[0][1] < 1e-6
+
+
+def test_plate_matches_single_device():
+    """Mindlin plate on 2 shards vs single device."""
+    from fvm_tpu.models.plate import PlateModel
+
+    def mk():
+        return quad_2d(12, 4, lx=3.0, ly=1.0)
+
+    def setup(m):
+        m.options["verbose"] = False
+        m.vc["ym"] = 1e6
+        m.vc["nu"] = 0.3
+        m.vc["thickness"] = 0.1
+        m.vc["pressure"] = -1.0
+        m.bc["left"].bc_type = "Clamped"
+        m.bc["right"].bc_type = "Clamped"
+        m.bc["bottom"].bc_type = "Symmetry"
+        m.bc["top"].bc_type = "Symmetry"
+        m.init()
+
+    single = PlateModel(fvm.mesh.build_device_mesh(mk()))
+    setup(single)
+    single.advance(8)
+    w1 = single.getDeflection()
+
+    part = Partition(mk(), 2)
+    dist = PlateModel(part.sharded_mesh, partition=part)
+    setup(dist)
+    hist = dist.advance(8)
+    wN = dist.getDeflection()
+
+    np.testing.assert_allclose(wN, w1, atol=1e-6 * np.abs(w1).max())
+    assert hist[-1][1] / hist[0][1] < 1e-6

@@ -146,3 +146,38 @@ def test_jvp_sensitivity_thermal():
     # linear problem: dT/dTleft = (1 - x)
     x = np.asarray(dm.cell_centroid)[: dm.n_interior_cells, 0]
     np.testing.assert_allclose(np.asarray(dT), 1.0 - x, atol=1e-6)
+
+
+def test_squeeze_film_strip():
+    """1D squeeze film: rigid strip closing at V0 with vented ends has
+    p(x) = (6 mu V0 / h^3) x (L - x) and damping force mu V0 L^3 / h^3
+    per unit depth (quadratic -> near-exact in FV)."""
+    from fvm_tpu.models import SqueezeFilmModel
+
+    L, h0, mu, V0 = 2.0, 0.05, 0.3, 1.0
+    dm = fvm.mesh.build_device_mesh(quad_2d(24, 3, lx=L, ly=1.0))
+    m = SqueezeFilmModel(dm)
+    m.options["verbose"] = False
+    m.vc["viscosity"] = mu
+    m.vc["initialGap"] = h0
+    m.bc["left"].bc_type = "Dirichlet"
+    m.bc["right"].bc_type = "Dirichlet"
+    m.bc["bottom"].bc_type = "Symmetry"
+    m.bc["top"].bc_type = "Symmetry"
+    m.init()
+    m.set_gap(h0, -V0)  # closing
+    m.advance(3)
+    p = m.getPressure()
+    x = np.asarray(dm.cell_centroid)[: dm.n_interior_cells, 0]
+    p_exact = 6.0 * mu * V0 / h0**3 * x * (L - x)
+    # interior two-point fluxes are exact for quadratics; the boundary
+    # ghost-at-face gradient carries the O(dx^2) quadrature error, which
+    # shows up as a uniform offset ~ p'' (dx/2)^2 / 2
+    dx = L / 24
+    np.testing.assert_allclose(p, p_exact, atol=3.0 * mu * V0 / h0**3 * dx**2)
+    F = m.getDampingForce()
+    assert F == pytest.approx(mu * V0 * L**3 / h0**3, rel=5e-3)
+    # halving the gap -> 8x the damping force
+    m.set_gap(h0 / 2, -V0)
+    m.advance(3)
+    assert m.getDampingForce() == pytest.approx(8 * F, rel=1e-5)
