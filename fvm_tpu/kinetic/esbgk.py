@@ -75,6 +75,8 @@ class _KineticOperator:
 
     def __init__(self, mesh, dO, dN, diag_extra):
         self.mesh = mesh
+        self.axis_name = mesh.axis_name
+        self.halo = mesh.halo
         self.dO = dO  # (nf, N) = max(mdot, 0)
         self.dN = dN  # (nf, N) = min(mdot, 0)
         self.diag_extra = diag_extra  # (nc, 1) or (nc, N)
@@ -92,8 +94,16 @@ class _KineticOperator:
         self.owned = (jnp.arange(mesh.n_cells) < n_own)[:, None]
         self.interior = (jnp.arange(mesh.n_cells) < mesh.n_interior_cells)[:, None]
 
+    def sync(self, f):
+        if self.halo is not None and self.axis_name is not None:
+            from ..ops.halo import halo_exchange
+
+            return halo_exchange(f, self.halo, self.axis_name)
+        return f
+
     def mv(self, f):
         mesh = self.mesh
+        f = self.sync(f)
         fo = mesh.take_owner(f)
         fn = mesh.take_nbr(f)
         F = self.dO * fo + self.dN * fn  # (nf, N)
@@ -101,21 +111,26 @@ class _KineticOperator:
         m = mesh.cf_mask[:, :, None]
         y = jnp.where(m, s * mesh.take_faces(F), 0.0).sum(axis=1)
         y = y + self.diag_extra * f
-        # ghost/halo rows: identity
+        # ghost rows: identity; halo/padding rows beyond n_owned: zero
+        # (ELLMatrix convention: each global row counted on one shard only)
         y = jnp.where(self.interior, y, f)
+        y = jnp.where(self.owned, y, 0.0)
         return y
 
+    def psum(self, v):
+        if self.axis_name is not None:
+            return jax.lax.psum(v, self.axis_name)
+        return v
+
     def dot(self, a, b):
-        return jnp.sum(a * b)
+        return self.psum(jnp.sum(a * b))
 
     def norm(self, x):
-        return jnp.sqrt(jnp.sum(x * x))
-
-    def psum(self, v):
-        return v
+        return jnp.sqrt(self.psum(jnp.sum(x * x)))
 
     def diag_solve(self, r):
         d = jnp.where(self.interior, self.diag, 1.0)
+        d = jnp.where(jnp.abs(d) > 0.0, d, 1.0)  # dead padded rows
         return r / d
 
     def jacobi_step(self, x, b, omega=1.0):
@@ -134,8 +149,6 @@ class KineticModel(Model):
         super().__init__(mesh, partition)
         self.vc = KineticVC()
         self.quadrature = quadrature or Quadrature(8, 8, 8)
-        if self._dist:
-            raise ConfigError("KineticModel: multi-device support pending")
 
     def _make_options(self):
         return KineticModelOptions()
@@ -149,32 +162,51 @@ class KineticModel(Model):
         mesh = self.mesh
         q = self.quadrature
         dtype = mesh.cell_volume.dtype
-        rho0 = self.vc.resolve("initialDensity", mesh.n_cells, dtype)
-        T0 = self.vc.resolve("initialTemperature", mesh.n_cells, dtype)
+        rho0 = self._cell_field(self.vc, "initialDensity")
+        T0 = self._cell_field(self.vc, "initialTemperature")
+        # dead padding/halo cells carry rho = T = 0; maxwellian(0, u, 0)
+        # is inf*0 = NaN, so floor T (f stays exactly 0 there via rho = 0)
+        T0 = jnp.where(T0 > 0, T0, 1.0)
         u0 = jnp.stack(
             [
-                self.vc.resolve("initialXVelocity", mesh.n_cells, dtype),
-                self.vc.resolve("initialYVelocity", mesh.n_cells, dtype),
-                jnp.zeros(mesh.n_cells, dtype),
+                self._cell_field(self.vc, "initialXVelocity"),
+                self._cell_field(self.vc, "initialYVelocity"),
+                jnp.zeros_like(rho0),
             ],
-            axis=1,
+            axis=-1,
         )
-        f0 = q.maxwellian(rho0, u0, T0)
+        f0 = (jax.vmap(q.maxwellian) if self._dist else q.maxwellian)(
+            rho0, u0, T0
+        )
         self.state = {"f": f0}
         if self.options["transient"]:
             self.state["f_N1"] = f0
-        self.params = {
-            "tau": self.vc.resolve("relaxationTime", mesh.n_cells, dtype),
-        }
+        tau = self._cell_field(self.vc, "relaxationTime")
+        # dead padding/halo cells have tau = 0; V/tau there must give 0,
+        # not NaN (a single NaN poisons the psum'd Krylov dot products)
+        self.params = {"tau": jnp.where(tau > 0, tau, 1.0)}
         # per-face, per-ordinate advection speeds mdot = c . A (only the
         # mesh's spatial components advect; the rest are internal ordinates)
         c = jnp.asarray(q.c, dtype)
-        mdot = jnp.einsum("fd,nd->fn", mesh.face_area, c[:, : mesh.dim])
-        self._dO = jnp.maximum(mdot, 0.0)
-        self._dN = jnp.minimum(mdot, 0.0)
+        mdot = jnp.einsum("...fd,nd->...fn", mesh.face_area, c[:, : mesh.dim])
+        # stored in params (not closed over) so shard_map shards them
+        self.params["dO"] = jnp.maximum(mdot, 0.0)
+        self.params["dN"] = jnp.minimum(mdot, 0.0)
         # specular mirror permutations per axis (cartesian tensor grid)
         self._mirror = self._build_mirrors()
-        self._step = jax.jit(self._build_step())
+        # dominant outward-normal axis per boundary group, computed on the
+        # host from the concrete (possibly stacked) face areas: inside
+        # shard_map the mesh arrays are traced and argmax would fail
+        fa = np.asarray(mesh.face_area)
+        self._mirror_axis = {}
+        for g, _bc in self._group_bcs():
+            sl = mesh.group_faces(g)
+            ga = np.abs(fa[..., sl, :]).sum(axis=tuple(range(fa.ndim - 1)))
+            self._mirror_axis[g[1]] = int(np.argmax(ga + 1e-30))
+        if self._dist:
+            self.state = self.partition.device_put(self.state)
+            self.params = self.partition.device_put(self.params)
+        self._step = self._wrap_step(self._build_step())
         self._initial_norm = None
         self._initialized = True
 
@@ -197,10 +229,15 @@ class KineticModel(Model):
     # ------------------------------------------------------------------
 
     def moments(self, f=None):
-        """(rho, u, T) with u the 3-velocity; T in reduced units."""
+        """(rho, u, T) with u the 3-velocity; T in reduced units.
+
+        With no argument, distributed states are gathered to the global
+        interior ordering first."""
         q = self.quadrature
         if f is None:
             f = self.state["f"]
+            if self._dist:
+                f = jnp.asarray(self.partition.gather_cells(f))
         rho, mom, e = q.moments(f)
         rho_s = jnp.maximum(rho, 1e-30)
         u = mom / rho_s[..., None]
@@ -235,8 +272,7 @@ class KineticModel(Model):
             * jnp.exp(-0.5 * quad)
         )
 
-    def _refresh_ghosts(self, f, bcvals):
-        mesh = self.mesh
+    def _refresh_ghosts(self, mesh, f, bcvals):
         q = self.quadrature
         c = jnp.asarray(q.c, f.dtype)
         w = jnp.asarray(q.w, f.dtype)
@@ -292,13 +328,9 @@ class KineticModel(Model):
                 finf = q.maxwellian(rho_inf, u_inf, T_inf)
                 f = f.at[gc].set(jnp.where(incoming, finf, fo))
             elif t in ("SpecularWall", "Symmetry"):
-                # axis-aligned mirror: pick the dominant normal axis
-                axis = int(
-                    np.argmax(
-                        np.abs(np.asarray(mesh.face_area)[sl.start]) + 1e-30
-                    )
-                )
-                perm = self._mirror[axis]
+                # axis-aligned mirror along the group's dominant normal
+                # axis (precomputed host-side in init)
+                perm = self._mirror[self._mirror_axis[g[1]]]
                 f = f.at[gc].set(fo[:, perm])
         return f
 
@@ -306,13 +338,14 @@ class KineticModel(Model):
 
     def _build_step(self):
         opts = self.options
-        mesh = self.mesh
         inner_it = int(opts["innerIterations"])
         inner_tol = float(opts["innerTolerance"])
 
-        def step(state, params, bcvals):
-            f = state["f"]
-            f = self._refresh_ghosts(f, bcvals)
+        def step(mesh, params, state, bcvals):
+            from ..ops.halo import maybe_sync
+
+            f = maybe_sync(mesh, state["f"])
+            f = self._refresh_ghosts(mesh, f, bcvals)
             feq = self._equilibrium(f)
             V = mesh.cell_volume[:, None]
             tau = params["tau"][:, None]
@@ -322,11 +355,13 @@ class KineticModel(Model):
                 dt = opts["timeStep"]
                 diag_extra = diag_extra + V / dt
                 b = b + V / dt * state["f_N1"]
-            op = _KineticOperator(mesh, self._dO, self._dN, diag_extra)
-            # rhs rows for ghost cells: keep current ghost values
+            op = _KineticOperator(mesh, params["dO"], params["dN"], diag_extra)
+            # rhs rows for ghost cells: keep current ghost values; halo and
+            # padding rows (beyond n_owned) are zero like mv's output
             b = jnp.where(op.interior, b, f)
+            b = jnp.where(op.owned, b, 0.0)
             r0 = b - op.mv(f)
-            rnorm = op.norm(jnp.where(op.interior, r0, 0.0))
+            rnorm = op.norm(jnp.where(op.interior & op.owned, r0, 0.0))
 
             from ..linear.krylov import BiCGStab, JacobiSolver
 
@@ -349,7 +384,7 @@ class KineticModel(Model):
         hist = ResidualHistory()
         bcvals = self._resolve_bcvals()
         for it in range(niter):
-            self.state, aux = self._step(self.state, self.params, bcvals)
+            self.state, aux = self._step(self.mesh, self.params, self.state, bcvals)
             rnorm = float(aux["rnorm"])
             if self._initial_norm is None or self._initial_norm == 0.0:
                 self._initial_norm = rnorm
@@ -370,8 +405,12 @@ class KineticModel(Model):
     def conservation_error(self):
         """Moments of the collision term (should vanish for BGK):
         (reference: KineticModel.h:2954 conservation check)."""
-        f = self.state["f"][: self.mesh.n_interior_cells]
-        feq = self._equilibrium(self.state["f"])[: self.mesh.n_interior_cells]
+        if self._dist:
+            f = jnp.asarray(self.partition.gather_cells(self.state["f"]))
+            feq = self._equilibrium(f)
+        else:
+            f = self.state["f"][: self.mesh.n_interior_cells]
+            feq = self._equilibrium(self.state["f"])[: self.mesh.n_interior_cells]
         q = self.quadrature
         drho, dmom, de = q.moments(feq - f)
         return (

@@ -244,3 +244,40 @@ def test_plate_matches_single_device():
 
     np.testing.assert_allclose(wN, w1, atol=1e-6 * np.abs(w1).max())
     assert hist[-1][1] / hist[0][1] < 1e-6
+
+
+def test_kinetic_matches_single_device():
+    """ES-BGK Couette on 2 shards vs single device (batched (nc, N)
+    distribution through halo exchange + psum'd Krylov)."""
+    from fvm_tpu.kinetic import KineticModel, Quadrature
+
+    def mk():
+        return quad_2d(3, 16)
+
+    def setup(m):
+        m.options["verbose"] = False
+        m.vc["relaxationTime"] = 0.2
+        m.bc["top"].bc_type = "DiffuseWall"
+        m.bc["top"]["specifiedXVelocity"] = 0.3
+        m.bc["bottom"].bc_type = "DiffuseWall"
+        m.bc["bottom"]["specifiedXVelocity"] = -0.3
+        m.bc["left"].bc_type = "Symmetry"
+        m.bc["right"].bc_type = "Symmetry"
+        m.init()
+
+    single = KineticModel(fvm.mesh.build_device_mesh(mk()), Quadrature(6, 6, 4))
+    setup(single)
+    single.advance(15)
+    r1, u1, T1 = single.moments()
+    r1 = np.asarray(r1[: single.mesh.n_interior_cells])
+    u1 = np.asarray(u1[: single.mesh.n_interior_cells])
+
+    part = Partition(mk(), 2)
+    dist = KineticModel(part.sharded_mesh, Quadrature(6, 6, 4), partition=part)
+    setup(dist)
+    hist = dist.advance(15)
+    rN, uN, TN = dist.moments()
+
+    np.testing.assert_allclose(np.asarray(rN), r1, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(uN), u1, atol=1e-8)
+    assert hist[-1][1] < hist[0][1]
