@@ -91,8 +91,6 @@ class PhononModel(Model):
         self.w = w  # (D,)
         self.D = len(w)
         self.bands = bands  # resolved in init()
-        if self._dist:
-            raise ConfigError("PhononModel: multi-device support pending")
 
     def _make_options(self):
         return PhononModelOptions()
@@ -123,9 +121,14 @@ class PhononModel(Model):
         ) * jnp.asarray(C) / (4.0 * np.pi)
 
     def temperature(self, e=None):
-        """Lattice temperature from total energy (reference updateTL)."""
+        """Lattice temperature from total energy (reference updateTL).
+
+        With no argument, distributed states are gathered to the global
+        interior ordering first."""
         if e is None:
             e = self.state["e"]
+            if self._dist:
+                e = jnp.asarray(self.partition.gather_cells(e))
         C, _, _ = self._band_arrays()
         Tref = float(self.vc["referenceTemperature"])
         w = jnp.asarray(self.w, e.dtype)
@@ -135,17 +138,24 @@ class PhononModel(Model):
         return Tref + etot / float(C.sum())
 
     def getTemperature(self) -> np.ndarray:
-        return np.asarray(self.temperature()[: self.mesh.n_interior_cells])
+        T = self.temperature()
+        if self._dist:
+            return np.asarray(T)  # already gathered to global interior
+        return np.asarray(T[: self.mesh.n_interior_cells])
 
     def heat_flux(self) -> np.ndarray:
         """q = sum_b vg_b sum_d w_d s_d e''_bd, (n_interior, 3)."""
         e = self.state["e"]
+        if self._dist:
+            e = jnp.asarray(self.partition.gather_cells(e))
         C, vg, tau = self._band_arrays()
         w = jnp.asarray(self.w, e.dtype)
         s = jnp.asarray(self.s, e.dtype)
         B = len(C)
         eb = e.reshape(e.shape[0], self.D, B)
         q = jnp.einsum("cdb,b,d,di->ci", eb, jnp.asarray(vg), w, s)
+        if self._dist:
+            return np.asarray(q)  # gathered input -> global interior rows
         return np.asarray(q[: self.mesh.n_interior_cells])
 
     # ------------------------------------------------------------------
@@ -156,26 +166,30 @@ class PhononModel(Model):
         C, vg, tau = self._band_arrays()
         B = len(C)
         self.B = B
-        T0 = self.vc.resolve("initialTemperature", mesh.n_cells, dtype)
-        e0 = self._e0_of_T(T0)  # (nc, B)
+        T0 = self._cell_field(self.vc, "initialTemperature")
+        e0 = self._e0_of_T(T0)  # (..., nc, B)
         self.state = {
-            "e": jnp.tile(e0[:, None, :], (1, self.D, 1)).reshape(
-                mesh.n_cells, self.D * B
-            )
+            "e": jnp.tile(
+                e0[..., None, :], (1,) * (e0.ndim - 1) + (self.D, 1)
+            ).reshape(*e0.shape[:-1], self.D * B)
         }
         if self.options["transient"]:
             self.state["e_N1"] = self.state["e"]
-        tau_db = jnp.tile(jnp.asarray(tau, dtype)[None, :], (self.D, 1)).reshape(-1)
-        self.params = {
-            "tau_db": tau_db,  # (D*B,) per-column relaxation time
-        }
+        # tau_db is a shard-independent (D*B,) constant: closed over by the
+        # step (implicitly replicated), NOT in params (P(axis) would split it)
+        self._tau_db = jnp.tile(
+            jnp.asarray(tau, dtype)[None, :], (self.D, 1)
+        ).reshape(-1)
         s = jnp.asarray(self.s, dtype)
-        sA = jnp.einsum("fd,nd->fn", mesh.face_area, s[:, : mesh.dim])
+        sA = jnp.einsum("...fd,nd->...fn", mesh.face_area, s[:, : mesh.dim])
         mdot = (
-            sA[:, :, None] * jnp.asarray(vg, dtype)[None, None, :]
-        ).reshape(mesh.n_faces, self.D * B)
-        self._dO = jnp.maximum(mdot, 0.0)
-        self._dN = jnp.minimum(mdot, 0.0)
+            sA[..., :, None] * jnp.asarray(vg, dtype)[None, None, :]
+        ).reshape(*sA.shape[:-1], self.D * B)
+        # face-sized, per-shard: flows through params so shard_map shards it
+        self.params = {
+            "dO": jnp.maximum(mdot, 0.0),
+            "dN": jnp.minimum(mdot, 0.0),
+        }
         # mirror permutations for specular reflection
         self._mirror = []
         for axis in range(3):
@@ -189,12 +203,21 @@ class PhononModel(Model):
                 dtype=np.int32,
             )
             self._mirror.append(jnp.asarray(perm))
-        self._step = jax.jit(self._build_step())
+        # dominant outward-normal axis per group, host-side (see esbgk)
+        fa = np.asarray(mesh.face_area)
+        self._mirror_axis = {}
+        for g, _bc in self._group_bcs():
+            sl = mesh.group_faces(g)
+            ga = np.abs(fa[..., sl, :]).sum(axis=tuple(range(fa.ndim - 1)))
+            self._mirror_axis[g[1]] = int(np.argmax(ga + 1e-30))
+        if self._dist:
+            self.state = self.partition.device_put(self.state)
+            self.params = self.partition.device_put(self.params)
+        self._step = self._wrap_step(self._build_step())
         self._initial_norm = None
         self._initialized = True
 
-    def _refresh_ghosts(self, e, bcvals):
-        mesh = self.mesh
+    def _refresh_ghosts(self, mesh, e, bcvals):
         s3 = jnp.asarray(self.s, e.dtype)
         e = bck.extend_to_ghosts(mesh, e)
         for g, bc in self._group_bcs():
@@ -230,27 +253,26 @@ class PhononModel(Model):
                 e_refl = out_flux / jnp.maximum(-in_unit, 1e-300)
                 e = e.at[gc].set(jnp.where(incoming, e_refl[:, None], eo))
             else:  # Symmetry: specular
-                axis = int(
-                    np.argmax(np.abs(np.asarray(mesh.face_area)[sl.start]) + 1e-30)
-                )
-                perm = self._mirror[axis]
+                perm = self._mirror[self._mirror_axis[g[1]]]
                 permB = (perm[:, None] * B + jnp.arange(B)[None, :]).reshape(-1)
                 e = e.at[gc].set(eo[:, permB])
         return e
 
     def _build_step(self):
         opts = self.options
-        mesh = self.mesh
         inner_it = int(opts["innerIterations"])
         inner_tol = float(opts["innerTolerance"])
         w = jnp.asarray(self.w)
 
         B = self.B
         Carr, _, _ = self._band_arrays()
+        tau_db = self._tau_db
 
-        def step(state, params, bcvals):
-            e = state["e"]
-            e = self._refresh_ghosts(e, bcvals)
+        def step(mesh, params, state, bcvals):
+            from ..ops.halo import maybe_sync
+
+            e = maybe_sync(mesh, state["e"])
+            e = self._refresh_ghosts(mesh, e, bcvals)
             # equilibrium: all bands relax toward the COMMON lattice
             # temperature (energy-conserving across bands)
             T = self.temperature(e)
@@ -259,17 +281,18 @@ class PhononModel(Model):
                 mesh.n_cells, self.D * B
             )
             V = mesh.cell_volume[:, None]
-            tau = params["tau_db"][None, :]
+            tau = tau_db[None, :]
             diag_extra = V / tau
             b = V / tau * e0
             if opts["transient"]:
                 dt = opts["timeStep"]
                 diag_extra = diag_extra + V / dt
                 b = b + V / dt * state["e_N1"]
-            op = _KineticOperator(mesh, self._dO, self._dN, diag_extra)
+            op = _KineticOperator(mesh, params["dO"], params["dN"], diag_extra)
             b = jnp.where(op.interior, b, e)
+            b = jnp.where(op.owned, b, 0.0)
             r0 = b - op.mv(e)
-            rnorm = op.norm(jnp.where(op.interior, r0, 0.0))
+            rnorm = op.norm(jnp.where(op.interior & op.owned, r0, 0.0))
 
             from ..linear.krylov import BiCGStab, JacobiSolver
 
@@ -290,7 +313,7 @@ class PhononModel(Model):
         hist = ResidualHistory()
         bcvals = self._resolve_bcvals()
         for it in range(niter):
-            self.state, aux = self._step(self.state, self.params, bcvals)
+            self.state, aux = self._step(self.mesh, self.params, self.state, bcvals)
             rnorm = float(aux["rnorm"])
             if self._initial_norm is None or self._initial_norm == 0.0:
                 self._initial_norm = rnorm

@@ -281,3 +281,36 @@ def test_kinetic_matches_single_device():
     np.testing.assert_allclose(np.asarray(rN), r1, atol=1e-8)
     np.testing.assert_allclose(np.asarray(uN), u1, atol=1e-8)
     assert hist[-1][1] < hist[0][1]
+
+
+def test_phonon_matches_single_device():
+    """Gray phonon BTE on 2 shards vs single device."""
+    from fvm_tpu.kinetic.phonon import PhononModel
+
+    def mk():
+        return quad_2d(3, 12)
+
+    def setup(m):
+        m.options["verbose"] = False
+        m.vc["relaxationTime"] = 0.05
+        m.bc["bottom"].bc_type = "Isothermal"
+        m.bc["bottom"]["specifiedTemperature"] = 320.0
+        m.bc["top"].bc_type = "Isothermal"
+        m.bc["top"]["specifiedTemperature"] = 300.0
+        m.bc["left"].bc_type = "Symmetry"
+        m.bc["right"].bc_type = "Symmetry"
+        m.init()
+
+    single = PhononModel(fvm.mesh.build_device_mesh(mk()), 4, 8)
+    setup(single)
+    single.advance(25)
+    T1 = single.getTemperature()
+
+    part = Partition(mk(), 2)
+    dist = PhononModel(part.sharded_mesh, 4, 8, partition=part)
+    setup(dist)
+    hist = dist.advance(25)
+    TN = dist.getTemperature()
+
+    np.testing.assert_allclose(TN, T1, atol=1e-7)
+    assert hist[-1][1] < hist[0][1]
