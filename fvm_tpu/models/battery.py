@@ -94,10 +94,25 @@ class BatteryModel(Model):
         return BatteryBC()
 
     def set_material_regions(self, material_ids) -> None:
-        """Per-interior-cell material id (0 anode, 1 electrolyte, 2 cathode)."""
+        """Per-interior-cell material id (0 anode, 1 electrolyte, 2 cathode).
+
+        material_ids is GLOBAL (host-mesh interior ordering); distributed
+        models scatter it to the per-shard local meshes (halo cells get the
+        owning shard's value, ghosts inherit their owner)."""
         mesh = self.mesh
-        ids = np.zeros(mesh.n_cells, dtype=np.int32)
         mat = np.asarray(material_ids, dtype=np.int32)
+        if self._dist:
+            hm = self.partition.mesh
+            ids_g = np.zeros(hm.n_cells, dtype=np.int32)
+            ids_g[: len(mat)] = mat
+            fc = hm.face_cells
+            bdry = fc[:, 1] >= hm.n_interior_cells
+            ids_g[fc[bdry, 1]] = ids_g[fc[bdry, 0]]
+            self._material = np.asarray(
+                self.partition.scatter_cells(ids_g)
+            ).astype(np.int32)
+            return
+        ids = np.zeros(mesh.n_cells, dtype=np.int32)
         ids[: len(mat)] = mat
         # ghosts inherit their owner's material
         owner = np.asarray(mesh.face_cell0)[mesh.n_interior_faces :]
@@ -132,7 +147,11 @@ class BatteryModel(Model):
         # and one side is electrolyte
         owner = np.asarray(mesh.face_cell0)
         nbr = np.asarray(mesh.face_cell1)
-        m0, m1 = mat[owner], mat[nbr]
+        if mat.ndim == 2:  # distributed: (n_shards, nc_local)
+            m0 = np.take_along_axis(mat, owner, axis=1)
+            m1 = np.take_along_axis(mat, nbr, axis=1)
+        else:
+            m0, m1 = mat[owner], mat[nbr]
         is_int = np.arange(mesh.n_faces) < mesh.n_interior_faces
         iface = is_int & (m0 != m1) & ((m0 == 1) | (m1 == 1))
         self.params["iface"] = jnp.asarray(iface)
@@ -150,19 +169,21 @@ class BatteryModel(Model):
                 max_iterations=300,
             )
             self.options["linearSolver"] = solver
+        if self._dist:
+            self.state = self.partition.device_put(self.state)
+            self.params = self.partition.device_put(self.params)
         self._step = self._wrap_step(self._build_step())
         self._initial_norm = None
         self._initialized = True
 
     # ------------------------------------------------------------------
 
-    def _bv_current(self, params, phi, c):
+    def _bv_current(self, mesh, params, phi, c):
         """Butler-Volmer current per area at interface faces (nf,).
 
         Positive = current from electrode into electrolyte through the face
         in owner->neighbor direction.
         """
-        mesh = self.mesh
         T = float(self.vc["temperature"])
         i0 = float(self.vc["exchangeCurrentDensity"])
         aa = float(self.vc["alphaAnodic"])
@@ -227,7 +248,7 @@ class BatteryModel(Model):
         side = params["elec_side"]
         amag = mesh.face_area_mag
 
-        i_bv = self._bv_current(params, phi, c)
+        i_bv = self._bv_current(mesh, params, phi, c)
         # current flows owner->neighbor positively when owner is electrode
         F_if = jnp.where(iface, side * i_bv * amag, 0.0)
 
@@ -281,6 +302,8 @@ class BatteryModel(Model):
                 Ap, rp = bck.extrapolation_rows(mesh, Ap, rp, gc, phi, valid, scale_p)
             Ac, rc = bck.extrapolation_rows(mesh, Ac, rc, gc, c, valid, scale_c)
 
+        Ac, rc = assembly.identity_unowned_rows(mesh, Ac, rc)
+        Ap, rp = assembly.identity_unowned_rows(mesh, Ap, rp)
         if coupled:
             r = jnp.stack([rc, rp], axis=1)
             return (Ac, Ap), r
@@ -292,29 +315,45 @@ class BatteryModel(Model):
         coupled = self.options["transient"]
 
         def step(mesh, params, state, bcvals):
+            from ..ops.halo import maybe_sync
+
             if coupled:
                 u = jnp.stack([state["c"], state["phi"]], axis=1)
             else:
                 u = state["phi"]
+            # sync the primal too: the Jacobian (Rfn) is evaluated at the
+            # synced point, so the residual must be as well or the Newton
+            # direction is inconsistent and the outer loop diverges
+            u = maybe_sync(mesh, u)
             (Ac, Ap), r = self._system(mesh, params, state, bcvals, u)
             rnorm = Ap.norm(r)
 
-            Rfn = lambda uu: self._system(mesh, params, state, bcvals, uu)[1]
+            # sync at residual entry: jvp tangents (Krylov vectors)
+            # exchange halos through the linear all_to_all
+            Rfn = lambda uu: self._system(
+                mesh, params, state, bcvals, maybe_sync(mesh, uu)
+            )[1]
+            n_own = mesh.n_owned_cells
+            owned = jnp.arange(mesh.n_cells) < n_own
 
             class PairOp:
                 """Exact Newton operator; block-diag (Ac, Ap) surrogate."""
 
                 def mv(self, v):
-                    return -jax.jvp(Rfn, (u,), (v,))[1]
+                    y = -jax.jvp(Rfn, (u,), (v,))[1]
+                    if n_own < mesh.n_cells:
+                        m = owned if y.ndim == 1 else owned[:, None]
+                        y = jnp.where(m, y, 0.0)
+                    return y
 
                 def dot(self, a, b):
-                    return jnp.sum(a * b)
+                    return Ap.psum(jnp.sum(a * b))
 
                 def norm(self, x):
-                    return jnp.sqrt(jnp.sum(x * x))
+                    return jnp.sqrt(Ap.psum(jnp.sum(x * x)))
 
                 def psum(self, v):
-                    return v
+                    return Ap.psum(v)
 
                 def diag_solve(self, rr):
                     if coupled:
@@ -365,9 +404,13 @@ class BatteryModel(Model):
         self.state["c_N1"] = self.state["c"]
 
     def getPotential(self) -> np.ndarray:
+        if self._dist:
+            return self.partition.gather_cells(self.state["phi"])
         return np.asarray(self.state["phi"][: self.mesh.n_interior_cells])
 
     def getConcentration(self) -> np.ndarray:
+        if self._dist:
+            return self.partition.gather_cells(self.state["c"])
         return np.asarray(self.state["c"][: self.mesh.n_interior_cells])
 
     def get_heat_source(self) -> np.ndarray:
@@ -377,42 +420,59 @@ class BatteryModel(Model):
         heat).  Feed to a ThermalModel via vc['heatSource'] (the
         reference's BatteryLinearizeThermalInterface coupling).
         """
-        mesh = self.mesh
-        params = self.params
-        phi = self.state["phi"]
         import fvm_tpu.ops.discretizations as disc
 
-        iface = params["iface"]
-        amag = mesh.face_area_mag
-        sig_f = disc.harmonic_face_gamma(mesh, params["sigma"])
-        dphi = mesh.take_owner(phi) - mesh.take_nbr(phi)
-        # conduction faces: q = sigma_f e_over_d (dphi)^2  (>= 0)
-        q_cond = sig_f * mesh.face_e_over_d * dphi * dphi
-        # interface faces: |i| * |eta_raw| per area (reaction + half-cell)
-        i_bv = self._bv_current(params, phi, self.state["c"])
-        po = mesh.take_owner(phi)
-        pn = mesh.take_nbr(phi)
-        U0o = mesh.take_owner(params["U0"])
-        U0n = mesh.take_nbr(params["U0"])
-        side = params["elec_side"]
-        eta_raw = (
-            jnp.where(side > 0, po, pn)
-            - jnp.where(side > 0, pn, po)
-            - jnp.where(side > 0, U0o, U0n)
-        )
-        q_if = jnp.abs(i_bv * eta_raw) * amag
-        q_face = jnp.where(iface, q_if, q_cond)
-        qc = jnp.zeros(mesh.n_cells, phi.dtype)
-        qc = qc.at[mesh.face_cell0].add(0.5 * q_face)
-        qc = qc.at[mesh.face_cell1].add(0.5 * q_face)
-        qc = qc / jnp.maximum(mesh.cell_volume, 1e-300)
-        return np.asarray(qc[: mesh.n_interior_cells])
+        def local(mesh, params, phi, c):
+            iface = params["iface"]
+            amag = mesh.face_area_mag
+            sig_f = disc.harmonic_face_gamma(mesh, params["sigma"])
+            dphi = mesh.take_owner(phi) - mesh.take_nbr(phi)
+            # conduction faces: q = sigma_f e_over_d (dphi)^2  (>= 0)
+            q_cond = sig_f * mesh.face_e_over_d * dphi * dphi
+            # interface faces: |i| * |eta_raw| per area
+            i_bv = self._bv_current(mesh, params, phi, c)
+            po = mesh.take_owner(phi)
+            pn = mesh.take_nbr(phi)
+            U0o = mesh.take_owner(params["U0"])
+            U0n = mesh.take_nbr(params["U0"])
+            side = params["elec_side"]
+            eta_raw = (
+                jnp.where(side > 0, po, pn)
+                - jnp.where(side > 0, pn, po)
+                - jnp.where(side > 0, U0o, U0n)
+            )
+            q_if = jnp.abs(i_bv * eta_raw) * amag
+            q_face = jnp.where(iface, q_if, q_cond)
+            qc = jnp.zeros(mesh.n_cells, phi.dtype)
+            qc = qc.at[mesh.face_cell0].add(0.5 * q_face)
+            qc = qc.at[mesh.face_cell1].add(0.5 * q_face)
+            return qc / jnp.maximum(mesh.cell_volume, 1e-300)
+
+        if self._dist:
+            # per-shard (halo phi is one converged-increment stale, i.e.
+            # accurate to the solve tolerance), then gather
+            qs = jax.vmap(local)(
+                self.mesh, self.params, self.state["phi"], self.state["c"]
+            )
+            return self.partition.gather_cells(qs)
+        q = local(self.mesh, self.params, self.state["phi"], self.state["c"])
+        return np.asarray(q[: self.mesh.n_interior_cells])
 
     def getCurrentIntegral(self, group_name) -> float:
         """Net current INTO the domain through a boundary group."""
         mesh = self.mesh
         g = mesh.group_by_name(group_name) if isinstance(group_name, str) else group_name
         sl = mesh.group_faces(g)
-        sig_f = disc.harmonic_face_gamma(mesh, self.params["sigma"])
-        f = disc.diffusion_flux(mesh, self.state["phi"], sig_f)
-        return float(-jnp.sum(f.F[sl]))
+
+        def local(mesh, sigma, phi):
+            sig_f = disc.harmonic_face_gamma(mesh, sigma)
+            f = disc.diffusion_flux(mesh, phi, sig_f)
+            # padded group slots carry zero area -> zero flux
+            return -jnp.sum(f.F[..., sl])
+
+        if self._dist:
+            vals = jax.vmap(local)(
+                mesh, self.params["sigma"], self.state["phi"]
+            )
+            return float(jnp.sum(vals))
+        return float(local(mesh, self.params["sigma"], self.state["phi"]))

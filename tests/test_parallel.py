@@ -314,3 +314,52 @@ def test_phonon_matches_single_device():
 
     np.testing.assert_allclose(TN, T1, atol=1e-7)
     assert hist[-1][1] < hist[0][1]
+
+
+def test_battery_matches_single_device():
+    """Butler-Volmer sandwich cell on 2 shards vs single device (interface
+    detection through halo materials, psum'd JFNK)."""
+    from fvm_tpu.models.battery import BatteryModel
+
+    def setup(m, dm_or_part, dist):
+        m.options["verbose"] = False
+        if dist:
+            cc = np.asarray(dm_or_part.geom.cell_centroid)
+            n_int = dm_or_part.mesh.n_interior_cells
+        else:
+            cc = np.asarray(dm_or_part.cell_centroid)
+            n_int = dm_or_part.n_interior_cells
+        x = cc[:n_int, 0]
+        mat = np.where(x < 1 / 3, 0, np.where(x < 2 / 3, 1, 2)).astype(np.int32)
+        m.set_material_regions(mat)
+        m.vc["openCircuitVoltage"] = (0.1, 0.0, 3.8)
+        m.vc["conductivity"] = (100.0, 1.0, 100.0)
+        m.vc["exchangeCurrentDensity"] = 10.0
+        m.bc["left"].bc_type = "SpecifiedPotential"
+        m.bc["left"]["specifiedPotential"] = 0.0
+        m.bc["right"].bc_type = "SpecifiedPotential"
+        m.bc["right"]["specifiedPotential"] = 3.75
+        m.bc["bottom"].bc_type = "Symmetry"
+        m.bc["top"].bc_type = "Symmetry"
+        m.init()
+
+    dm = fvm.mesh.build_device_mesh(quad_2d(30, 2))
+    single = BatteryModel(dm)
+    setup(single, dm, dist=False)
+    single.advance(25)
+    p1 = single.getPotential()
+    i1 = single.getCurrentIntegral("right")
+
+    part = Partition(quad_2d(30, 2), 2)
+    dist = BatteryModel(part.sharded_mesh, partition=part)
+    setup(dist, part, dist=True)
+    hist = dist.advance(25)
+    pN = dist.getPotential()
+    iN = dist.getCurrentIntegral("right")
+
+    np.testing.assert_allclose(pN, p1, atol=1e-6)
+    assert iN == pytest.approx(i1, rel=1e-6)
+    assert hist[-1][1] / hist[0][1] < 1e-6
+    q1 = single.get_heat_source()
+    qN = dist.get_heat_source()
+    np.testing.assert_allclose(qN, q1, atol=1e-6 * max(abs(q1).max(), 1.0))
