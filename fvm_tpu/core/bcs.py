@@ -42,7 +42,11 @@ def extend_to_ghosts(mesh: DeviceMesh, x: jnp.ndarray) -> jnp.ndarray:
     gh = slice(
         mesh.n_interior_cells, mesh.n_interior_cells + mesh.n_boundary_faces
     )
-    return x.at[gh].set(x[owners])
+    x = x.at[gh].set(x[owners])
+    if mesh.periodic_ghost is not None:
+        # periodic ghosts mirror the wrapped partner owner instead
+        x = x.at[mesh.periodic_ghost].set(x[mesh.periodic_src])
+    return x
 
 
 # ---------------------------------------------------------------------------

@@ -79,6 +79,12 @@ class DeviceMesh:
     # True when every interior face's non-orthogonal remainder T vanishes
     # (structured grids): models skip deferred gradient corrections
     orthogonal: bool = struct.field(pytree_node=False, default=False)
+    # periodic boundary pairing (mesh.Mesh.make_periodic): ghost cells of
+    # paired faces sit at the wrapped partner-owner location; these index
+    # arrays map each such ghost to the partner owner cell whose value it
+    # mirrors (core.bcs.extend_to_ghosts applies the copy)
+    periodic_ghost: jnp.ndarray | None = None  # (np_,) ghost cell ids
+    periodic_src: jnp.ndarray | None = None  # (np_,) partner owner ids
 
     # --- fast indexed gathers (fall back to plain indexing) ---------------
 
@@ -327,6 +333,24 @@ def build_device_mesh(
     nf = mesh.n_faces
     face_valid = None
 
+    periodic_ghost = periodic_src = None
+    pairs = getattr(mesh, "periodic_pairs", None)
+    if pairs:
+        # reposition each periodic ghost at the wrapped partner-owner
+        # location: everything downstream (face_ds, e_over_d, LS gradient
+        # stencils, interpolation weights) then wraps correctly
+        ccn = ccn.copy()
+        pg, ps = [], []
+        for fa_, fb_ in pairs:
+            ga_, gb_ = fc[fa_, 1], fc[fb_, 1]
+            oa_, ob_ = fc[fa_, 0], fc[fb_, 0]
+            ccn[ga_] = ccn[ob_] + (fcn[fa_] - fcn[fb_])
+            ccn[gb_] = ccn[oa_] + (fcn[fb_] - fcn[fa_])
+            pg.extend([ga_, gb_])
+            ps.extend([ob_, oa_])
+        periodic_ghost = jnp.asarray(np.asarray(pg, dtype=np.int32))
+        periodic_src = jnp.asarray(np.asarray(ps, dtype=np.int32))
+
     if slot_major and n_int_c > 0:
         # global slot stride = max faces per interior cell
         counts_all = np.bincount(
@@ -374,7 +398,7 @@ def build_device_mesh(
         nc = nc + 1
         nf = nf_new
 
-    return assemble_device_mesh(
+    dm = assemble_device_mesh(
         mesh.dim,
         fc,
         tuple(groups),
@@ -389,3 +413,6 @@ def build_device_mesh(
         dtype=dtype,
         face_valid=face_valid,
     )
+    if periodic_ghost is not None:
+        dm = dm.replace(periodic_ghost=periodic_ghost, periodic_src=periodic_src)
+    return dm

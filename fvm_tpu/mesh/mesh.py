@@ -136,6 +136,51 @@ class Mesh:
     def boundary_groups(self) -> list[FaceGroup]:
         return [g for g in self.face_groups if g.group_type != "interior"]
 
+    def make_periodic(self, name_a: str, name_b: str) -> None:
+        """Pair two boundary face groups as periodic partners.
+
+        (reference: Mesh.h:337 PeriodicFacePairs + the ghost-coordinate
+        shift in MeshMetricsCalculator_impl.h:1975-2004.)  Faces are
+        matched by node-mean centroid modulo the mean group offset; the
+        pairs are consumed by build_device_mesh, which repositions each
+        ghost cell at the wrapped partner-owner location so that all face
+        geometry (ds, e_over_d, gradients) wraps correctly.  Models treat
+        the groups with bc_type 'Periodic' (lagged ghost pinning: the
+        ghost row pins to the partner owner's CURRENT value, so the wrap
+        converges by outer iteration — fluxes across the pair balance at
+        per-step convergence; iterate the outer loop per time step).
+        """
+        ga = gb = None
+        for g in self.face_groups:
+            if g.name == name_a:
+                ga = g
+            if g.name == name_b:
+                gb = g
+        if ga is None or gb is None:
+            raise MeshError(f"make_periodic: unknown group {name_a!r}/{name_b!r}")
+        if ga.count != gb.count:
+            raise MeshError("make_periodic: group sizes differ")
+
+        def centroids(g):
+            out = np.zeros((g.count, self.dim))
+            for i, f in enumerate(range(g.offset, g.offset + g.count)):
+                nodes = self.face_nodes.row(f)
+                out[i] = self.coords[nodes].mean(axis=0)
+            return out
+
+        ca = centroids(ga)
+        cb = centroids(gb)
+        off = cb.mean(axis=0) - ca.mean(axis=0)
+        d2 = ((ca[:, None, :] + off[None, None, :] - cb[None, :, :]) ** 2).sum(-1)
+        match = np.argmin(d2, axis=1)
+        if len(set(match.tolist())) != ga.count:
+            raise MeshError("make_periodic: face matching is not one-to-one")
+        fa = np.arange(ga.offset, ga.offset + ga.count)
+        fb = gb.offset + match
+        if not hasattr(self, "periodic_pairs"):
+            self.periodic_pairs = []
+        self.periodic_pairs.extend(zip(fa.tolist(), fb.tolist()))
+
     def ghost_cell_of_boundary_face(self, f: int) -> int:
         """Ghost cell id for boundary face index f (global face numbering)."""
         return self.n_interior_cells + (f - self.n_interior_faces)

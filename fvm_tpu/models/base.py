@@ -158,6 +158,35 @@ class Model:
 
     # --- common helpers ---------------------------------------------------
 
+    def _periodic_group_src(self, g):
+        """Partner-owner cell per ghost of a Periodic group (host-built)."""
+        import numpy as np
+        import jax.numpy as jnp
+        from ..exceptions import ConfigError
+
+        mesh = self.mesh
+        if mesh.periodic_ghost is None:
+            raise ConfigError(
+                f"group {g[1]!r}: bc_type 'Periodic' needs "
+                "mesh.make_periodic() before build_device_mesh()"
+            )
+        if self._dist:
+            raise ConfigError("Periodic BCs: multi-device support pending")
+        lut = dict(
+            zip(
+                np.asarray(mesh.periodic_ghost).tolist(),
+                np.asarray(mesh.periodic_src).tolist(),
+            )
+        )
+        gc = mesh.ghost_cells_of_group(g)
+        try:
+            src = [lut[c] for c in range(gc.start, gc.stop)]
+        except KeyError as e:
+            raise ConfigError(
+                f"group {g[1]!r}: not all faces are periodic-paired"
+            ) from e
+        return jnp.asarray(src, dtype=jnp.int32)
+
     def _group_bcs(self):
         """Yield (group_tuple, bc) for each boundary group."""
         for g in self.mesh.boundary_groups():

@@ -20,7 +20,7 @@ from .scalar_generic import GenericScalarModel
 
 
 class FractureBC(BoundaryCondition):
-    _allowed_types = ("Dirichlet", "SpecifiedFlux", "Symmetry")
+    _allowed_types = ("Dirichlet", "SpecifiedFlux", "Symmetry", "Periodic")
     _defaults = {
         "specifiedPhaseFieldValue": 1.0,
         "specifiedPhaseFieldFlux": 0.0,

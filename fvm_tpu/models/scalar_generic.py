@@ -53,6 +53,9 @@ class GenericScalarModel(Model):
             "D": self._cell_field(self.vc, self.diffusivity_vc, extend_ghosts=True),
         }
         self._extra_params()
+        for g, bc in self._group_bcs():
+            if bc.bc_type == "Periodic":
+                self.params[f"periodic_src:{g[1]}"] = self._periodic_group_src(g)
         if self.options.get("nonOrthogonalCorrection", True):
             self.params["grad_coeff"] = (
                 jax.vmap(ls_gradient_coefficients)(mesh)
@@ -137,6 +140,12 @@ class GenericScalarModel(Model):
                 A, r = bck.dirichlet_rows(
                     mesh, A, r, gc, bcvals[f"{g[1]}:{self.bc_dirichlet}"], phi,
                     valid, scale,
+                )
+            elif bc.bc_type == "Periodic":
+                # lagged pinning to the wrapped partner owner
+                psrc = params[f"periodic_src:{g[1]}"]
+                A, r = bck.dirichlet_rows(
+                    mesh, A, r, gc, phi[psrc], phi, valid, scale
                 )
             else:
                 A, r = bck.extrapolation_rows(mesh, A, r, gc, phi, valid, scale)

@@ -29,7 +29,7 @@ from .scalar_generic import GenericScalarModel
 
 
 class SqueezeFilmBC(BoundaryCondition):
-    _allowed_types = ("Dirichlet", "SpecifiedFlux", "Symmetry")
+    _allowed_types = ("Dirichlet", "SpecifiedFlux", "Symmetry", "Periodic")
     _defaults = {
         "specifiedPressure": 0.0,
         "specifiedFlowRate": 0.0,

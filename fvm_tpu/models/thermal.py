@@ -42,6 +42,7 @@ class ThermalBC(BoundaryCondition):
         "Convective",
         "Radiative",
         "Mixed",
+        "Periodic",
     )
     _defaults = {
         "specifiedTemperature": 300.0,
@@ -114,6 +115,9 @@ class ThermalModel(Model):
             * self._cell_field(self.vc, "specificHeat"),
             "src": self._cell_field(self.vc, "heatSource"),
         }
+        for g, bc in self._group_bcs():
+            if bc.bc_type == "Periodic":
+                self.params[f"periodic_src:{g[1]}"] = self._periodic_group_src(g)
         needs_grad = self.options["nonOrthogonalCorrection"] and not (
             mesh.orthogonal and self.options["convectionScheme"] != "sou"
         )
@@ -215,6 +219,13 @@ class ThermalModel(Model):
                 )
             elif t in ("SpecifiedHeatFlux", "Symmetry"):
                 A, r = bck.extrapolation_rows(mesh, A, r, gc, T, valid, scale)
+            elif t == "Periodic":
+                # lagged pinning: ghost follows the wrapped partner owner
+                # (geometry already wraps via the repositioned ghost)
+                psrc = params[f"periodic_src:{g[1]}"]
+                A, r = bck.dirichlet_rows(
+                    mesh, A, r, gc, T[psrc], T, valid, scale
+                )
             elif t in ("Convective", "Radiative", "Mixed"):
                 amag = mesh.face_area_mag[sl]
                 coeff = jnp.zeros_like(amag)

@@ -13,7 +13,7 @@ from .scalar_generic import GenericScalarModel
 
 
 class VacancyBC(BoundaryCondition):
-    _allowed_types = ("Dirichlet", "SpecifiedFlux", "Symmetry")
+    _allowed_types = ("Dirichlet", "SpecifiedFlux", "Symmetry", "Periodic")
     _defaults = {
         "specifiedConcentration": 0.0,
         "specifiedVacaFlux": 0.0,
