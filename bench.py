@@ -15,7 +15,10 @@ vs_baseline >= 20.
 
 Output: ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 Env knobs: FVM_BENCH_N (cavity edge cells, default 1024 -> 1,048,576 cells),
-FVM_BENCH_ITERS (timed outer steps, default 10), FVM_BENCH_DTYPE (float32).
+FVM_BENCH_ITERS (timed outer steps, default 10), FVM_BENCH_DTYPE (float32),
+FVM_BENCH_AMG_PREC (AMG cycle precision: "" = f32 default; "bf16" measured
+~1.5% faster at 512^2 but ~16% slower at 1M — converts + extra outer
+iterations outweigh the bandwidth saving; the DIA SpMV is roll-bound).
 """
 
 import json
@@ -28,6 +31,7 @@ def main():
     n = int(os.environ.get("FVM_BENCH_N", "1024"))
     iters = int(os.environ.get("FVM_BENCH_ITERS", "10"))
     dtype = os.environ.get("FVM_BENCH_DTYPE", "float32")
+    amg_prec = os.environ.get("FVM_BENCH_AMG_PREC", "") or None
 
     import fvm_tpu as fvm
     from fvm_tpu.models.flow import FlowModel
@@ -51,7 +55,8 @@ def main():
     # AMG used directly as the pressure solver: each V-cycle contracts the
     # residual ~5-10x, so rtol 1e-3 needs ~3 cycles vs ~16 inside BiCGStab
     flow.options["pressureLinearSolver"] = AMG(
-        coarse_size=256, relative_tolerance=1e-3, max_iterations=6
+        coarse_size=256, relative_tolerance=1e-3, max_iterations=6,
+        precision=amg_prec,
     )
     flow.options["momentumLinearSolver"] = BiCGStab(
         relative_tolerance=1e-2, max_iterations=10
@@ -64,7 +69,8 @@ def main():
     thermal.options["verbose"] = False
     thermal.options["convective"] = True
     thermal.options["linearSolver"] = AMG(
-        coarse_size=256, relative_tolerance=1e-3, max_iterations=6
+        coarse_size=256, relative_tolerance=1e-3, max_iterations=6,
+        precision=amg_prec,
     )
     thermal.bc["left"].bc_type = "SpecifiedTemperature"
     thermal.bc["left"]["specifiedTemperature"] = 400.0

@@ -60,6 +60,9 @@ class MovingMeshModel:
         # node -> boundary groups
         self._bnd_disp: dict[str, np.ndarray] = {}
         self._geom0 = compute_geometry(mesh)
+        self._geomN1 = self._geom0
+        self._sweptVolDot = None
+        self._sweptVolDotN1 = None
         self.volChange = 0.0
 
     def set_boundary_displacement(self, group_name: str, disp) -> None:
@@ -83,10 +86,11 @@ class MovingMeshModel:
             disps.append(np.tile(d, (len(nodes), 1)))
         return np.concatenate(ids), np.concatenate(disps)
 
-    def advance(self, niter: int = 50):
+    def advance(self, niter: int = 50, dt=None):
         """Jacobi-smooth node displacements; returns (new Mesh, DeviceMesh).
 
-        (reference: MovingMeshModel::advance — weighted node smoothing)
+        (reference: MovingMeshModel::advance — weighted node smoothing;
+        pass dt to accumulate swept-volume rates for ALE grid fluxes)
         """
         mesh = self.mesh
         bid, bdisp = self._boundary_nodes()
@@ -122,10 +126,47 @@ class MovingMeshModel:
             geom.cell_volume[: mesh.n_interior_cells].sum()
             - self._geom0.cell_volume[: mesh.n_interior_cells].sum()
         )
+        # swept-volume rate per face (reference MovingMeshModel.h:195-245):
+        # sweptVolDot_f = (A_new + A_old)/2 . v_f, with v_f the node-mean
+        # grid velocity.  For translational/stretching motion the midpoint
+        # area makes the per-cell sum match (V_new - V_old)/dt exactly
+        # (discrete geometric conservation law); grid_flux() turns it into
+        # the ALE mass flux to subtract from convective mdot.
+        dt = float(dt) if dt is not None else 1.0
+        node_vel = np.asarray(disp) / dt
+        fn = mesh.face_nodes
+        nf = mesh.n_faces
+        fv = np.zeros((nf, mesh.dim))
+        counts = fn.row_counts().astype(float)
+        np.add.at(
+            fv, np.repeat(np.arange(nf), fn.row_counts()), node_vel[fn.col]
+        )
+        fv /= counts[:, None]
+        amid = 0.5 * (geom.face_area + self._geomN1.face_area)
+        svd_prev = self._sweptVolDot
+        self._sweptVolDot = np.einsum("fd,fd->f", amid, fv)
+        self._sweptVolDotN1 = svd_prev
         self.mesh = new_mesh
+        self._geomN1 = geom
         self._geom0 = geom
         self._bnd_disp = {}
         return new_mesh, build_device_mesh(new_mesh, geom)
+
+    @property
+    def sweptVolDot(self) -> np.ndarray:
+        """Per-face swept volume rate from the last advance()."""
+        if self._sweptVolDot is None:
+            raise ConfigError("MovingMeshModel: no motion advanced yet")
+        return self._sweptVolDot
+
+    def grid_flux(self, rho=1.0) -> np.ndarray:
+        """ALE grid mass flux per face: subtract from the convective mdot
+        (reference gridFlux with the 1.5/-0.5 BDF2 extrapolation when a
+        previous step exists)."""
+        svd = self.sweptVolDot
+        if self._sweptVolDotN1 is not None:
+            svd = 1.5 * svd - 0.5 * self._sweptVolDotN1
+        return rho * svd
 
     def _rebuild(self, new_coords) -> Mesh:
         """New Mesh object sharing topology with updated coordinates."""

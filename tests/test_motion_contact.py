@@ -69,3 +69,35 @@ def test_contact_force_gap_law():
     # far wall (top, gap 1.3): no force
     F_top = cm.computeSolidSurfaceForce("top")
     np.testing.assert_allclose(F_top, 0.0, atol=1e-12)
+
+
+def test_swept_volume_gcl():
+    """Discrete geometric conservation law: the per-cell sum of swept
+    volume rates equals (V_new - V_old)/dt exactly for a stretching mesh
+    (reference MovingMeshModel.h volChange/sweptVolDot)."""
+    from fvm_tpu.models.motion import MovingMeshModel
+    from fvm_tpu.mesh.metrics import compute_geometry
+
+    mesh = quad_2d(8, 6)
+    mm = MovingMeshModel(mesh)
+    V0 = compute_geometry(mesh).cell_volume[: mesh.n_interior_cells].copy()
+    dt = 0.25
+    mm.set_boundary_displacement("right", [0.3, 0.0])
+    new_mesh, dm = mm.advance(200, dt=dt)
+    V1 = compute_geometry(new_mesh).cell_volume[: mesh.n_interior_cells]
+    svd = mm.sweptVolDot
+    fc = mesh.face_cells
+    dVdt = np.zeros(mesh.n_cells)
+    np.add.at(dVdt, fc[:, 0], svd)
+    np.add.at(dVdt, fc[:, 1], -svd)
+    np.testing.assert_allclose(
+        dVdt[: mesh.n_interior_cells], (V1 - V0) / dt, atol=1e-11
+    )
+    # grid flux: first step = sweptVolDot; after a second motion the BDF2
+    # extrapolation kicks in
+    gf1 = mm.grid_flux()
+    np.testing.assert_allclose(gf1, svd)
+    mm.set_boundary_displacement("right", [0.1, 0.0])
+    mm.advance(200, dt=dt)
+    gf2 = mm.grid_flux()
+    np.testing.assert_allclose(gf2, 1.5 * mm.sweptVolDot - 0.5 * svd)
