@@ -66,6 +66,11 @@ class ElectricVC(BoundaryCondition):
         "captureCoefficient": 0.0,  # k_cap
         "emissionCoefficient": 0.0,  # k_em
         "initialTrappedCharge": 0.0,
+        # trap-band tunneling (reference TrapBandTunnelingDiscretization.h)
+        "bandOffset": 0.0,  # conduction band Ec = bandOffset - potential
+        "trapDepth": 1.0,  # trap level below Ec [same units as potential]
+        "wkbFactor": 1.0,  # -2/hbar sqrt(2 m* me qe) in the user's units
+        "tunnelingRateScale": 0.0,  # alpha = scale * V * |E|^2
     }
 
 
@@ -75,6 +80,9 @@ class ElectricModelOptions(ModelOptions):
         "chargetransport_enable": False,
         "injection_enable": False,
         "trapping_enable": False,
+        "trapbandtunneling_enable": False,
+        "tunnelingDirection": 0,  # normal axis the WKB walk descends
+        "tunnelingMaxSteps": 200,  # reference nMax=200
         "transient": False,
         "timeStep": 1.0,
         "nonOrthogonalCorrection": True,
@@ -125,6 +133,8 @@ class ElectricModel(Model):
                 if self._dist
                 else ls_gradient_coefficients(mesh)
             )
+        if self.options["trapbandtunneling_enable"]:
+            self._setup_tunneling_paths()
 
         solver = self.options.get("electrostaticsLinearSolver")
         if solver is None:
@@ -291,6 +301,78 @@ class ElectricModel(Model):
         A, r = assembly.identity_unowned_rows(mesh, A, r)
         return A, r
 
+    # ------------------------------------------------- trap-band tunneling
+
+    def _setup_tunneling_paths(self) -> None:
+        """Static per-cell descent paths along the tunneling axis.
+
+        TPU-native replacement for the reference's per-cell while-loop walk
+        (TrapBandTunnelingDiscretization.h:96-160): the walk only depends
+        on mesh topology, so the chains are precomputed on the host once;
+        the per-step WKB transmission then vectorizes over all cells.
+        """
+        if self._dist:
+            raise ConfigError("trap-band tunneling: dist support pending")
+        mesh = self.mesh
+        axis = int(self.options["tunnelingDirection"])
+        L = int(self.options["tunnelingMaxSteps"])
+        nc_i = mesh.n_interior_cells
+        cc = np.asarray(mesh.cell_centroid)
+        nbr = np.asarray(mesh.cf_nbr)
+        msk = np.asarray(mesh.cf_mask)
+        # most-positive-ds interior neighbor per cell: the reference's
+        # "neighborUp" walk ascends the tunneling axis (:125-131)
+        ds = cc[nbr, axis] - cc[:, axis][:, None]
+        ds = np.where(msk & (nbr < nc_i), ds, -np.inf)
+        down = nbr[np.arange(len(nbr)), np.argmax(ds, axis=1)]
+        has_up = np.isfinite(ds.max(axis=1)) & (ds.max(axis=1) > 0)
+        down = np.where(has_up, down, np.arange(len(nbr)))  # self-loop stop
+        path = np.empty((nc_i, L), dtype=np.int32)
+        path[:, 0] = np.arange(nc_i)
+        for k in range(1, L):
+            path[:, k] = down[path[:, k - 1]]
+        self.params["tun_path"] = jnp.asarray(path)
+        self.params["tun_s"] = jnp.asarray(
+            cc[:, axis], mesh.cell_volume.dtype
+        )
+
+    def _tunneling_rates(self, mesh, params, state, E):
+        """(rate, exit_cell, found) per interior cell: WKB transmission to
+        the first path cell whose conduction band falls below the trap
+        level (reference :141-235, vectorized over cells)."""
+        opts = self.options
+        phi = state["potential"]
+        Ec = float(self.vc["bandOffset"]) - phi
+        depth = float(self.vc["trapDepth"])
+        wkb = float(self.vc["wkbFactor"])
+        scale = float(self.vc["tunnelingRateScale"])
+        path = params["tun_path"]  # (nc_i, L)
+        nc_i = mesh.n_interior_cells
+        en = Ec[:nc_i] - depth  # (nc_i,)
+        pEc = Ec[path]  # (nc_i, L)
+        ps = params["tun_s"][path]
+        barrier = jnp.maximum(pEc - en[:, None], 0.0)
+        dX = jnp.abs(ps[:, 1:] - ps[:, :-1])
+        inc = (
+            wkb
+            * jnp.sqrt(0.5 * (barrier[:, 1:] + barrier[:, :-1]))
+            * dX
+        )  # wkb < 0 in physical units
+        logT = jnp.concatenate(
+            [jnp.zeros((nc_i, 1), inc.dtype), jnp.cumsum(inc, axis=1)], axis=1
+        )
+        exit_mask = (pEc < en[:, None]) & (
+            jnp.arange(path.shape[1])[None, :] > 0
+        )
+        found = jnp.any(exit_mask, axis=1)
+        idx = jnp.argmax(exit_mask, axis=1)  # first True
+        T = jnp.exp(jnp.take_along_axis(logT, idx[:, None], axis=1)[:, 0])
+        exit_cell = jnp.take_along_axis(path, idx[:, None], axis=1)[:, 0]
+        e2 = jnp.sum(E[:nc_i] * E[:nc_i], axis=1)
+        alpha = scale * mesh.cell_volume[:nc_i] * e2
+        rate = jnp.where(found, alpha * T, 0.0)
+        return rate, exit_cell, found
+
     def _build_step(self):
         opts = self.options
         psolver = opts["electrostaticsLinearSolver"]
@@ -327,12 +409,26 @@ class ElectricModel(Model):
                         params["trapDensity"] - ct, 0.0
                     )
                     em = params["k_em"] * ct
-                    state = dict(
-                        state,
-                        trapped=jnp.maximum(
-                            state["trapped_N1"] + dt * (cap - em), 0.0
-                        ),
+                    trapped = jnp.maximum(
+                        state["trapped_N1"] + dt * (cap - em), 0.0
                     )
+                    if opts["trapbandtunneling_enable"]:
+                        # de-trap through the band barrier: trapped charge
+                        # leaves at rate*ct, reappearing as free charge at
+                        # the WKB exit cell (charge-conserving scatter)
+                        nc_i = mesh.n_interior_cells
+                        rate, exit_cell, found = self._tunneling_rates(
+                            mesh, params, state, E
+                        )
+                        dq = jnp.minimum(rate * dt, 1.0) * trapped[:nc_i]
+                        trapped = trapped.at[:nc_i].add(-dq)
+                        moved = dq * mesh.cell_volume[:nc_i]
+                        gain = jnp.zeros(mesh.n_cells, dq.dtype).at[
+                            exit_cell
+                        ].add(moved)
+                        gain = gain / jnp.maximum(mesh.cell_volume, 1e-300)
+                        state = dict(state, charge=state["charge"] + gain)
+                    state = dict(state, trapped=trapped)
             return state, aux
 
         return step

@@ -170,3 +170,65 @@ def test_charge_injection_and_trapping():
     # traps captured some of it
     assert ct.max() > 0.0
     assert ct.max() <= 1.0 + 1e-9  # bounded by trap density
+
+
+def test_trap_band_tunneling():
+    """Trapped charge escapes through the WKB barrier to the first cell
+    whose conduction band (Ec = -phi) falls below the trap level, moving
+    charge conservatively (reference TrapBandTunnelingDiscretization.h,
+    vectorized over static precomputed walks)."""
+    import jax.numpy as jnp
+
+    nx = 40
+    dm = fvm.mesh.build_device_mesh(quad_2d(nx, 2, lx=1.0, ly=0.05))
+    m = ElectricModel(dm)
+    m.options["verbose"] = False
+    m.options["chargetransport_enable"] = True
+    m.options["trapping_enable"] = True
+    m.options["trapbandtunneling_enable"] = True
+    m.options["transient"] = True
+    m.options["timeStep"] = 0.01
+    m.vc["dielectric_constant"] = 1.0 / EPS0  # eps = 1 (reduced units)
+    m.vc["mobility"] = 0.0
+    m.vc["diffusivity"] = 1e-6
+    m.vc["trapDensity"] = 1.0
+    m.vc["initialTrappedCharge"] = 0.0
+    m.vc["trapDepth"] = 2.0
+    m.vc["wkbFactor"] = -3.0
+    m.vc["tunnelingRateScale"] = 1.0
+    V = 10.0  # phi = V x -> Ec = -V x, slope a = V
+    m.bc["left"].bc_type = "SpecifiedPotential"
+    m.bc["left"]["specifiedPotential"] = 0.0
+    m.bc["right"].bc_type = "SpecifiedPotential"
+    m.bc["right"]["specifiedPotential"] = V
+    m.bc["bottom"].bc_type = "Symmetry"
+    m.bc["top"].bc_type = "Symmetry"
+    m.init()
+    # seed trapped charge in the left third
+    x = np.asarray(dm.cell_centroid)[: dm.n_interior_cells, 0]
+    ct0 = np.where(x < 0.3, 0.5, 0.0)
+    m.state["trapped"] = jnp.zeros(dm.n_cells).at[: dm.n_interior_cells].set(ct0)
+    m.state["trapped_N1"] = m.state["trapped"]
+    Vc = np.asarray(dm.cell_volume)[: dm.n_interior_cells]
+    total0 = float((ct0 * Vc).sum()) + float(
+        (np.asarray(m.state["charge"])[: dm.n_interior_cells] * Vc).sum()
+    )
+    for _ in range(5):
+        m.advance(2)
+        m.updateTime()
+    ct = m.getTrappedCharge()
+    q = m.getCharge()
+    total = float((ct * Vc).sum()) + float((q * Vc).sum())
+    # charge moved out of traps into the band, conservatively
+    assert ct[x < 0.3].sum() < ct0[x < 0.3].sum()
+    assert q.max() > 0
+    assert total == pytest.approx(total0, rel=1e-10)
+    # exit cells sit where Ec < Ec(source) - depth: x_exit > x_src + d/V
+    rate, exit_cell, found = m._tunneling_rates(
+        m.mesh, m.params, m.state, np.zeros((dm.n_cells, 2))
+    )
+    src = np.where((x < 0.3) & np.asarray(found)[: len(x)])[0]
+    xe = x[np.asarray(exit_cell)[src]]
+    assert (xe > x[src] + 2.0 / V - 1e-9).all()
+    # and it is the FIRST such cell along the walk (within one cell width)
+    assert (xe < x[src] + 2.0 / V + 1.5 / nx).all()
