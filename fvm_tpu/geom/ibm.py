@@ -83,6 +83,50 @@ class IBManager:
             self.ib_nearest_element = np.array([], dtype=np.int64)
         return self.ib_type
 
+    def interpolation_stencil(self, k_fluid: int = 4):
+        """Full interpolation stencils for the IB band
+        (reference: IBManager.h:83 createIBInterpolationStencil +
+        GenericIBDiscretization.h).  For each IB cell: the nearest surface
+        point (wall sample) plus up to k_fluid surrounding FLUID cells,
+        with inverse-distance weights.  Returns
+        (ib_cells, fluid_idx (n_ib, k), fluid_w (n_ib, k), wall_w (n_ib,))
+        — models combine them as
+            x_IB = (wall_w * x_wall + sum fluid_w * x[fluid_idx]) /
+                   (wall_w + sum fluid_w)
+        The reference solves a small least-squares per stencil; inverse
+        distance is the standard light-weight variant and is exact for
+        the constant mode, which is what the pinning row needs.
+        """
+        mesh, geom = self.mesh, self.geom
+        if self.surface is None:
+            raise ValueError("IBManager: call update() first")
+        n_int = mesh.n_interior_cells
+        cc = geom.cell_centroid[:n_int]
+        t = self.ib_type[:n_int]
+        ib = self.ib_cells
+        n_ib = len(ib)
+        k = int(k_fluid)
+        fluid_idx = np.zeros((n_ib, k), dtype=np.int64)
+        fluid_w = np.zeros((n_ib, k))
+        # wall sample = nearest surface element centroid
+        surf_c = self.surface.v[self.surface.e].mean(axis=1)
+        wall_pt = surf_c[self.ib_nearest_element]
+        wall_w = 1.0 / np.maximum(
+            np.linalg.norm(cc[ib] - wall_pt, axis=1), 1e-12
+        )
+        fluid_cells = np.nonzero(t == IBType.FLUID)[0]
+        if len(fluid_cells):
+            tree = KSearchTree(cc[fluid_cells])
+            for i, c in enumerate(ib):
+                kk = min(k, len(fluid_cells))
+                d, j = tree.query_batch(cc[c][None, :], kk)
+                j = np.atleast_1d(np.asarray(j).reshape(-1))[:kk]
+                d = np.atleast_1d(np.asarray(d).reshape(-1))[:kk]
+                fluid_idx[i, :kk] = fluid_cells[j]
+                fluid_w[i, :kk] = 1.0 / np.maximum(d, 1e-12)
+        self.wall_point = wall_pt
+        return ib, fluid_idx, fluid_w, wall_w
+
     def dirichlet_mask(self, include_ib: bool = True) -> np.ndarray:
         """Boolean per-cell mask of cells to pin to the body value
         (solid always; IB band optionally)."""

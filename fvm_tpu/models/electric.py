@@ -220,6 +220,9 @@ class ElectricModel(Model):
         IBM electrostatics pipeline, src/fvm/test/IBM_PARALLEL)."""
         import numpy as _np
 
+        if not self._initialized:
+            # init() rebuilds self.params and would silently wipe the masks
+            raise ConfigError("call init() before set_immersed_boundary()")
         dtype = self.mesh.cell_volume.dtype
         nc = self.mesh.n_cells
         m = _np.zeros(nc, dtype=bool)

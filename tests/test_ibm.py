@@ -126,3 +126,51 @@ def test_particle_tracking_rotation():
     r = np.linalg.norm(traj - 1.0, axis=2)
     # radius roughly conserved through rotation
     assert abs(r[-1, 0] - 0.5) < 0.05
+
+
+def test_ib_interpolation_stencil():
+    """Immersed hot circle: IB-band cells pinned to the inverse-distance
+    interpolation of the wall value and surrounding fluid cells
+    (reference createIBInterpolationStencil/GenericIBDiscretization).
+    At convergence the stencil constraint holds exactly and the band
+    transitions monotonically between body and ambient temperatures."""
+    from fvm_tpu.geom.ibm import IBManager, IBType
+
+    n = 24
+    mesh = quad_2d(n, n)
+    ibm = IBManager(mesh)
+    th = np.linspace(0, 2 * np.pi, 33)[:-1]
+    verts = np.stack([0.5 + 0.15 * np.cos(th), 0.5 + 0.15 * np.sin(th)], 1)
+    elems = np.stack([np.arange(32), (np.arange(32) + 1) % 32], 1)
+    ibm.update(verts, elems)
+    assert (ibm.ib_type == IBType.IB).sum() > 0
+    dm = fvm.mesh.build_device_mesh(mesh)
+
+    m = ThermalModel(dm)
+    m.options["verbose"] = False
+    for s_ in ("left", "right", "bottom", "top"):
+        m.bc[s_].bc_type = "SpecifiedTemperature"
+        m.bc[s_]["specifiedTemperature"] = 300.0
+    m.init()  # set_immersed_boundary must come AFTER init (params rebuilt)
+    st = ibm.interpolation_stencil()
+    Tbody = 350.0
+    m.set_immersed_boundary(
+        ibm.dirichlet_mask(include_ib=False), Tbody, stencil=st
+    )
+    m.advance(80)
+    T = np.zeros(dm.n_cells)
+    T[: dm.n_interior_cells] = m.getTemperature()
+    ib, fluid_idx, fluid_w, wall_w = st
+    # the pinned constraint holds at convergence
+    expect = (wall_w * Tbody + (fluid_w * T[fluid_idx]).sum(1)) / (
+        wall_w + fluid_w.sum(1)
+    )
+    np.testing.assert_allclose(T[ib], expect, atol=1e-6)
+    # solid cells at the body value; band between ambient and body
+    solid = ibm.ib_type[: dm.n_interior_cells] == IBType.SOLID
+    np.testing.assert_allclose(
+        m.getTemperature()[solid], Tbody, atol=1e-8
+    )
+    assert (T[ib] > 300.0).all() and (T[ib] < 350.0 + 1e-9).all()
+    # the band is WARMER than the surrounding fluid ring it interpolates
+    assert T[ib].mean() > T[fluid_idx].mean()
