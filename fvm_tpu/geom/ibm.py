@@ -29,6 +29,43 @@ class IBType:
     SOLID = 2
 
 
+def cell_mark_particles(mesh, points, radius, geom=None):
+    """Mark cells against a particle cloud (reference: CellMark module,
+    CellMark_impl.h — marks MPM particle-covered cells; used by the
+    MPM/fluid coupling).  A cell is SOLID when its centroid lies within
+    ``radius`` of any particle; fluid cells adjacent to solid become the
+    IB band.  Returns a per-cell ibType array (interior + ghosts).
+    """
+    from ..mesh.metrics import compute_geometry
+
+    geom = geom or compute_geometry(mesh)
+    n_int = mesh.n_interior_cells
+    cc = geom.cell_centroid[:n_int]
+    pts = np.asarray(points, dtype=float)
+    if pts.ndim != 2 or len(pts) == 0:
+        raise ValueError("cell_mark_particles: points must be (n, dim)")
+    tree = KSearchTree(pts)
+    d, _ = tree.query_batch(cc, 1)
+    d = np.asarray(d).reshape(-1)
+    t = np.where(d <= radius, IBType.SOLID, IBType.FLUID).astype(np.int32)
+
+    owner = mesh.face_cells[: mesh.n_interior_faces, 0]
+    nbr = mesh.face_cells[: mesh.n_interior_faces, 1]
+    solid = t == IBType.SOLID
+    adj = np.zeros(n_int, dtype=bool)
+    m = (~solid[owner]) & solid[nbr]
+    adj[owner[m]] = True
+    m2 = (~solid[nbr]) & solid[owner]
+    adj[nbr[m2]] = True
+    t[adj & ~solid] = IBType.IB
+
+    full = np.full(mesh.n_cells, IBType.FLUID, dtype=np.int32)
+    full[:n_int] = t
+    bfaces = np.arange(mesh.n_interior_faces, mesh.n_faces)
+    full[n_int:] = full[mesh.face_cells[bfaces, 0]]
+    return full
+
+
 class IBManager:
     def __init__(self, mesh, geom=None):
         """mesh: host Mesh; geom: MeshGeometry (computed if omitted)."""

@@ -174,3 +174,37 @@ def test_ib_interpolation_stencil():
     assert (T[ib] > 300.0).all() and (T[ib] < 350.0 + 1e-9).all()
     # the band is WARMER than the surrounding fluid ring it interpolates
     assert T[ib].mean() > T[fluid_idx].mean()
+
+
+def test_cell_mark_particles():
+    """Particle-cloud marking (reference CellMark module): cells under the
+    cloud are SOLID, the surrounding ring is IB, and a thermal solve pins
+    them like any immersed body."""
+    from fvm_tpu.geom.ibm import cell_mark_particles, IBType
+
+    mesh = quad_2d(20, 20)
+    th = np.random.default_rng(0).uniform(0, 2 * np.pi, 200)
+    r = np.sqrt(np.random.default_rng(1).uniform(0, 1, 200)) * 0.12
+    pts = np.stack([0.5 + r * np.cos(th), 0.5 + r * np.sin(th)], 1)
+    t = cell_mark_particles(mesh, pts, radius=0.05)
+    n_solid = (t[: mesh.n_interior_cells] == IBType.SOLID).sum()
+    n_ib = (t[: mesh.n_interior_cells] == IBType.IB).sum()
+    assert n_solid > 0 and n_ib > 0
+    # the marked blob sits in the domain centre
+    cc = np.asarray(fvm.mesh.build_device_mesh(mesh).cell_centroid)
+    solid_cc = cc[: mesh.n_interior_cells][t[: mesh.n_interior_cells] == IBType.SOLID]
+    assert np.abs(solid_cc - 0.5).max() < 0.25
+    # drives the standard immersed-boundary pinning
+    dm = fvm.mesh.build_device_mesh(mesh)
+    m = ThermalModel(dm)
+    m.options["verbose"] = False
+    for s in ("left", "right", "bottom", "top"):
+        m.bc[s].bc_type = "SpecifiedTemperature"
+        m.bc[s]["specifiedTemperature"] = 300.0
+    m.init()
+    mask = (t == IBType.SOLID) | (t == IBType.IB)
+    m.set_immersed_boundary(mask, 380.0)
+    m.advance(10)
+    T = m.getTemperature()
+    np.testing.assert_allclose(T[mask[: dm.n_interior_cells]], 380.0, rtol=1e-8)
+    assert T.min() > 299.9
