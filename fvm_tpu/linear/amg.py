@@ -76,7 +76,16 @@ def aggregate(cols: np.ndarray, mask: np.ndarray) -> np.ndarray:
     Mirrors the agglomeration semantics of CRMatrix::createCoarsening
     (seed an unaggregated cell, absorb its unaggregated neighbors; orphans
     join an adjacent aggregate).
+
+    The loop is O(nK) but python-bound (~8 s at 1M cells), so it runs in
+    the native host library when available (fvm_tpu/native/hostlib.cpp,
+    bit-identical result); this numpy loop is the fallback.
     """
+    from .. import native
+
+    res = native.aggregate(cols, mask)
+    if res is not None:
+        return res
     n, K = cols.shape
     agg = -np.ones(n, dtype=np.int64)
     next_agg = 0

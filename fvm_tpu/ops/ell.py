@@ -140,8 +140,21 @@ class ELLMatrix:
 
 
 def greedy_coloring(cols_np, mask_np):
-    """Host-side greedy graph coloring; returns (ncolors, n) bool masks."""
+    """Host-side greedy graph coloring; returns (ncolors, n) bool masks.
+
+    Runs in the native host library when available (bit-identical to the
+    python loop below, which is the fallback)."""
     import numpy as np
+
+    from .. import native
+
+    color_native = native.greedy_color(cols_np, mask_np)
+    if color_native is not None:
+        color = color_native
+        ncolors = int(color.max()) + 1
+        masks = np.zeros((ncolors, len(color)), dtype=bool)
+        masks[color, np.arange(len(color))] = True
+        return masks
 
     n, K = cols_np.shape
     color = -np.ones(n, dtype=np.int64)
