@@ -117,6 +117,327 @@ def aggregate(cols: np.ndarray, mask: np.ndarray) -> np.ndarray:
     return remap[agg]
 
 
+def detect_grid(cols: np.ndarray, mask: np.ndarray):
+    """Detect a tensor-product grid structure in a row graph.
+
+    Returns (nx, ny, merge) where rows [0, nx*ny) form a (ny, nx) grid
+    (x fastest) whose in-grid couplings are exactly offsets {±1, ±nx} with
+    consistent boundary behavior, and rows [nx*ny, n) are "tail" rows
+    (boundary ghosts / padding) such that
+      * each tail row couples to at most ONE grid cell (merge target;
+        -1 for dead rows), and
+      * every grid->tail coupling (i, g) satisfies merge[g] == i, so all
+        tail entries fold into the coarse DIAGONAL under agglomeration.
+    Returns None when the graph is not of this form (caller uses the
+    generic greedy aggregation level).
+    """
+    n, K = cols.shape
+    delta = np.where(mask, cols - np.arange(n)[:, None], 0)
+    pos = delta[delta > 1]
+    if len(pos) == 0:
+        return None
+    vals, counts = np.unique(pos, return_counts=True)
+    nx = int(vals[np.argmax(counts)])
+    if nx <= 1 or counts.max() < 0.25 * n:
+        return None
+    rows_up = np.nonzero((delta == nx).any(axis=1))[0]
+    if len(rows_up) == 0:
+        return None
+    ny = int(rows_up.max()) // nx + 2
+    m = nx * ny
+    if m > n:
+        return None
+
+    g_rows = np.arange(m)
+    gx, gy = g_rows % nx, g_rows // nx
+    d_g = delta[:m]
+    c_g = cols[:m]
+    m_g = mask[:m]
+    to_tail = m_g & (c_g >= m)
+    in_grid = m_g & ~to_tail
+    dg = np.where(in_grid, d_g, 0)
+    ok = np.isin(dg, (0, 1, -1, nx, -nx)).all()
+    if not ok:
+        return None
+    # boundary consistency: no ±1 across x edges, no ±nx outside y range
+    if ((dg == -1) & (gx == 0)[:, None]).any():
+        return None
+    if ((dg == 1) & (gx == nx - 1)[:, None]).any():
+        return None
+    if ((dg == -nx) & (gy == 0)[:, None]).any():
+        return None
+    if ((dg == nx) & (gy == ny - 1)[:, None]).any():
+        return None
+
+    # tail rows: at most one distinct grid target each
+    merge = np.full(n - m, -1, dtype=np.int64)
+    t_cols = cols[m:]
+    t_mask = mask[m:] & (cols[m:] != np.arange(m, n)[:, None])
+    if (t_mask & (t_cols >= m)).any():
+        return None  # tail-tail coupling
+    for kk in range(t_mask.shape[1]):
+        sel = t_mask[:, kk]
+        tgt = t_cols[:, kk]
+        bad = sel & (merge >= 0) & (merge != tgt)
+        if bad.any():
+            return None
+        merge = np.where(sel, tgt, merge)
+    # grid->tail couplings must point back at their own row
+    ti, tk = np.nonzero(to_tail)
+    if len(ti):
+        g = c_g[ti, tk] - m
+        if not (merge[g] == ti).all():
+            return None
+    return nx, ny, merge
+
+
+class _StructuredLevel:
+    """Index-pairing coarsening on a detected (ny, nx) grid.
+
+    Pairs cells along the longer grid axis, so transfers are pure
+    reshapes (restrict = pairwise sum, prolong = repeat) and the Galerkin
+    product is elementwise on the DIA coefficient arrays — no gathers,
+    no segment sums.  Tail rows (boundary ghosts) are agglomerated into
+    their owner's aggregate; their matrix entries fold into the coarse
+    diagonal (detect_grid guarantees this structurally).  The semantics
+    match agglomeration AMG with size-2 aggregates — the same aggregate
+    size the greedy graph aggregation produces on grid graphs.
+    """
+
+    def __init__(self, nx: int, ny: int, n: int, merge=None,
+                 src_offsets=None, dtype=None, cols=None, mask=None):
+        self.nx, self.ny = nx, ny
+        self.n = n  # total fine rows incl. tail
+        self.m = nx * ny
+        self.pair_x = nx >= ny
+        if self.pair_x:
+            self.nx_c, self.ny_c = (nx + 1) // 2, ny
+            self.odd = nx % 2 == 1
+        else:
+            self.nx_c, self.ny_c = nx, (ny + 1) // 2
+            self.odd = ny % 2 == 1
+        self.nC = self.nx_c * self.ny_c
+        # fine DIA offsets of the grid block and coarse ones
+        self.src_offsets = (
+            tuple(src_offsets) if src_offsets is not None
+            else (1, -1, nx, -nx)
+        )
+        off_c = {}
+        for name, d in (("xp", 1), ("xm", -1), ("yp", self.nx_c),
+                        ("ym", -self.nx_c)):
+            off_c.setdefault(d, []).append(name)
+        self.coarse_offsets = tuple(off_c.keys())
+        self._off_c_names = off_c
+
+        if merge is not None and len(merge):
+            live = merge >= 0
+            self.tail_rows = jnp.asarray(
+                (np.arange(self.m, n)[live]).astype(np.int32))
+            mg = merge[live]
+            agg = self._agg_of_cell(mg)
+            self.tail_agg = jnp.asarray(agg.astype(np.int32))
+        else:
+            self.tail_rows = jnp.zeros((0,), jnp.int32)
+            self.tail_agg = jnp.zeros((0,), jnp.int32)
+
+        # own ELL-slot -> offset-role mapping, used when the fine matrix
+        # carries no DIA metadata (A.dia None / unprepared): bucket[i,k] in
+        # {0..3} indexes (+1,-1,+nx,-nx); everything else (tail couplings)
+        # goes to the fallback lists and folds into the coarse diagonal.
+        self._bucket = None
+        if cols is not None:
+            delta = np.where(mask, cols - np.arange(n)[:, None], 0)
+            bucket = np.full(cols.shape, -1, dtype=np.int8)
+            grid_rows = (np.arange(n) < self.m)[:, None]
+            for i, d in enumerate((1, -1, nx, -nx)):
+                bucket[(delta == d) & mask & grid_rows
+                       & (cols < self.m)] = i
+            fbm = mask & (bucket < 0) & (cols != np.arange(n)[:, None])
+            fr, fk = np.nonzero(fbm)
+            fc = cols[fr, fk]
+            # fold target = grid-side cell of the coupling
+            tgt = np.where(fr < self.m, fr, fc)
+            self._bucket = jnp.asarray(bucket)
+            self._fb_rows = jnp.asarray(fr.astype(np.int32))
+            self._fb_slots = jnp.asarray(fk.astype(np.int32))
+            self._fb_agg = jnp.asarray(
+                np.asarray(self._agg_of_cell(tgt)).astype(np.int32))
+
+    def _agg_of_cell(self, i):
+        x, y = i % self.nx, i // self.nx
+        if self.pair_x:
+            return y * self.nx_c + x // 2
+        return (y // 2) * self.nx_c + x
+
+    # -- helpers ------------------------------------------------------------
+
+    def _grid(self, v):
+        """(n,) -> (ny, nx) grid view of the grid block."""
+        return v[: self.m].reshape(self.ny, self.nx)
+
+    def _pairsum(self, g):
+        """Sum fine pairs along the pairing axis -> (ny_c, nx_c)."""
+        if self.pair_x:
+            if self.odd:
+                g = jnp.pad(g, ((0, 0), (0, 1)))
+            return g.reshape(self.ny, self.nx_c, 2).sum(axis=2)
+        if self.odd:
+            g = jnp.pad(g, ((0, 1), (0, 0)))
+        return g.reshape(self.ny_c, 2, self.nx).sum(axis=1)
+
+    def _pair(self, g, j):
+        """j-th member (0/1) of each pair -> (ny_c, nx_c)."""
+        if self.pair_x:
+            if self.odd:
+                g = jnp.pad(g, ((0, 0), (0, 1)))
+            return g.reshape(self.ny, self.nx_c, 2)[:, :, j]
+        if self.odd:
+            g = jnp.pad(g, ((0, 1), (0, 0)))
+        return g.reshape(self.ny_c, 2, self.nx)[:, j, :]
+
+    # -- transfers ----------------------------------------------------------
+
+    def restrict(self, r):
+        c = self._pairsum(self._grid(r)).reshape(-1)
+        if self.tail_rows.shape[0]:
+            c = c.at[self.tail_agg].add(r[self.tail_rows])
+        return c
+
+    def prolong(self, xc):
+        g = xc.reshape(self.ny_c, self.nx_c)
+        if self.pair_x:
+            f = jnp.repeat(g, 2, axis=1)[:, : self.nx]
+        else:
+            f = jnp.repeat(g, 2, axis=0)[: self.ny, :]
+        out = f.reshape(-1)
+        if self.n > self.m:
+            tail = jnp.zeros(self.n - self.m, xc.dtype)
+            if self.tail_rows.shape[0]:
+                tail = tail.at[self.tail_rows - self.m].set(xc[self.tail_agg])
+            out = jnp.concatenate([out, tail])
+        return out
+
+    # -- Galerkin -----------------------------------------------------------
+
+    def _coef_named(self, A):
+        """Fine coefficient grids keyed by role xp/xm/yp/ym (zeros when the
+        fine matrix lacks that offset), plus diagonal fold entries."""
+        from ..ops.dia import DIAMatrix
+
+        if isinstance(A, DIAMatrix):
+            offsets, coef, diag = A.offsets, A.coef, A.diag
+            fb = None
+        elif A.dia is not None and A.dia_coef is not None:
+            offsets, coef, diag = A.dia.offsets, A.dia_coef, A.diag
+            fb = (A.dia.fb_rows, A.dia.fb_cols, A.dia_fb_vals)
+        else:
+            # no DIA metadata on the matrix: use the level's own slot
+            # bucketing (built at setup from the same cols/mask)
+            offv = jnp.where(A.mask, A.off, 0.0)
+            coef = jnp.stack([
+                jnp.sum(jnp.where(self._bucket == i, offv, 0.0), axis=1)
+                for i in range(4)
+            ])
+            offsets = (1, -1, self.nx, -self.nx)
+            diag = A.diag
+            if self._fb_rows.shape[0]:
+                fb = ("own", self._fb_agg,
+                      offv[self._fb_rows, self._fb_slots])
+            else:
+                fb = None
+        lut = {int(d): i for i, d in enumerate(offsets)}
+        zero = jnp.zeros((self.ny, self.nx), diag.dtype)
+
+        def get(d):
+            i = lut.get(d)
+            return self._grid(coef[i]) if i is not None else zero
+
+        if self.nx == 1:
+            # degenerate single-column grid: flat +-1 IS the y-coupling
+            names = {"xp": zero, "xm": zero, "yp": get(1), "ym": get(-1)}
+            expected = (1, -1)
+        else:
+            names = {
+                "xp": get(1), "xm": get(-1),
+                "yp": get(self.nx), "ym": get(-self.nx),
+            }
+            expected = (1, -1, self.nx, -self.nx)
+        # extra offsets = grid<->tail couplings that made it into the DIA
+        # set (small grids); detect_grid guarantees they fold into the
+        # coarse diagonal of the grid-side aggregate
+        extras = [
+            (int(d), coef[i]) for i, d in enumerate(offsets)
+            if int(d) not in expected
+        ]
+        return names, self._grid(diag), diag, fb, extras
+
+    def galerkin(self, A):
+        """Coarse DIAMatrix = R A P, elementwise on the DIA grids."""
+        from ..ops.dia import DIAMatrix
+
+        C, Dg, diag_full, fb, extras = self._coef_named(A)
+        if self.pair_x:
+            diag_c = (self._pairsum(Dg) + self._pair(C["xp"], 0)
+                      + self._pair(C["xm"], 1))
+            parts = {
+                "xp": self._pair(C["xp"], 1),
+                "xm": self._pair(C["xm"], 0),
+                "yp": self._pairsum(C["yp"]),
+                "ym": self._pairsum(C["ym"]),
+            }
+        else:
+            diag_c = (self._pairsum(Dg) + self._pair(C["yp"], 0)
+                      + self._pair(C["ym"], 1))
+            parts = {
+                "xp": self._pairsum(C["xp"]),
+                "xm": self._pairsum(C["xm"]),
+                "yp": self._pair(C["yp"], 1),
+                "ym": self._pair(C["ym"], 0),
+            }
+        diag_c = diag_c.reshape(-1)
+        # extra-offset entries (grid<->tail couplings inside the DIA set)
+        # fold into the coarse diagonal of the grid-side aggregate
+        for d, cvec in extras:
+            diag_c = diag_c + self._pairsum(self._grid(cvec)).reshape(-1)
+            if self.n > self.m:
+                tail_idx = np.arange(self.m, self.n)
+                owner = np.clip(tail_idx + d, 0, self.m - 1)
+                agg_np = jnp.asarray(
+                    np.asarray(self._agg_of_cell(owner)).astype(np.int32)
+                )
+                diag_c = diag_c.at[agg_np].add(cvec[self.m:])
+        # tail entries: ghost diagonals + both coupling directions fold
+        # into the coarse diagonal of the owner aggregate
+        if self.tail_rows.shape[0]:
+            diag_c = diag_c.at[self.tail_agg].add(diag_full[self.tail_rows])
+        if fb is not None:
+            if isinstance(fb[0], str):
+                _, fb_agg, fb_vals = fb
+                diag_c = diag_c.at[fb_agg].add(fb_vals)
+            elif fb[0].shape[0]:
+                fb_rows, fb_cols, fb_vals = fb
+                tgt_cell = jnp.where(fb_rows < self.m, fb_rows, fb_cols)
+                # map grid cell -> aggregate arithmetically
+                x = tgt_cell % self.nx
+                y = tgt_cell // self.nx
+                if self.pair_x:
+                    agg = y * self.nx_c + x // 2
+                else:
+                    agg = (y // 2) * self.nx_c + x
+                diag_c = diag_c.at[agg].add(fb_vals)
+        coef_rows = []
+        for d in self.coarse_offsets:
+            acc = None
+            for name in self._off_c_names[d]:
+                v = parts[name].reshape(-1)
+                acc = v if acc is None else acc + v
+            coef_rows.append(acc)
+        coef_c = jnp.stack(coef_rows)
+        # zero out couplings that would wrap across coarse x edges
+        # (guaranteed zero analytically; keep exact zeros for safety)
+        return DIAMatrix(diag_c, coef_c, self.coarse_offsets)
+
+
 class _Level:
     """Static per-level metadata (host-built, device index arrays)."""
 
@@ -224,6 +545,7 @@ class AMG(LinearSolver):
         smoother_sweeps: int = 2,
         cycle: str = "V",
         precision: str | None = None,
+        structured: bool = True,
         **kw,
     ):
         kw.setdefault("max_iterations", 30)
@@ -235,6 +557,10 @@ class AMG(LinearSolver):
         self.omega = smoother_omega
         self.smoother_sweeps = smoother_sweeps
         self.cycle_type = cycle
+        # structured=True enables gather-free index-pairing levels on
+        # tensor-product row graphs (detect_grid); False forces greedy
+        # graph agglomeration everywhere.
+        self.structured = structured
         # precision="bf16": run the whole V-cycle in bfloat16.  SpMV and
         # smoothing are HBM-bandwidth-bound on TPU, so halving the bytes
         # roughly doubles cycle throughput; as a PRECONDITIONER the lost
@@ -245,13 +571,32 @@ class AMG(LinearSolver):
     # -- setup --------------------------------------------------------------
 
     def setup_structure(self, cols_np: np.ndarray, mask_np: np.ndarray, key=None):
-        """Build the static aggregation hierarchy from matrix structure."""
+        """Build the static aggregation hierarchy from matrix structure.
+
+        When the row graph is a tensor-product grid (structured meshes,
+        which is also where the DIA SpMV fast path applies), the hierarchy
+        uses index-pairing levels whose transfers/Galerkin products are
+        pure reshapes (no gathers/segment-sums); otherwise greedy graph
+        agglomeration (the general path)."""
         key = key if key is not None else (cols_np.shape, cols_np.tobytes()[:64])
         if key in self._levels_cache:
             return self._levels_cache[key]
         levels = []
+        n = cols_np.shape[0]
+        grid = detect_grid(cols_np, mask_np) if self.structured else None
+        if grid is not None:
+            nx, ny, merge = grid
+            c_np, m_np = cols_np, mask_np
+            while n > self.coarse_size and len(levels) < self.max_levels \
+                    and max(nx, ny) > 1:
+                lev = _StructuredLevel(nx, ny, n, merge=merge,
+                                       cols=c_np, mask=m_np)
+                levels.append(lev)
+                nx, ny, merge, n = lev.nx_c, lev.ny_c, None, lev.nC
+                c_np = m_np = None
+            self._levels_cache[key] = levels
+            return levels
         cols, mask = cols_np, mask_np
-        n = cols.shape[0]
         while n > self.coarse_size and len(levels) < self.max_levels:
             lev = _Level(cols, mask, level=len(levels))
             if lev.nC >= n:  # no coarsening progress; stop
@@ -296,18 +641,36 @@ class AMG(LinearSolver):
         return x
 
     def _build_hierarchy(self, A: ELLMatrix):
+        from ..ops.dia import DIAMatrix
+
         levels = self._get_levels(A)
-        mats = [A]
+        mats = [A.prepare()]
         for lev in levels:
-            mats.append(lev.galerkin(mats[-1]))
-        dense = _dense_from_ell(mats[-1], mats[-1].diag.shape[0])
+            mats.append(lev.galerkin(mats[-1]).prepare())
+        tail = mats[-1]
+        if isinstance(tail, DIAMatrix):
+            dense = tail.to_dense()
+        else:
+            dense = _dense_from_ell(tail, tail.diag.shape[0])
         inv = dense_inverse(dense)
         if self.precision == "bf16":
             bf = jnp.bfloat16
-            mats = [
-                m.replace(diag=m.diag.astype(bf), off=m.off.astype(bf))
-                for m in mats
-            ]
+
+            def cast(m):
+                if isinstance(m, DIAMatrix):
+                    return DIAMatrix(
+                        m.diag.astype(bf), m.coef.astype(bf), m.offsets
+                    )
+                return m.replace(
+                    diag=m.diag.astype(bf),
+                    off=m.off.astype(bf),
+                    dia_coef=(None if m.dia_coef is None
+                              else m.dia_coef.astype(bf)),
+                    dia_fb_vals=(None if m.dia_fb_vals is None
+                                 else m.dia_fb_vals.astype(bf)),
+                )
+
+            mats = [cast(m) for m in mats]
             inv = inv.astype(bf)
         # factor once per solve; every cycle's coarse solve is then a matmul
         return levels, mats, [inv]
@@ -343,6 +706,7 @@ class AMG(LinearSolver):
         return M
 
     def solve_fn(self, A: ELLMatrix, b: jnp.ndarray, x0: jnp.ndarray):
+        A = A.prepare()
         levels, mats, denses = self._build_hierarchy(A)
         rtol, atol, maxit = (
             self.relativeTolerance,

@@ -29,6 +29,11 @@ def norm(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.sqrt(jnp.sum(x * x))
 
 
+def prepared(A):
+    """Precompute DIA coefficients once per solve (no-op for operators)."""
+    return A.prepare() if hasattr(A, "prepare") else A
+
+
 class MatrixFreeOperator:
     """Exact-Jacobian operator via jax.jvp, with a surrogate matrix for
     preconditioning and reductions.

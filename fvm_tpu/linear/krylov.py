@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.ell import ELLMatrix
-from .base import LinearSolver, SolveStats, norm
+from .base import LinearSolver, SolveStats, norm, prepared
 
 
 def _identity_precond(A: ELLMatrix, r: jnp.ndarray) -> jnp.ndarray:
@@ -40,6 +40,7 @@ class CG(LinearSolver):
         self.preconditioner = preconditioner
 
     def solve_fn(self, A: ELLMatrix, b: jnp.ndarray, x0: jnp.ndarray):
+        A = prepared(A)
         M = _setup_precond(self.preconditioner, A)
         rtol = self.relativeTolerance
         atol = self.absoluteTolerance
@@ -80,6 +81,7 @@ class BiCGStab(LinearSolver):
         self.preconditioner = preconditioner
 
     def solve_fn(self, A: ELLMatrix, b: jnp.ndarray, x0: jnp.ndarray):
+        A = prepared(A)
         M = _setup_precond(self.preconditioner, A)
         rtol, atol, maxit = (
             self.relativeTolerance,
@@ -144,6 +146,7 @@ class JacobiSolver(LinearSolver):
         self.sweeps = sweeps
 
     def precond_setup(self, A):
+        A = prepared(A)
         omega, sweeps = self.omega, self.sweeps
 
         def M(r: jnp.ndarray) -> jnp.ndarray:
@@ -155,6 +158,7 @@ class JacobiSolver(LinearSolver):
         return M
 
     def solve_fn(self, A: ELLMatrix, b: jnp.ndarray, x0: jnp.ndarray):
+        A = prepared(A)
         rtol, atol, maxit = (
             self.relativeTolerance,
             self.absoluteTolerance,

@@ -166,6 +166,77 @@ def dia_gather_slots(dia: DIAInfo, cols, mask, x):
     return out
 
 
+def build_coef(dia: DIAInfo, off, mask):
+    """Precompute per-offset DIA coefficients from the ELL values.
+
+    Returns (coef (D, n), fb_vals (n_fb,)).  Hoists the K-way select that
+    dia_mv otherwise redoes on every SpMV: one pass per assembled matrix
+    instead of one per mv (solvers do 10-30 mv per assembly)."""
+    offv = jnp.where(mask, off, 0.0)
+    coef = jnp.stack(
+        [
+            jnp.sum(jnp.where(dia.bucket == i, offv, 0.0), axis=1)
+            for i in range(len(dia.offsets))
+        ]
+    )
+    if dia.fb_rows.shape[0]:
+        fb_vals = offv[dia.fb_rows, dia.fb_slots]
+    else:
+        fb_vals = jnp.zeros((0,), off.dtype)
+    return coef, fb_vals
+
+
+def fused_apply(offsets, diag, coef, x, b=None, omega=None, mode="mv",
+                fb_rows=None, fb_cols=None, fb_vals=None):
+    """Fused DIA op with precomputed per-offset coefficients.
+
+    mode "mv": A x;  "residual": b - A x;  "jacobi":
+    x + omega (b - A x) / diag.  Dispatches to the Pallas TPU kernel for
+    large n; falls back to the XLA roll formulation elsewhere.  The rare
+    fallback entries (offsets outside the DIA set) are applied as a small
+    scatter update after the fused bulk op.
+    """
+    from . import pallas_kernels as pk
+
+    n = diag.shape[0]
+    use_pallas = pk.tpu_available() and n >= 32768
+    if use_pallas:
+        y = pk.dia_apply(offsets, mode, coef, diag, x, b=b, omega=omega)
+    else:
+        ax = diag[:, None] * x if x.ndim == 2 else diag * x
+        for i, d in enumerate(offsets):
+            c = coef[i] if x.ndim == 1 else coef[i][:, None]
+            ax = ax + c * jnp.roll(x, -d, axis=0)
+        if mode == "mv":
+            y = ax
+        elif mode == "residual":
+            y = b - ax
+        else:
+            d = diag if x.ndim == 1 else diag[:, None]
+            y = x + omega * (b - ax) / d
+    if fb_rows is not None and fb_rows.shape[0]:
+        contrib = (fb_vals * x[fb_cols] if x.ndim == 1
+                   else fb_vals[:, None] * x[fb_cols])
+        if mode == "mv":
+            y = y.at[fb_rows].add(contrib)
+        elif mode == "residual":
+            y = y.at[fb_rows].add(-contrib)
+        else:
+            dfb = diag[fb_rows]
+            corr = omega * contrib / (dfb if x.ndim == 1 else dfb[:, None])
+            y = y.at[fb_rows].add(-corr)
+    return y
+
+
+def dia_apply_coef(dia: DIAInfo, diag, coef, fb_vals, x, b=None, omega=None,
+                   mode: str = "mv"):
+    """fused_apply with the fallback tables taken from a DIAInfo."""
+    return fused_apply(
+        dia.offsets, diag, coef, x, b=b, omega=omega, mode=mode,
+        fb_rows=dia.fb_rows, fb_cols=dia.fb_cols, fb_vals=fb_vals,
+    )
+
+
 def dia_mv(dia: DIAInfo, diag, off, mask, x):
     """y = A x using the DIA fast path; x is (n,) or (n, m)."""
     squeeze = x.ndim == 1
@@ -182,6 +253,74 @@ def dia_mv(dia: DIAInfo, diag, off, mask, x):
         contrib = vals[:, None] * x[dia.fb_cols]
         y = y.at[dia.fb_rows].add(contrib)
     return y[:, 0] if squeeze else y
+
+
+@jax.tree_util.register_pytree_node_class
+class DIAMatrix:
+    """Pure-DIA sparse matrix: diag (n,) + per-offset coefficients (D, n).
+
+    Used for AMG coarse levels built by structured (index-pairing)
+    coarsening, where the level graph is exactly a tensor-product grid and
+    the ELL cols/mask tables would be pure overhead.  Same solver-facing
+    interface as ELLMatrix (mv/residual/jacobi_step/diag_solve/dot/norm);
+    single-device only (AMG levels live on one chip).
+    """
+
+    def __init__(self, diag, coef, offsets):
+        self.diag = diag
+        self.coef = coef
+        self.offsets = tuple(int(d) for d in offsets)
+
+    def tree_flatten(self):
+        return (self.diag, self.coef), self.offsets
+
+    @classmethod
+    def tree_unflatten(cls, offsets, leaves):
+        return cls(leaves[0], leaves[1], offsets)
+
+    @property
+    def n(self):
+        return self.diag.shape[0]
+
+    def prepare(self):
+        return self
+
+    def psum(self, v):
+        return v
+
+    def dot(self, a, b):
+        return jnp.sum(a * b)
+
+    def norm(self, x):
+        return jnp.sqrt(jnp.sum(x * x))
+
+    def mv(self, x):
+        return fused_apply(self.offsets, self.diag, self.coef, x, mode="mv")
+
+    def residual(self, x, b):
+        return fused_apply(
+            self.offsets, self.diag, self.coef, x, b=b, mode="residual"
+        )
+
+    def diag_solve(self, r):
+        return r / (self.diag if r.ndim == 1 else self.diag[:, None])
+
+    def jacobi_step(self, x, b, omega=1.0):
+        return fused_apply(
+            self.offsets, self.diag, self.coef, x, b=b, omega=omega,
+            mode="jacobi",
+        )
+
+    def to_dense(self):
+        n = self.n
+        D = jnp.diag(self.diag)
+        for i, d in enumerate(self.offsets):
+            c = self.coef[i]
+            if d >= 0:
+                D = D + jnp.diag(c[: n - d], d) if d < n else D
+            else:
+                D = D + jnp.diag(c[-d:], d) if -d < n else D
+        return D
 
 
 class MeshGathers:

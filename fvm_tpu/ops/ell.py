@@ -38,10 +38,24 @@ class ELLMatrix:
     n_owned: int | None = struct.field(pytree_node=False, default=None)
     # DIA fast-path metadata (ops.dia.DIAInfo); static, compared by identity
     dia: object = struct.field(pytree_node=False, default=None)
+    # precomputed DIA coefficients (build_coef): (D, n) per-offset values
+    # and the rare-offset fallback values.  Set by prepare(); enables the
+    # fused Pallas kernels and removes the per-mv K-way select.
+    dia_coef: jnp.ndarray | None = None
+    dia_fb_vals: jnp.ndarray | None = None
 
     @property
     def n(self) -> int:
         return self.diag.shape[0]
+
+    def prepare(self):
+        """Precompute DIA coefficients once per assembled matrix."""
+        if self.dia is None or self.dia_coef is not None:
+            return self
+        from .dia import build_coef
+
+        coef, fb = build_coef(self.dia, self.off, self.mask)
+        return self.replace(dia_coef=coef, dia_fb_vals=fb)
 
     @property
     def width(self) -> int:
@@ -68,17 +82,27 @@ class ELLMatrix:
     def norm(self, x: jnp.ndarray):
         return jnp.sqrt(self.psum(jnp.sum(x * x)))
 
+    def _mask_owned(self, y):
+        if self.n_owned is not None and self.n_owned < self.n:
+            owned = jnp.arange(self.n) < self.n_owned
+            y = jnp.where(owned if y.ndim == 1 else owned[:, None], y, 0.0)
+        return y
+
     def mv(self, x: jnp.ndarray) -> jnp.ndarray:
         """Sparse matrix-vector product; x is (n,) or (n, m)."""
         x = self.sync(x)
         if self.dia is not None:
+            if self.dia_coef is not None:
+                from .dia import dia_apply_coef
+
+                y = dia_apply_coef(
+                    self.dia, self.diag, self.dia_coef, self.dia_fb_vals, x
+                )
+                return self._mask_owned(y)
             from .dia import dia_mv
 
             y = dia_mv(self.dia, self.diag, self.off, self.mask, x)
-            if self.n_owned is not None and self.n_owned < self.n:
-                owned = jnp.arange(self.n) < self.n_owned
-                y = jnp.where(owned if y.ndim == 1 else owned[:, None], y, 0.0)
-            return y
+            return self._mask_owned(y)
         squeeze = x.ndim == 1
         if squeeze:
             x = x[:, None]
@@ -90,7 +114,20 @@ class ELLMatrix:
             y = jnp.where(owned, y, 0.0)
         return y[:, 0] if squeeze else y
 
+    def _fused_ok(self):
+        """Fused residual/jacobi need the DIA-coef path and no dist sync
+        complications beyond what mv handles (sync happens first)."""
+        return self.dia is not None and self.dia_coef is not None
+
     def residual(self, x: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        if self._fused_ok() and (self.n_owned is None or self.n_owned >= self.n):
+            from .dia import dia_apply_coef
+
+            x = self.sync(x)
+            return dia_apply_coef(
+                self.dia, self.diag, self.dia_coef, self.dia_fb_vals, x,
+                b=b, mode="residual",
+            )
         return b - self.mv(x)
 
     def diag_solve(self, r: jnp.ndarray) -> jnp.ndarray:
@@ -98,6 +135,14 @@ class ELLMatrix:
 
     def jacobi_step(self, x, b, omega=1.0):
         """Damped Jacobi: x + omega * D^-1 (b - A x)."""
+        if self._fused_ok() and (self.n_owned is None or self.n_owned >= self.n):
+            from .dia import dia_apply_coef
+
+            x = self.sync(x)
+            return dia_apply_coef(
+                self.dia, self.diag, self.dia_coef, self.dia_fb_vals, x,
+                b=b, omega=omega, mode="jacobi",
+            )
         return x + omega * self.diag_solve(self.residual(x, b))
 
     def colored_gs_step(self, x, b, color_masks, forward=True):
