@@ -270,30 +270,51 @@ class _StructuredLevel:
         return (y // 2) * self.nx_c + x
 
     # -- helpers ------------------------------------------------------------
+    #
+    # Pair extraction/summation are lane-decimation ops; done as reshapes
+    # they lower to strided relayouts (~2 ms at 1M on TPU).  Instead they
+    # are matmuls against static 0/1 selection matrices: the MXU does the
+    # relayout for free (a (1024x1024)@(1024x512) f32 matmul is ~10 us).
+
+    def _sel(self, j, dtype):
+        """Selection matrix S_j: pairs axis -> coarse axis, member j.
+
+        Cached as numpy (a jnp constant created inside one trace must not
+        leak into another); jnp.asarray at the use site is free."""
+        key = (j, jnp.dtype(dtype).name)
+        cache = self.__dict__.setdefault("_sel_cache", {})
+        if key not in cache:
+            if self.pair_x:
+                fine, coarse = self.nx, self.nx_c
+            else:
+                fine, coarse = self.ny, self.ny_c
+            S = np.zeros((fine, coarse), dtype=np.dtype(dtype))
+            idx = 2 * np.arange(coarse) + j
+            idx = idx[idx < fine]
+            S[idx, np.arange(len(idx))] = 1.0
+            cache[key] = S
+        return jnp.asarray(cache[key])
 
     def _grid(self, v):
         """(n,) -> (ny, nx) grid view of the grid block."""
         return v[: self.m].reshape(self.ny, self.nx)
 
+    def _matmul(self, g, S, left: bool):
+        pt = jnp.float32 if g.dtype != jnp.float64 else jnp.float64
+        if left:
+            return jnp.einsum("yc,yx->cx", S, g,
+                              preferred_element_type=pt).astype(g.dtype)
+        return jnp.einsum("yx,xc->yc", g, S,
+                          preferred_element_type=pt).astype(g.dtype)
+
     def _pairsum(self, g):
         """Sum fine pairs along the pairing axis -> (ny_c, nx_c)."""
-        if self.pair_x:
-            if self.odd:
-                g = jnp.pad(g, ((0, 0), (0, 1)))
-            return g.reshape(self.ny, self.nx_c, 2).sum(axis=2)
-        if self.odd:
-            g = jnp.pad(g, ((0, 1), (0, 0)))
-        return g.reshape(self.ny_c, 2, self.nx).sum(axis=1)
+        S = self._sel(0, g.dtype) + self._sel(1, g.dtype)
+        return self._matmul(g, S, left=not self.pair_x)
 
     def _pair(self, g, j):
         """j-th member (0/1) of each pair -> (ny_c, nx_c)."""
-        if self.pair_x:
-            if self.odd:
-                g = jnp.pad(g, ((0, 0), (0, 1)))
-            return g.reshape(self.ny, self.nx_c, 2)[:, :, j]
-        if self.odd:
-            g = jnp.pad(g, ((0, 1), (0, 0)))
-        return g.reshape(self.ny_c, 2, self.nx)[:, j, :]
+        return self._matmul(g, self._sel(j, g.dtype), left=not self.pair_x)
 
     # -- transfers ----------------------------------------------------------
 
@@ -305,10 +326,14 @@ class _StructuredLevel:
 
     def prolong(self, xc):
         g = xc.reshape(self.ny_c, self.nx_c)
+        S = self._sel(0, g.dtype) + self._sel(1, g.dtype)  # (fine, coarse)
+        pt = jnp.float32 if g.dtype != jnp.float64 else jnp.float64
         if self.pair_x:
-            f = jnp.repeat(g, 2, axis=1)[:, : self.nx]
+            f = jnp.einsum("yc,xc->yx", g, S,
+                           preferred_element_type=pt).astype(g.dtype)
         else:
-            f = jnp.repeat(g, 2, axis=0)[: self.ny, :]
+            f = jnp.einsum("yc,cx->yx", S, g,
+                           preferred_element_type=pt).astype(g.dtype)
         out = f.reshape(-1)
         if self.n > self.m:
             tail = jnp.zeros(self.n - self.m, xc.dtype)
@@ -581,6 +606,13 @@ class AMG(LinearSolver):
         key = key if key is not None else (cols_np.shape, cols_np.tobytes()[:64])
         if key in self._levels_cache:
             return self._levels_cache[key]
+        # mirror the solve-entry boundary condensation: levels must match
+        # the structure the cycle actually smooths (ELLMatrix.condense)
+        from ..ops.dia import DIAInfo
+
+        dia = DIAInfo.build(cols_np, mask_np)
+        if dia is not None and dia.cond_plan is not None:
+            mask_np = dia.cond_plan.mask2
         levels = []
         n = cols_np.shape[0]
         grid = detect_grid(cols_np, mask_np) if self.structured else None
@@ -660,7 +692,7 @@ class AMG(LinearSolver):
                 if isinstance(m, DIAMatrix):
                     return DIAMatrix(
                         m.diag.astype(bf), m.coef.astype(bf), m.offsets
-                    )
+                    ).prepare()
                 return m.replace(
                     diag=m.diag.astype(bf),
                     off=m.off.astype(bf),
@@ -668,6 +700,8 @@ class AMG(LinearSolver):
                               else m.dia_coef.astype(bf)),
                     dia_fb_vals=(None if m.dia_fb_vals is None
                                  else m.dia_fb_vals.astype(bf)),
+                    dia_pk=(None if m.dia_pk is None else
+                            tuple(p.astype(bf) for p in m.dia_pk)),
                 )
 
             mats = [cast(m) for m in mats]
@@ -706,6 +740,9 @@ class AMG(LinearSolver):
         return M
 
     def solve_fn(self, A: ELLMatrix, b: jnp.ndarray, x0: jnp.ndarray):
+        from .base import condensed
+
+        A, b, recover = condensed(A, b)
         A = A.prepare()
         levels, mats, denses = self._build_hierarchy(A)
         rtol, atol, maxit = (
@@ -727,7 +764,7 @@ class AMG(LinearSolver):
             return (i + 1, x, norm(b - A.mv(x)))
 
         i, x, rn = jax.lax.while_loop(cond, body, (jnp.int32(0), x0, r0n))
-        return x, SolveStats(i, r0n, rn, rn <= target)
+        return recover(x), SolveStats(i, r0n, rn, rn <= target)
 
 
 class DirectSolver(LinearSolver):

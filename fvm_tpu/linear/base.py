@@ -34,6 +34,15 @@ def prepared(A):
     return A.prepare() if hasattr(A, "prepare") else A
 
 
+def condensed(A, b):
+    """Boundary-row condensation at solve entry (no-op for operators).
+
+    Returns (A', b', recover); solvers apply recover to the solution."""
+    if hasattr(A, "condense"):
+        return A.condense(b)
+    return A, b, (lambda x: x)
+
+
 class MatrixFreeOperator:
     """Exact-Jacobian operator via jax.jvp, with a surrogate matrix for
     preconditioning and reductions.

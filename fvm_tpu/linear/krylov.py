@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.ell import ELLMatrix
-from .base import LinearSolver, SolveStats, norm, prepared
+from .base import LinearSolver, SolveStats, norm, prepared, condensed
 
 
 def _identity_precond(A: ELLMatrix, r: jnp.ndarray) -> jnp.ndarray:
@@ -40,6 +40,7 @@ class CG(LinearSolver):
         self.preconditioner = preconditioner
 
     def solve_fn(self, A: ELLMatrix, b: jnp.ndarray, x0: jnp.ndarray):
+        A, b, recover = condensed(A, b)
         A = prepared(A)
         M = _setup_precond(self.preconditioner, A)
         rtol = self.relativeTolerance
@@ -70,7 +71,7 @@ class CG(LinearSolver):
         state = (jnp.int32(0), x0, r0, z0, z0, A.dot(r0, z0), rnorm0)
         i, x, r, *_ = jax.lax.while_loop(cond, body, state)
         rn = A.norm(r)
-        return x, SolveStats(i, rnorm0, rn, rn <= target)
+        return recover(x), SolveStats(i, rnorm0, rn, rn <= target)
 
 
 class BiCGStab(LinearSolver):
@@ -81,6 +82,7 @@ class BiCGStab(LinearSolver):
         self.preconditioner = preconditioner
 
     def solve_fn(self, A: ELLMatrix, b: jnp.ndarray, x0: jnp.ndarray):
+        A, b, recover = condensed(A, b)
         A = prepared(A)
         M = _setup_precond(self.preconditioner, A)
         rtol, atol, maxit = (
@@ -133,7 +135,7 @@ class BiCGStab(LinearSolver):
         )
         i, x, r, *_ = jax.lax.while_loop(cond, body, state)
         rn = A.norm(r)
-        return x, SolveStats(i, rnorm0, rn, rn <= target)
+        return recover(x), SolveStats(i, rnorm0, rn, rn <= target)
 
 
 class JacobiSolver(LinearSolver):
@@ -158,6 +160,7 @@ class JacobiSolver(LinearSolver):
         return M
 
     def solve_fn(self, A: ELLMatrix, b: jnp.ndarray, x0: jnp.ndarray):
+        A, b, recover = condensed(A, b)
         A = prepared(A)
         rtol, atol, maxit = (
             self.relativeTolerance,
@@ -179,4 +182,4 @@ class JacobiSolver(LinearSolver):
             return (i + 1, x, A.norm(b - A.mv(x)))
 
         i, x, rn = jax.lax.while_loop(cond, body, (jnp.int32(0), x0, rnorm0))
-        return x, SolveStats(i, rnorm0, rn, rn <= target)
+        return recover(x), SolveStats(i, rnorm0, rn, rn <= target)

@@ -43,6 +43,8 @@ class ELLMatrix:
     # fused Pallas kernels and removes the per-mv K-way select.
     dia_coef: jnp.ndarray | None = None
     dia_fb_vals: jnp.ndarray | None = None
+    # packed (coef_p, diag_p) kernel layout (pallas_kernels.pack)
+    dia_pk: tuple | None = None
 
     @property
     def n(self) -> int:
@@ -55,11 +57,60 @@ class ELLMatrix:
         from .dia import build_coef
 
         coef, fb = build_coef(self.dia, self.off, self.mask)
-        return self.replace(dia_coef=coef, dia_fb_vals=fb)
+        from . import pallas_kernels as pkm
+
+        pk = (pkm.pack(self.dia.offsets, coef, self.diag)
+              if pkm.use_pallas(self.n) else None)
+        return self.replace(dia_coef=coef, dia_fb_vals=fb, dia_pk=pk)
 
     @property
     def width(self) -> int:
         return self.off.shape[1]
+
+    def condense(self, b):
+        """Eliminate boundary-ghost/padding rows exactly before the solve.
+
+        Returns (A2, b2, recover) where A2 has the condensed DIA structure
+        (empty fallback => pure roll SpMV), eliminated rows are identity
+        with zero rhs, and recover(x2) back-substitutes their exact
+        values.  Counterpart of CRMatrix::eliminateBoundaryEquations
+        (reference: CRMatrix.h:1064); no-op when there is no plan or the
+        matrix is distributed."""
+        plan = None if self.dia is None else self.dia.cond_plan
+        if plan is None or self.axis_name is not None:
+            return self, b, (lambda x: x)
+        er, es, ep, ir, ik, ie = plan.as_device()
+        offv = jnp.where(self.mask, self.off, 0.0)
+        vE = jnp.where(es >= 0, offv[er, jnp.maximum(es, 0)], 0.0)
+        dE = self.diag[er]
+        vIn = offv[ir, ik]
+        diag2 = self.diag.at[ir].add(-vIn * vE[ie] / dE[ie])
+        diag2 = diag2.at[er].set(1.0)
+        # zero eliminated couplings in the VALUES too so paths that read
+        # off/mask directly (dense coarse build, generic AMG levels) see
+        # the condensed operator
+        off2 = offv.at[ir, ik].set(0.0)
+        off2 = off2.at[er].set(0.0)
+        bE = b[er]
+        if b.ndim == 1:
+            b2 = b.at[ir].add(-vIn / dE[ie] * bE[ie])
+            b2 = b2.at[er].set(0.0)
+        else:
+            b2 = b.at[ir].add(-(vIn / dE[ie])[:, None] * bE[ie])
+            b2 = b2.at[er].set(0.0)
+        A2 = self.replace(
+            diag=diag2, off=off2, dia=plan.dia2,
+            dia_coef=None, dia_fb_vals=None, dia_pk=None,
+        ).prepare()
+
+        def recover(x2):
+            if x2.ndim == 1:
+                xE = (bE - vE * x2[ep]) / dE
+            else:
+                xE = (bE - vE[:, None] * x2[ep]) / dE[:, None]
+            return x2.at[er].set(xE)
+
+        return A2, b2, recover
 
     def sync(self, x: jnp.ndarray) -> jnp.ndarray:
         if self.halo is not None and self.axis_name is not None:
@@ -96,7 +147,8 @@ class ELLMatrix:
                 from .dia import dia_apply_coef
 
                 y = dia_apply_coef(
-                    self.dia, self.diag, self.dia_coef, self.dia_fb_vals, x
+                    self.dia, self.diag, self.dia_coef, self.dia_fb_vals, x,
+                    pk=self.dia_pk,
                 )
                 return self._mask_owned(y)
             from .dia import dia_mv
@@ -126,7 +178,7 @@ class ELLMatrix:
             x = self.sync(x)
             return dia_apply_coef(
                 self.dia, self.diag, self.dia_coef, self.dia_fb_vals, x,
-                b=b, mode="residual",
+                b=b, mode="residual", pk=self.dia_pk,
             )
         return b - self.mv(x)
 
@@ -141,7 +193,7 @@ class ELLMatrix:
             x = self.sync(x)
             return dia_apply_coef(
                 self.dia, self.diag, self.dia_coef, self.dia_fb_vals, x,
-                b=b, omega=omega, mode="jacobi",
+                b=b, omega=omega, mode="jacobi", pk=self.dia_pk,
             )
         return x + omega * self.diag_solve(self.residual(x, b))
 

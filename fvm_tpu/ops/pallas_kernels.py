@@ -4,10 +4,15 @@ The DIA SpMV ``y = diag*x + sum_d coef_d * shift(x, d)`` is
 HBM-bandwidth-bound; the XLA roll formulation materializes one shifted
 copy of ``x`` per offset in HBM (D extra read+write passes) plus separate
 passes for the axpy/scale around it.  The kernels here read each operand
-from HBM exactly once per call: ``x`` is kept in HBM and DMA'd blockwise with a
-halo of ``ceil(max|d|/128)`` lane-rows, the shifts become static row
-slices + lane rolls inside VMEM, and the surrounding vector algebra
+from HBM exactly once per call: ``x`` is kept in HBM and DMA'd blockwise
+with a halo of ``ceil(max|d|/128)`` lane-rows, the shifts become static
+row slices + lane rolls inside VMEM, and the surrounding vector algebra
 (residual, damped-Jacobi update) is fused into the same pass.
+
+The per-offset coefficients and the diagonal are constant across the
+10-30 kernel calls of a solve, so their padded 2D layouts are
+precomputed once per matrix (``pack``) and carried on the matrix pytree;
+only the vectors are padded per call (one fused pad each).
 
 Three fused modes over the same kernel body:
   mv:       y = A x
@@ -39,15 +44,47 @@ def tpu_available() -> bool:
         return False
 
 
+def use_pallas(n: int) -> bool:
+    """Whether to route fused DIA ops through the Pallas kernels.
+
+    Default OFF: on the measured v5e, XLA fuses the precomputed-coef roll
+    formulation into a single pass (~450 GB/s effective) while this
+    kernel's manual-DMA pipeline sustains ~170 GB/s, so the XLA path wins
+    (mv 0.129 ms vs 0.232 ms, V-cycle 0.56 ms vs 0.98 ms at 1M cells).
+    Set FVM_TPU_PALLAS=1 to re-enable for kernel development."""
+    import os
+
+    return (os.environ.get("FVM_TPU_PALLAS") == "1" and tpu_available()
+            and n >= 32768)
+
+
 def _plan(n: int, offsets, rb: int = 512):
-    """Static block plan: (R rows, Rpad, halo rows H, n blocks, rb)."""
+    """Static block plan: (R rows, Rpad, halo rows H, n blocks, rb).
+
+    H and rb are kept multiples of 8 so every DMA'd VMEM buffer
+    (rb + 2H rows) is f32 sublane-tile aligned — unaligned row counts
+    fault the DMA engine."""
     R = -(-n // LANES)  # rows of 128 lanes covering n
     maxd = max(abs(int(d)) for d in offsets) if offsets else 0
-    H = -(-maxd // LANES)
-    rb = min(rb, max(8, R))
+    H = max(8, ((-(-maxd // LANES)) + 7) // 8 * 8)
+    rb = min(rb, max(8, (R + 7) // 8 * 8))
     nblk = -(-R // rb)
     Rpad = nblk * rb
     return R, Rpad, H, nblk, rb
+
+
+def pack(offsets, coef, diag):
+    """Pad (D, n) coefficients and (n,) diagonal into kernel 2D layouts.
+
+    Done once per assembled matrix (inside the solve jit, hoisted out of
+    the iteration loop); kernels then read these without per-call copies.
+    Padding diag with 1.0 keeps the fused Jacobi division safe."""
+    D, n = coef.shape
+    _, Rpad, H, _, _ = _plan(n, offsets)
+    grow = Rpad * LANES - n
+    coef_p = jnp.pad(coef, ((0, 0), (0, grow))).reshape(D, Rpad, LANES)
+    diag_p = jnp.pad(diag, (0, grow), constant_values=1.0).reshape(Rpad, LANES)
+    return coef_p, diag_p
 
 
 def _shift_rows(xt, d: int, H: int, rb: int):
@@ -55,15 +92,17 @@ def _shift_rows(xt, d: int, H: int, rb: int):
 
     xt is (rb + 2H, 128) holding flat elements [(blk - H)*128, ...).
     Returns t with t[r, c] = xt_flat[(H + r)*128 + c + d] (zero-padded
-    upstream, so out-of-range reads hit the zero halo of the padded array).
-    """
+    upstream, so out-of-range reads hit the zero halo of the padded
+    array)."""
     q, s = divmod(int(d), LANES)
     if s == 0:
         return xt[H + q:H + q + rb, :]
     r0 = xt[H + q:H + q + rb, :]
     r1 = xt[H + q + 1:H + q + rb + 1, :]
-    a0 = pltpu.roll(r0, -s, axis=1)
-    a1 = pltpu.roll(r1, -s, axis=1)
+    # pltpu.roll needs a non-negative shift; LANES - s == -s (mod LANES)
+    sh = jnp.int32(LANES - s)
+    a0 = pltpu.roll(r0, sh, axis=1)
+    a1 = pltpu.roll(r1, sh, axis=1)
     col = jax.lax.broadcasted_iota(jnp.int32, (rb, LANES), 1)
     return jnp.where(col < LANES - s, a0, a1)
 
@@ -71,7 +110,6 @@ def _shift_rows(xt, d: int, H: int, rb: int):
 def _dia_kernel(offsets, H, rb, mode, nrhs,
                 x_hbm, coef_ref, diag_ref, b_ref, omega_ref, out_ref,
                 xs, sem):
-    # DMA the x block (+halo) from HBM into VMEM scratch
     i = pl.program_id(0)
     cp = pltpu.make_async_copy(
         x_hbm.at[:, pl.ds(i * rb, rb + 2 * H), :], xs, sem
@@ -93,75 +131,74 @@ def _dia_kernel(offsets, H, rb, mode, nrhs,
         out_ref[m] = out
 
 
-def _pad_rows(v, R, Rpad, fill=0.0):
-    """(n,)-array -> (Rpad, 128) rows, zero (or fill) padded."""
-    n = v.shape[0]
-    flat = jnp.pad(v, (0, Rpad * LANES - n), constant_values=fill)
-    return flat.reshape(Rpad, LANES)
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("offsets", "mode", "n", "rb"),
-)
-def _dia_apply_padded(offsets, mode, n, coef, diag, x, b, omega, rb=512):
-    """x, b: (m, n); coef: (D, n); diag: (n,). Returns (m, n)."""
+@functools.partial(jax.jit, static_argnames=("offsets", "mode", "n"))
+def _dia_apply_packed(offsets, mode, n, coef_p, diag_p, x, b, omega):
+    """x, b: (m, n); coef_p: (D, Rpad, L); diag_p: (Rpad, L)."""
     nrhs = x.shape[0]
-    R, Rpad, H, nblk, rb = _plan(n, offsets, rb)
-    x2 = jnp.pad(
-        x, ((0, 0), (0, Rpad * LANES - n))
-    ).reshape(nrhs, Rpad, LANES)
-    xh = jnp.pad(x2, ((0, 0), (H, H), (0, 0)))
-    coef2 = jnp.pad(coef, ((0, 0), (0, Rpad * LANES - n))).reshape(
-        coef.shape[0], Rpad, LANES
+    R, Rpad, H, nblk, rb = _plan(n, offsets)
+    grow = Rpad * LANES - n
+    # single fused pad: halo rows below + (pad-to-Rpad + halo rows) above
+    xh = jnp.pad(x, ((0, 0), (H * LANES, grow + H * LANES))).reshape(
+        nrhs, Rpad + 2 * H, LANES
     )
-    diag2 = _pad_rows(diag, R, Rpad, fill=1.0)
     if b is None:
         b2 = jnp.zeros((nrhs, Rpad, LANES), x.dtype)
     else:
-        b2 = jnp.pad(b, ((0, 0), (0, Rpad * LANES - n))).reshape(
-            nrhs, Rpad, LANES
-        )
+        b2 = jnp.pad(b, ((0, 0), (0, grow))).reshape(nrhs, Rpad, LANES)
     om = jnp.full((1, 1), omega if omega is not None else 0.0, x.dtype)
 
     kernel = functools.partial(_dia_kernel, tuple(offsets), H, rb, mode, nrhs)
+    # NB: index-map constants must be i32 (the global x64 flag would make
+    # bare python 0 trace as i64 and Mosaic rejects the mixed tuple)
+    zero = np.int32(0)
+    D = coef_p.shape[0]
     out = pl.pallas_call(
         kernel,
         grid=(nblk,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # x (+halo) stays in HBM
             pl.BlockSpec(
-                (coef.shape[0], rb, LANES), lambda i: (0, i, 0),
+                xh.shape, lambda i: (zero, zero, zero),
+                memory_space=pltpu.ANY,  # x (+halo) stays in HBM
+            ),
+            pl.BlockSpec(
+                (D, rb, LANES), lambda i: (zero, i, zero),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((rb, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, LANES), lambda i: (i, zero),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (nrhs, rb, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+                (nrhs, rb, LANES), lambda i: (zero, i, zero),
+                memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (zero, zero),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(
-            (nrhs, rb, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            (nrhs, rb, LANES), lambda i: (zero, i, zero),
+            memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((nrhs, Rpad, LANES), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((nrhs, rb + 2 * H, LANES), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
-    )(xh, coef2, diag2, b2, om)
+    )(xh, coef_p, diag_p, b2, om)
     return out.reshape(nrhs, Rpad * LANES)[:, :n]
 
 
-def dia_apply(offsets, mode, coef, diag, x, b=None, omega=None):
+def dia_apply(offsets, mode, coef, diag, x, b=None, omega=None, pk=None):
     """Fused DIA op on (n,) or (n, m) vectors; returns same shape as x.
 
     offsets: tuple of python ints (static); coef: (D, n) precomputed
-    per-offset coefficients; mode in {"mv", "residual", "jacobi"}.
+    per-offset coefficients; mode in {"mv", "residual", "jacobi"};
+    pk: optional (coef_p, diag_p) from pack() to skip per-call padding.
     """
     squeeze = x.ndim == 1
     xm = x[None] if squeeze else x.T  # (m, n)
     bm = None if b is None else (b[None] if squeeze else b.T)
     n = x.shape[0]
-    y = _dia_apply_padded(tuple(int(d) for d in offsets), mode, n,
-                          coef, diag, xm, bm, omega)
+    if pk is None:
+        pk = pack(offsets, coef, diag)
+    y = _dia_apply_packed(tuple(int(d) for d in offsets), mode, n,
+                          pk[0], pk[1], xm, bm, omega)
     return y[0] if squeeze else y.T
