@@ -66,20 +66,87 @@ class KineticModelOptions(ModelOptions):
         "absoluteTolerance": 1e-14,
         "innerIterations": 60,
         "innerTolerance": 1e-8,
+        # "COMET": point-coupled ordinates — the outer linearization
+        # includes the exact rank-5 collision Jacobian (Newton) and the
+        # inner Krylov is preconditioned by the batched per-cell Woodbury
+        # inverse (reference: esbgkbase/COMETModel.h:51).  "sweep": the
+        # Picard/segregated iteration (reference: KineticModel.h:3360).
+        "solver": "COMET",
         "verbose": True,
     }
 
 
-class _KineticOperator:
-    """Matrix-free operator for the batched advection+relaxation system."""
+def _psi_weights(q, dtype):
+    """Vt (N, 5): quadrature weights times collision invariants
+    psi = (1, c, |c|^2)."""
+    c = jnp.asarray(q.c, dtype)
+    w = jnp.asarray(q.w, dtype)
+    psi = jnp.concatenate(
+        [jnp.ones((q.N, 1), dtype), c, jnp.sum(c * c, 1, keepdims=True)],
+        axis=1,
+    )
+    return w[:, None] * psi
 
-    def __init__(self, mesh, dO, dN, diag_extra):
+
+class _WoodburyPrecond:
+    """Exact per-cell inverse of D - kappa U Vt^T, batched over cells.
+
+    The TPU equivalent of the reference's per-cell ArrowHeadMatrix solve
+    (esbgkbase/ArrowHeadMatrix.h:21): the ordinate coupling through the 5
+    collision invariants is a rank-5 update, inverted via the
+    Sherman-Morrison-Woodbury identity with a batched 5x5 solve."""
+
+    def __init__(self, op):
+        from ..linear.dense import batched_small_solve
+
+        self._solve5 = batched_small_solve
+        D = jnp.where(op.interior, op.diag, 1.0)
+        self.D = jnp.where(jnp.abs(D) > 0.0, D, 1.0)
+        self.lowrank = op.lowrank
+        if self.lowrank is not None:
+            kappa, U, Vt = self.lowrank
+            self.DinvUk = kappa[..., None] * U / self.D[..., None]
+            S = -jnp.einsum("na,cnb->cab", Vt, self.DinvUk)
+            S = S + jnp.eye(Vt.shape[1], dtype=S.dtype)
+            self.S = S
+            self.Vt = Vt
+
+    def precond_setup(self, op):
+        def M(r):
+            z = r / self.D
+            if self.lowrank is not None:
+                t = jnp.einsum("na,cn->ca", self.Vt, z)
+                y = self._solve5(self.S, t)
+                z = z + jnp.einsum("cna,ca->cn", self.DinvUk, y)
+            return z
+
+        return M
+
+
+class _KineticOperator:
+    """Matrix-free operator for the batched advection+relaxation system.
+
+    With ``lowrank=(kappa, U, Vt)`` the operator includes the exact
+    linearization of the collision term's equilibrium feedback,
+
+        A df = advection(df) + (V/tau + V/dt) df - kappa * U (Vt^T df),
+
+    where U = d feq / d moments (nc, N, 5) and Vt = w * psi (N, 5) are the
+    moment weights.  This is the COMET coupling (reference:
+    esbgkbase/COMETModel.h:51, COMETESBGKDiscretizer.h:31): the
+    per-ordinate systems are coupled through the 5 collision invariants,
+    which the reference expresses as per-cell arrowhead matrices
+    (ArrowHeadMatrix.h:21) and we keep matrix-free as a rank-5 update —
+    the TPU-batched equivalent."""
+
+    def __init__(self, mesh, dO, dN, diag_extra, lowrank=None):
         self.mesh = mesh
         self.axis_name = mesh.axis_name
         self.halo = mesh.halo
         self.dO = dO  # (nf, N) = max(mdot, 0)
         self.dN = dN  # (nf, N) = min(mdot, 0)
         self.diag_extra = diag_extra  # (nc, 1) or (nc, N)
+        self.lowrank = lowrank  # (kappa (nc,1), U (nc,N,5), Vt (N,5))
         # diagonal: sum over faces of s * (own ? dO : dN) + extra
         s = jnp.where(mesh.cf_is_owner, 1.0, -1.0)[:, :, None]
         m = mesh.cf_mask[:, :, None]
@@ -111,6 +178,10 @@ class _KineticOperator:
         m = mesh.cf_mask[:, :, None]
         y = jnp.where(m, s * mesh.take_faces(F), 0.0).sum(axis=1)
         y = y + self.diag_extra * f
+        if self.lowrank is not None:
+            kappa, U, Vt = self.lowrank
+            mom = jnp.einsum("cn,na->ca", f, Vt)
+            y = y - kappa * jnp.einsum("cna,ca->cn", U, mom)
         # ghost rows: identity; halo/padding rows beyond n_owned: zero
         # (ELLMatrix convention: each global row counted on one shard only)
         y = jnp.where(self.interior, y, f)
@@ -132,6 +203,34 @@ class _KineticOperator:
         d = jnp.where(self.interior, self.diag, 1.0)
         d = jnp.where(jnp.abs(d) > 0.0, d, 1.0)  # dead padded rows
         return r / d
+
+    def jacobi_step(self, x, b, omega=1.0):
+        return x + omega * self.diag_solve(b - self.mv(x))
+
+
+class _JVPOperator:
+    """Exact-Jacobian operator A v = -dR/df . v via one jax.jvp,
+    delegating reductions to a base operator (JFNK)."""
+
+    def __init__(self, base, Rfun, f0):
+        self.base = base
+        self._R = Rfun
+        self._f0 = f0
+
+    def mv(self, v):
+        return -jax.jvp(self._R, (self._f0,), (v,))[1]
+
+    def dot(self, a, b):
+        return self.base.dot(a, b)
+
+    def norm(self, x):
+        return self.base.norm(x)
+
+    def psum(self, v):
+        return self.base.psum(v)
+
+    def diag_solve(self, r):
+        return self.base.diag_solve(r)
 
     def jacobi_step(self, x, b, omega=1.0):
         return x + omega * self.diag_solve(b - self.mv(x))
@@ -336,10 +435,25 @@ class KineticModel(Model):
 
     # ------------------------------------------------------------------
 
+    def _feq_of_moments(self, m):
+        """Discrete Maxwellian of one cell's conserved moments m (5,).
+
+        m = (rho, momentum, sum w f |c|^2); differentiable (jacfwd gives
+        the exact rank-5 collision Jacobian d feq / d m)."""
+        q = self.quadrature
+        c = jnp.asarray(q.c, m.dtype)
+        rho = m[0]
+        u = m[1:4] / rho
+        T = (m[4] / rho - jnp.dot(u, u)) / 3.0
+        du = c - u[None, :]
+        c2 = jnp.sum(du * du, axis=-1)
+        return rho / (2.0 * jnp.pi * T) ** 1.5 * jnp.exp(-c2 / (2.0 * T))
+
     def _build_step(self):
         opts = self.options
         inner_it = int(opts["innerIterations"])
         inner_tol = float(opts["innerTolerance"])
+        comet = str(opts["solver"]).upper() == "COMET"
 
         def step(mesh, params, state, bcvals):
             from ..ops.halo import maybe_sync
@@ -355,18 +469,66 @@ class KineticModel(Model):
                 dt = opts["timeStep"]
                 diag_extra = diag_extra + V / dt
                 b = b + V / dt * state["f_N1"]
-            op = _KineticOperator(mesh, params["dO"], params["dN"], diag_extra)
+            op_plain = _KineticOperator(
+                mesh, params["dO"], params["dN"], diag_extra
+            )
             # rhs rows for ghost cells: keep current ghost values; halo and
             # padding rows (beyond n_owned) are zero like mv's output
-            b = jnp.where(op.interior, b, f)
-            b = jnp.where(op.owned, b, 0.0)
-            r0 = b - op.mv(f)
-            rnorm = op.norm(jnp.where(op.interior & op.owned, r0, 0.0))
+            b = jnp.where(op_plain.interior, b, f)
+            b = jnp.where(op_plain.owned, b, 0.0)
+            # residual of the NONLINEAR system (collision feedback in b)
+            r0 = b - op_plain.mv(f)
+            rnorm = op_plain.norm(
+                jnp.where(op_plain.interior & op_plain.owned, r0, 0.0)
+            )
 
             from ..linear.krylov import BiCGStab, JacobiSolver
 
+            if comet:
+                # COMET as JFNK: the residual includes the collision
+                # feedback AND the boundary-ghost closures (ghost rows are
+                # residual equations refresh(f) - f_ghost, the JFNK
+                # pattern used by structure/plate/battery); the Jacobian
+                # action is exact via jax.jvp, so the outer iteration is
+                # a true Newton method — the role of the reference's
+                # point-coupled COMET solve (esbgkbase/COMETModel.h:51).
+                def R(fv):
+                    fg = self._refresh_ghosts(mesh, fv, bcvals)
+                    feq_v = self._equilibrium(fv)
+                    bv = V / tau * feq_v
+                    if opts["transient"]:
+                        bv = bv + (V / opts["timeStep"]) * state["f_N1"]
+                    res = bv - op_plain.mv(fv)  # ghost rows: fv - fv = 0
+                    res = jnp.where(op_plain.interior, res, fg - fv)
+                    return jnp.where(op_plain.owned, res, 0.0)
+
+                op = _JVPOperator(op_plain, R, f)
+                # per-cell Woodbury preconditioner from the rank-5
+                # collision Jacobian (the ArrowHeadMatrix equivalent)
+                Vt = _psi_weights(self.quadrature, f.dtype)
+                m = jnp.einsum("cn,na->ca", f, Vt)
+                alive = (m[:, 0] > 1e-12) & op_plain.interior[:, 0] \
+                    & op_plain.owned[:, 0]
+                m_safe = jnp.where(
+                    alive[:, None],
+                    m,
+                    jnp.asarray([1.0, 0.0, 0.0, 0.0, 3.0], m.dtype)[None],
+                )
+                U = jax.vmap(jax.jacfwd(self._feq_of_moments))(m_safe)
+                U = jnp.where(alive[:, None, None], U, 0.0)
+                kappa = jnp.where(alive[:, None], V / tau, 0.0)
+                op_lr = _KineticOperator(
+                    mesh, params["dO"], params["dN"], diag_extra,
+                    lowrank=(kappa, U, Vt),
+                )
+                precond = _WoodburyPrecond(op_lr)
+                r0 = R(f)
+            else:
+                op = op_plain
+                precond = JacobiSolver(sweeps=2)
+
             solver = BiCGStab(
-                preconditioner=JacobiSolver(sweeps=2),
+                preconditioner=precond,
                 relative_tolerance=inner_tol,
                 max_iterations=inner_it,
             )

@@ -53,6 +53,23 @@ def gauss_solve(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return x[:, 0] if squeeze else x
 
 
+def batched_small_solve(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve (..., B, B) @ x = (..., B) for small static B, batched.
+
+    Unrolled Gauss-Jordan without pivoting (callers pass well-conditioned
+    near-identity systems, e.g. the 5x5 Woodbury capacitance matrices of
+    the COMET collision coupling).  Works on every backend/dtype — no XLA
+    LU involved."""
+    B = A.shape[-1]
+    Ab = jnp.concatenate([A, b[..., None]], axis=-1)  # (..., B, B+1)
+    for k in range(B):
+        piv = Ab[..., k, :] / Ab[..., k, k:k + 1]
+        fac = Ab[..., :, k:k + 1]  # (..., B, 1)
+        Ab = Ab - fac * piv[..., None, :]
+        Ab = Ab.at[..., k, :].set(piv)
+    return Ab[..., B]
+
+
 def dense_inverse(A: jnp.ndarray) -> jnp.ndarray:
     """Matrix inverse that works on every backend/dtype combination.
 

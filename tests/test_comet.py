@@ -1,0 +1,70 @@
+"""COMET point-coupled kinetic solver: convergence + physics.
+
+The COMET solve (reference: esbgkbase/COMETModel.h:51) must converge in
+far fewer outer iterations than the segregated sweep solver at moderate
+Knudsen number — the whole point of coupling the ordinates through the
+collision invariants.
+"""
+
+import numpy as np
+import pytest
+
+import fvm_tpu as fvm
+from fvm_tpu.kinetic.esbgk import KineticModel
+from fvm_tpu.kinetic.quadrature import Quadrature
+
+
+def _couette(solver, tau=0.1, n=16, niter=12, uw=0.3):
+    mesh = fvm.mesh.generate.quad_2d(4, n)
+    dm = fvm.mesh.build_device_mesh(mesh)
+    k = KineticModel(dm, Quadrature(6, 6, 6))
+    k.options["verbose"] = False
+    k.options["solver"] = solver
+    k.options["relativeTolerance"] = 1e-12
+    k.vc["relaxationTime"] = tau
+    k.bc["left"].bc_type = "Symmetry"
+    k.bc["right"].bc_type = "Symmetry"
+    k.bc["bottom"].bc_type = "DiffuseWall"
+    k.bc["bottom"]["specifiedXVelocity"] = -uw
+    k.bc["top"].bc_type = "DiffuseWall"
+    k.bc["top"]["specifiedXVelocity"] = uw
+    k.init()
+    hist = k.advance(niter)
+    return [h[1] for h in hist], k
+
+
+def test_comet_newton_convergence():
+    """COMET (JFNK + Woodbury collision preconditioner) reaches 1e-6
+    relative residual in <=5 outer iterations; the sweep solver needs
+    many times more (>= 5x, per the round-2 acceptance criterion)."""
+    rs_comet, _ = _couette("COMET", niter=8)
+    rel = [r / rs_comet[0] for r in rs_comet]
+    it_comet = next((i for i, r in enumerate(rel) if r < 1e-6), None)
+    assert it_comet is not None and it_comet <= 5
+
+    rs_sweep, _ = _couette("sweep", niter=8)
+    rel_s = [r / rs_sweep[0] for r in rs_sweep]
+    assert all(r > 1e-6 for r in rel_s[: 8])
+
+
+def test_comet_couette_velocity_profile():
+    """Converged Couette velocity profile: antisymmetric, monotone in y,
+    with slip at the walls (|u_wall| < u_w for finite Kn)."""
+    rs, k = _couette("COMET", tau=0.05, n=24, niter=8)
+    rho, u, T = k.moments()
+    nin = k.mesh.n_interior_cells
+    y = np.asarray(k.mesh.cell_centroid[:nin, 1])
+    ux = np.asarray(u[:nin, 0])
+    # average over x columns
+    ys = np.unique(np.round(y, 9))
+    prof = np.array([ux[np.isclose(y, yy)].mean() for yy in ys])
+    assert abs(prof[0] + prof[-1]) < 1e-3  # antisymmetry
+    assert np.all(np.diff(prof) > 0)  # monotone shear
+    assert prof[-1] < 0.3  # velocity slip
+    assert prof[-1] > 0.05
+
+
+def test_comet_conservation():
+    rs, k = _couette("COMET", niter=6)
+    drho, dmom, de = k.conservation_error()
+    assert drho < 1e-8
