@@ -73,6 +73,13 @@ class PhononModelOptions(ModelOptions):
         "absoluteTolerance": 1e-14,
         "innerIterations": 80,
         "innerTolerance": 1e-8,
+        # "COMET": point-coupled solve — JFNK outer (exact Jacobian incl.
+        # lattice-temperature feedback and boundary closures, which for the
+        # linear BTE converges in 1-2 outer iterations) with the rank-1
+        # Sherman-Morrison collision preconditioner (reference:
+        # phononbase/COMETModel.h:22; coarse acceleration at :1080).
+        # "sweep": segregated Picard iteration (PhononModel.h:530).
+        "solver": "COMET",
         "verbose": True,
     }
 
@@ -268,6 +275,8 @@ class PhononModel(Model):
         Carr, _, _ = self._band_arrays()
         tau_db = self._tau_db
 
+        comet = str(opts["solver"]).upper() == "COMET"
+
         def step(mesh, params, state, bcvals):
             from ..ops.halo import maybe_sync
 
@@ -288,16 +297,62 @@ class PhononModel(Model):
                 dt = opts["timeStep"]
                 diag_extra = diag_extra + V / dt
                 b = b + V / dt * state["e_N1"]
-            op = _KineticOperator(mesh, params["dO"], params["dN"], diag_extra)
-            b = jnp.where(op.interior, b, e)
-            b = jnp.where(op.owned, b, 0.0)
-            r0 = b - op.mv(e)
-            rnorm = op.norm(jnp.where(op.interior & op.owned, r0, 0.0))
+            op_plain = _KineticOperator(
+                mesh, params["dO"], params["dN"], diag_extra
+            )
+            b = jnp.where(op_plain.interior, b, e)
+            b = jnp.where(op_plain.owned, b, 0.0)
+            r0 = b - op_plain.mv(e)
+            rnorm = op_plain.norm(
+                jnp.where(op_plain.interior & op_plain.owned, r0, 0.0)
+            )
 
             from ..linear.krylov import BiCGStab, JacobiSolver
 
+            if comet:
+                from .esbgk import _JVPOperator, _WoodburyPrecond
+
+                # e0 feedback is rank-1 per band stack:
+                #   d e0_{db} / d e_{d'b'} = C_b w_d' / (4 pi sum C)
+                dtype = e.dtype
+                Csum = float(Carr.sum())
+                u_db = jnp.tile(
+                    jnp.asarray(Carr, dtype)[None, :], (self.D, 1)
+                ).reshape(-1) / (4.0 * np.pi * Csum)
+                Vt = jnp.repeat(jnp.asarray(w, dtype), B)[:, None]  # (DB,1)
+                alive = op_plain.interior[:, 0] & op_plain.owned[:, 0]
+                U = jnp.broadcast_to(
+                    u_db[None, :, None], (mesh.n_cells, self.D * B, 1)
+                )
+                U = jnp.where(alive[:, None, None], U, 0.0)
+                kappa = jnp.where(alive[:, None], V / tau, 0.0)
+
+                def R(ev):
+                    eg = self._refresh_ghosts(mesh, ev, bcvals)
+                    Tv = self.temperature(ev)
+                    e0v = jnp.tile(
+                        self._e0_of_T(Tv)[:, None, :], (1, self.D, 1)
+                    ).reshape(mesh.n_cells, self.D * B)
+                    bv = V / tau * e0v
+                    if opts["transient"]:
+                        bv = bv + (V / opts["timeStep"]) * state["e_N1"]
+                    res = bv - op_plain.mv(ev)
+                    res = jnp.where(op_plain.interior, res, eg - ev)
+                    return jnp.where(op_plain.owned, res, 0.0)
+
+                op = _JVPOperator(op_plain, R, e)
+                op_lr = _KineticOperator(
+                    mesh, params["dO"], params["dN"], diag_extra,
+                    lowrank=(kappa, U, Vt),
+                )
+                precond = _WoodburyPrecond(op_lr)
+                r0 = R(e)
+            else:
+                op = op_plain
+                precond = JacobiSolver(sweeps=2)
+
             solver = BiCGStab(
-                preconditioner=JacobiSolver(sweeps=2),
+                preconditioner=precond,
                 relative_tolerance=inner_tol,
                 max_iterations=inner_it,
             )

@@ -68,3 +68,40 @@ def test_comet_conservation():
     rs, k = _couette("COMET", niter=6)
     drho, dmom, de = k.conservation_error()
     assert drho < 1e-8
+
+
+def test_phonon_comet_nongray():
+    """Non-gray (two-band) phonon COMET: 1e-6 relative residual within 3
+    outer iterations (linear BTE + exact Jacobian => Newton converges
+    immediately); the sweep solver is nowhere close in the same budget
+    (acceptance: <= 1/4 the iterations of the sweep solver)."""
+    from fvm_tpu.kinetic.phonon import PhononModel
+
+    def run(solver, niter):
+        mesh = fvm.mesh.generate.quad_2d(16, 16)
+        dm = fvm.mesh.build_device_mesh(mesh)
+        p = PhononModel(dm, n_polar=4, n_azimuthal=8,
+                        bands=[(0.6, 3.0, 0.02), (0.4, 1.0, 0.2)])
+        p.options["verbose"] = False
+        p.options["solver"] = solver
+        p.options["relativeTolerance"] = 1e-10
+        p.bc["left"].bc_type = "Isothermal"
+        p.bc["left"]["specifiedTemperature"] = 310.0
+        p.bc["right"].bc_type = "Isothermal"
+        p.bc["right"]["specifiedTemperature"] = 300.0
+        p.bc["bottom"].bc_type = "Symmetry"
+        p.bc["top"].bc_type = "Symmetry"
+        p.init()
+        hist = p.advance(niter)
+        return [h[1] for h in hist], p
+
+    rs, p = run("COMET", 4)
+    rel = [r / rs[0] for r in rs]
+    assert min(rel) < 1e-8
+    it6 = next(i for i, r in enumerate(rel) if r < 1e-6)
+    assert it6 <= 3
+    T = p.getTemperature()
+    assert 300.0 < T.min() < 302.5 and 307.5 < T.max() < 310.0
+
+    rs_s, _ = run("sweep", 12)
+    assert all(r / rs_s[0] > 1e-6 for r in rs_s)
