@@ -82,21 +82,35 @@ def main():
     thermal.init()
     print(f"# thermal init: {time.time()-t0:.1f}s", file=sys.stderr)
 
+    # residual norms stay on device during the timed loop (a float() sync
+    # costs ~30 ms through the TPU tunnel, comparable to a whole step);
+    # one explicit sync after the loop closes the timing.
+    flow.options["residualSync"] = False
+    thermal.options["residualSync"] = False
+
     def outer_step():
-        flow.advance(1)
+        hist_f = flow.advance(1)
         thermal.state["massFlux"] = flow.state["massFlux"]
-        thermal.advance(1)
+        hist_t = thermal.advance(1)
+        return hist_f, hist_t
+
+    def sync(hists):
+        vals = [float(v) for h in hists for v in h[-1][1:]]
+        assert all(v == v for v in vals), "NaN residual"
+        return vals
 
     # warmup / compile
     t0 = time.time()
-    outer_step()
+    sync(outer_step())
     print(f"# first step (compile): {time.time()-t0:.1f}s", file=sys.stderr)
-    outer_step()
+    sync(outer_step())
 
     t0 = time.time()
     for _ in range(iters):
-        outer_step()
+        hists = outer_step()
+    resids = sync(hists)  # forces completion of the whole queue
     dt = time.time() - t0
+    print(f"# final residuals: {resids}", file=sys.stderr)
     cells_per_sec = n_cells * iters / dt
     print(
         f"# {iters} coupled steps in {dt:.2f}s -> {cells_per_sec:.3e} cells/s",

@@ -437,8 +437,16 @@ class FlowModel(Model):
         opts = self.options
         hist = ResidualHistory()
         bcvals = self._resolve_bcvals()
+        # residualSync=False: keep residual norms as device scalars and skip
+        # per-iteration convergence checks — every float() here is a host
+        # round trip (~30 ms on the TPU tunnel), which would dominate a
+        # ~100 ms step.  Callers own the final sync.
+        sync = bool(opts.get("residualSync", True)) or bool(opts["verbose"])
         for it in range(niter):
             self.state, aux = self._step(self.mesh, self.params, self.state, bcvals)
+            if not sync:
+                hist.append((it, aux["mom_norm"], aux["cont_norm"]))
+                continue
             mom_norm = float(aux["mom_norm"])
             cont_norm = float(aux["cont_norm"])
             if self._norm0 is None:

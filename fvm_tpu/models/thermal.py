@@ -298,8 +298,14 @@ class ThermalModel(Model):
         opts = self.options
         hist = ResidualHistory()
         bcvals = self._resolve_bcvals()
+        # residualSync=False: residuals stay device scalars (no per-step
+        # host round trip); convergence checks are skipped
+        sync = bool(opts.get("residualSync", True)) or bool(opts["verbose"])
         for it in range(niter):
             self.state, aux = self._step(self.mesh, self.params, self.state, bcvals)
+            if not sync:
+                hist.append((it, aux["rnorm"]))
+                continue
             rnorm = float(aux["rnorm"])
             if self._initial_norm is None or self._initial_norm == 0.0:
                 self._initial_norm = rnorm
