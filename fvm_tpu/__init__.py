@@ -18,7 +18,8 @@ Quick start::
 """
 
 from . import config as _config_module
-from .config import config, set_default_dtype, default_dtype
+from .config import (config, set_default_dtype, default_dtype,
+                     enable_fpe_checks)
 from .exceptions import FVMError, MeshError, SolverError, ConfigError
 
 from . import mesh

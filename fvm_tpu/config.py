@@ -70,3 +70,19 @@ def default_dtype():
 
 def index_dtype():
     return config.index_dtype
+
+
+def enable_fpe_checks(enable: bool = True) -> None:
+    """Convert floating-point faults (NaN/Inf production) into exceptions.
+
+    Counterpart of the reference's SWIG-layer FPE signal handler that
+    raises CException on floating-point exceptions
+    (reference: src/fvm/src/modules/fvmbase/baseExt.i:25-30).  On the
+    XLA side the equivalent is jax's NaN/Inf debugging mode: every jitted
+    computation is re-run un-jitted when a NaN appears and the producing
+    primitive raises FloatingPointError.  Costly - debugging only.
+    """
+    import jax as _jax
+
+    _jax.config.update("jax_debug_nans", bool(enable))
+    _jax.config.update("jax_debug_infs", bool(enable))

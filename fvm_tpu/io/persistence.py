@@ -6,8 +6,8 @@ saveMeshes, plus Model::getPersistenceData/restart, Model.h:23-26).
 
 Uses a single compressed .npz archive per checkpoint: every registered
 model contributes its persistence dict (all time levels included), plus
-mesh node coordinates for moving-mesh restarts.  h5py is used when
-available for reference-format compatibility; .npz otherwise.
+mesh node coordinates for moving-mesh restarts.  (The reference uses
+HDF5; .npz carries the same content without the h5py dependency.)
 """
 
 from __future__ import annotations

@@ -139,3 +139,48 @@ def test_dia_matches_gather_path():
             np.testing.assert_allclose(
                 np.asarray(A.mv(X)), np.asarray(Ag.mv(X)), rtol=1e-12, atol=1e-12
             )
+
+
+def test_ilu0_beats_jacobi_on_anisotropic():
+    """ILU(0) (Chow-Patel fixed-point factorization, reference
+    ILU0Solver.h:20) converges markedly faster than damped Jacobi on an
+    anisotropic Poisson problem, and is exact enough to use standalone."""
+    import numpy as np
+    import jax.numpy as jnp
+    import fvm_tpu as fvm
+    from fvm_tpu.linear import ILU0Solver, JacobiSolver, BiCGStab
+    from fvm_tpu.ops.ell import ELLMatrix
+    from fvm_tpu.ops.dia import DIAInfo
+
+    m = fvm.mesh.build_device_mesh(fvm.mesh.generate.quad_2d(32, 32))
+    cols = np.asarray(m.cf_nbr)
+    mask = np.asarray(m.cf_mask)
+    n = cols.shape[0]
+    i = np.arange(n)
+    delta = np.where(mask, cols - i[:, None], 0)
+    # anisotropy: x-couplings 50x stronger
+    off = np.where(np.abs(delta) == 1, -50.0, -1.0) * mask
+    diag = -off.sum(1) + 0.5
+    diag = np.where(mask.any(1), diag, 1.0)
+    A = ELLMatrix(
+        diag=jnp.asarray(diag), off=jnp.asarray(off),
+        cols=jnp.asarray(cols, jnp.int32), mask=jnp.asarray(mask),
+        dia=DIAInfo.build(cols, mask),
+    )
+    rng = np.random.default_rng(0)
+    b = jnp.asarray(rng.standard_normal(n) * mask.any(1))
+
+    x_i, st_i = ILU0Solver(max_iterations=40, relative_tolerance=1e-8).solve(
+        A, b
+    )
+    x_j, st_j = JacobiSolver(
+        omega=0.7, max_iterations=40, relative_tolerance=1e-8
+    ).solve(A, b)
+    assert float(st_i.residual) < 0.1 * float(st_j.residual)
+
+    # and as a BiCGStab preconditioner it converges to tight tolerance
+    x, st = BiCGStab(
+        preconditioner=ILU0Solver(), relative_tolerance=1e-10,
+        max_iterations=60,
+    ).solve(A, b)
+    assert bool(st.converged)
