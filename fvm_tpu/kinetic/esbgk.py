@@ -534,6 +534,20 @@ class KineticModel(Model):
             )
             df, _ = solver.solve_fn(op, r0, jnp.zeros_like(f))
             f_new = jnp.maximum(f + df, 0.0)
+            if comet and not opts["transient"]:
+                # the steady wall-bounded problem fixes total mass only
+                # through its history (f -> s*f is an exact solution
+                # family: feq is 1-homogeneous in rho at fixed u, T), and
+                # a Newton step may land on a different member; project
+                # back onto the incoming mass manifold (a psum'd scalar)
+                w = jnp.asarray(self.quadrature.w, f.dtype)
+                Vc = jnp.where(
+                    op_plain.interior[:, 0] & op_plain.owned[:, 0],
+                    mesh.cell_volume, 0.0,
+                )
+                m_old = op_plain.psum(jnp.sum(Vc * (f @ w)))
+                m_new = op_plain.psum(jnp.sum(Vc * (f_new @ w)))
+                f_new = f_new * (m_old / jnp.maximum(m_new, 1e-300))
             new_state = dict(state, f=f_new)
             return new_state, {"rnorm": rnorm}
 

@@ -553,6 +553,56 @@ def _dense_from_ell(A: ELLMatrix, n: int) -> jnp.ndarray:
     return D.at[rows, cols].add(vals)
 
 
+def _pad_stack(arrs, fill):
+    """Pad 1D int arrays to a common length and stack: (S, L) + (S, L) valid."""
+    L = max((len(a) for a in arrs), default=0)
+    out = np.full((len(arrs), max(L, 1)), fill, dtype=np.int32)
+    val = np.zeros((len(arrs), max(L, 1)), dtype=bool)
+    for d, a in enumerate(arrs):
+        out[d, : len(a)] = a
+        val[d, : len(a)] = True
+    return out, val
+
+
+def _local_condense(A, arrs):
+    """Per-shard boundary condensation with traced (data) index arrays.
+
+    The distributed analogue of ELLMatrix.condense: the fold indices are
+    shard-dependent DATA (selected by axis_index from stacked tables and
+    padded to uniform length, with validity masks making padded entries
+    no-ops).  Returns (diag2, offv, fold_b, recover)."""
+    (er, es, ep, ir, ik, ie, e_val, in_val) = arrs
+    offv = jnp.where(A.mask, A.off, 0.0)
+    vE = jnp.where(e_val & (es >= 0), offv[er, jnp.maximum(es, 0)], 0.0)
+    dE = jnp.where(e_val, A.diag[er], 1.0)
+    vIn = jnp.where(in_val, offv[ir, ik], 0.0)
+    # all scatters below are .add with padded entries contributing exactly
+    # zero — scatter-set would be order-dependent for the padded duplicate
+    # indices
+    fac = vIn / dE[ie]
+    diag2 = A.diag.at[ir].add(-fac * vE[ie])
+    diag2 = diag2.at[er].add(jnp.where(e_val, 1.0 - diag2[er], 0.0))
+
+    def fold_b(b):
+        bE = b[er]
+        if b.ndim == 1:
+            b2 = b.at[ir].add(-fac * bE[ie])
+            return b2.at[er].add(jnp.where(e_val, -b2[er], 0.0))
+        b2 = b.at[ir].add(-fac[:, None] * bE[ie])
+        return b2.at[er].add(jnp.where(e_val[:, None], -b2[er], 0.0))
+
+    def recover(x2, b):
+        if x2.ndim == 1:
+            xE = (b[er] - vE * x2[ep]) / dE
+            return x2.at[er].add(jnp.where(e_val, xE - x2[er], 0.0))
+        xE = (b[er] - vE[:, None] * x2[ep]) / dE[:, None]
+        return x2.at[er].add(
+            jnp.where(e_val[:, None], xE - x2[er], 0.0)
+        )
+
+    return diag2, offv, fold_b, recover
+
+
 class AMG(LinearSolver):
     """Aggregation AMG; usable standalone or as a Krylov preconditioner.
 
@@ -592,6 +642,7 @@ class AMG(LinearSolver):
         # mantissa only costs a few outer Krylov iterations at worst.
         self.precision = precision
         self._levels_cache: dict = {}
+        self._dist_setup = None
 
     # -- setup --------------------------------------------------------------
 
@@ -637,6 +688,128 @@ class AMG(LinearSolver):
             cols, mask, n = lev.cols_c_np, lev.mask_c_np, lev.nC
         self._levels_cache[key] = levels
         return levels
+
+    def setup_structure_dist(self, cols_S: np.ndarray, mask_S: np.ndarray,
+                             n_owned: int) -> bool:
+        """Static setup for the distributed (shard-local) AMG.
+
+        TPU redesign of the reference's distributed AMG with coarse rank
+        merging (AMG.h:53-103, LinearSystemMerger.h:22-37): each shard
+        runs a LOCAL V-cycle on its owned block (couplings into halo
+        columns dropped — additive Schwarz), used as a preconditioner
+        inside a global psum-reduced Krylov iteration.  Requires all
+        shards to share the condensed grid structure (true for regular
+        partitions of structured meshes); returns False otherwise and
+        callers fall back to Jacobi preconditioning.
+
+        The per-shard condensation index tables differ by shard, so they
+        are stored as stacked (S, L) arrays selected by axis_index at
+        trace time; the level hierarchy itself is shard-uniform static.
+        """
+        from ..ops.dia import CondensePlan
+
+        S = cols_S.shape[0]
+        plans = [
+            CondensePlan(np.asarray(cols_S[d]), np.asarray(mask_S[d]),
+                         drop_beyond=n_owned)
+            for d in range(S)
+        ]
+        # uniformity: after condensation every shard must present a grid
+        # block of the SAME dimensions with fully dead tails (ghosts
+        # eliminated, halos dropped).  Slot ORDER may differ per shard
+        # (ghost vs halo couplings occupy different ELL slots), so the
+        # slot->offset buckets are stacked per-shard DATA; the level
+        # hierarchy and the offset set are shared static structure.
+        grids = [detect_grid(np.asarray(cols_S[d]), plans[d].mask2)
+                 for d in range(S)]
+        if any(g is None for g in grids):
+            self._dist_setup = None
+            return False
+        nx, ny = grids[0][0], grids[0][1]
+        mgrid = nx * ny
+        n, K = cols_S.shape[1], cols_S.shape[2]
+        offsets = tuple(sorted((1, -1, nx, -nx)))
+        buckets = np.full((S, n, K), -1, dtype=np.int8)
+        for d in range(S):
+            if grids[d][0] != nx or grids[d][1] != ny:
+                self._dist_setup = None
+                return False
+            if (grids[d][2] >= 0).any() or plans[d].mask2[mgrid:].any():
+                self._dist_setup = None
+                return False
+            cd = np.asarray(cols_S[d])
+            delta = np.where(plans[d].mask2, cd - np.arange(n)[:, None], 0)
+            covered = ~plans[d].mask2
+            for i, off in enumerate(offsets):
+                hit = plans[d].mask2 & (delta == off)
+                buckets[d][hit] = i
+                covered |= hit
+            if not covered.all():  # a live coupling outside {+-1, +-nx}
+                self._dist_setup = None
+                return False
+        levels = []
+        nx_, ny_, n_ = nx, ny, n
+        while (n_ > self.coarse_size and len(levels) < self.max_levels
+               and max(nx_, ny_) > 1):
+            lev = _StructuredLevel(nx_, ny_, n_)
+            levels.append(lev)
+            nx_, ny_, n_ = lev.nx_c, lev.ny_c, lev.nC
+        if not levels:
+            self._dist_setup = None
+            return False
+        er, e_val = _pad_stack([p.elim_rows if p.ok else [] for p in plans], 0)
+        es, _ = _pad_stack(
+            [p.elim_slot if p.ok else [] for p in plans], -1)
+        ep, _ = _pad_stack(
+            [p.elim_part if p.ok else [] for p in plans], 0)
+        ir, in_val = _pad_stack([p.in_rows if p.ok else [] for p in plans], 0)
+        ik, _ = _pad_stack([p.in_slots if p.ok else [] for p in plans], 0)
+        ie, _ = _pad_stack([p.in_elim if p.ok else [] for p in plans], 0)
+        self._dist_setup = {
+            "arrays": tuple(np.asarray(a) for a in
+                            (er, es, ep, ir, ik, ie, e_val, in_val)),
+            "buckets": buckets,
+            "offsets": offsets,
+            "levels": levels,
+        }
+        return True
+
+    def _precond_setup_dist(self, A: ELLMatrix):
+        from ..ops.dia import DIAMatrix
+
+        ds = getattr(self, "_dist_setup", None)
+        if ds is None:
+            return lambda r: A.diag_solve(r)
+        idx = jax.lax.axis_index(A.axis_name)
+        arrs = tuple(jnp.asarray(a)[idx] for a in ds["arrays"])
+        diag2, offv, fold_b, recover = _local_condense(A, arrs)
+        bkt = jnp.asarray(ds["buckets"])[idx]
+        offsets = ds["offsets"]
+        coef = jnp.stack([
+            jnp.sum(jnp.where(bkt == i, offv, 0.0), axis=1)
+            for i in range(len(offsets))
+        ])
+        A2 = DIAMatrix(diag2, coef, offsets).prepare()
+        levels = ds["levels"]
+        mats = [A2]
+        for lev in levels:
+            mats.append(lev.galerkin(mats[-1]).prepare())
+        from ..ops.dia import DIAMatrix
+
+        tail = mats[-1]
+        dense = (tail.to_dense() if isinstance(tail, DIAMatrix)
+                 else _dense_from_ell(tail, tail.diag.shape[0]))
+        inv = dense_inverse(dense)
+        n_owned = A.n_owned if A.n_owned is not None else A.n
+        owned = jnp.arange(A.n) < n_owned
+
+        def M(r):
+            r2 = fold_b(r)
+            z = self._cycle0(levels, mats, [inv], r2)
+            z = recover(z, r)
+            return jnp.where(owned if z.ndim == 1 else owned[:, None], z, 0.0)
+
+        return M
 
     def _get_levels(self, A: ELLMatrix):
         cols = A.cols
@@ -731,7 +904,10 @@ class AMG(LinearSolver):
         Krylov solvers call this before their iteration loop so the
         Galerkin products and coarse factorization are hoisted out of the
         while_loop (the reference similarly separates createCoarseLevels
-        from cycle(), AMG.cpp)."""
+        from cycle(), AMG.cpp).  Distributed matrices get the shard-local
+        additive-Schwarz cycle (setup_structure_dist)."""
+        if getattr(A, "axis_name", None) is not None:
+            return self._precond_setup_dist(A)
         levels, mats, denses = self._build_hierarchy(A)
 
         def M(r: jnp.ndarray) -> jnp.ndarray:
@@ -741,6 +917,23 @@ class AMG(LinearSolver):
 
     def solve_fn(self, A: ELLMatrix, b: jnp.ndarray, x0: jnp.ndarray):
         from .base import condensed
+
+        if getattr(A, "axis_name", None) is not None:
+            # distributed standalone solve: the shard-local cycles are an
+            # additive-Schwarz preconditioner (no global coupling beyond
+            # the seams), so plain Richardson stalls with many shards —
+            # accelerate with a psum-reduced BiCGStab around the local
+            # cycle, the TPU counterpart of the reference's distributed
+            # AMG with coarse rank merging (AMG.h:53-103)
+            from .krylov import BiCGStab
+
+            inner = BiCGStab(
+                preconditioner=self,
+                relative_tolerance=self.relativeTolerance,
+                absolute_tolerance=self.absoluteTolerance,
+                max_iterations=self.nMaxIterations,
+            )
+            return inner.solve_fn(A, b, x0)
 
         A, b, recover = condensed(A, b)
         A = A.prepare()

@@ -163,11 +163,24 @@ class FlowModel(Model):
         pres = self.options.get("pressureLinearSolver")
         if pres is None:
             if self._dist:
-                pres = BiCGStab(
-                    preconditioner=JacobiSolver(sweeps=3),
-                    relative_tolerance=1e-3,
-                    max_iterations=200,
-                )
+                # shard-local AMG (additive Schwarz) when the partition
+                # admits it; Jacobi otherwise
+                amg_p = AMG(coarse_size=64)
+                if amg_p.setup_structure_dist(
+                    np.asarray(mesh.cf_nbr), np.asarray(mesh.cf_mask),
+                    mesh.n_owned_cells,
+                ):
+                    pres = BiCGStab(
+                        preconditioner=amg_p,
+                        relative_tolerance=1e-3,
+                        max_iterations=60,
+                    )
+                else:
+                    pres = BiCGStab(
+                        preconditioner=JacobiSolver(sweeps=3),
+                        relative_tolerance=1e-3,
+                        max_iterations=200,
+                    )
             else:
                 pres = BiCGStab(
                     preconditioner=AMG(), relative_tolerance=1e-3, max_iterations=30
@@ -177,12 +190,25 @@ class FlowModel(Model):
             for ss in (s, getattr(s, "preconditioner", None)):
                 if isinstance(ss, AMG):
                     if self._dist:
-                        raise ConfigError(
-                            "FlowModel: AMG is single-device for now"
+                        ok = (
+                            getattr(ss, "_dist_setup", None) is not None
+                            or ss.setup_structure_dist(
+                                np.asarray(mesh.cf_nbr),
+                                np.asarray(mesh.cf_mask),
+                                mesh.n_owned_cells,
+                            )
                         )
-                    ss.setup_structure(
-                        np.asarray(mesh.cf_nbr), np.asarray(mesh.cf_mask)
-                    )
+                        if not ok:
+                            raise ConfigError(
+                                "FlowModel: distributed AMG needs all "
+                                "shards to share the condensed grid "
+                                "structure (regular partitions of "
+                                "structured meshes)"
+                            )
+                    else:
+                        ss.setup_structure(
+                            np.asarray(mesh.cf_nbr), np.asarray(mesh.cf_mask)
+                        )
 
         if self._dist:
             self.state = self.partition.device_put(self.state)

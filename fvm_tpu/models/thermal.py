@@ -145,12 +145,22 @@ class ThermalModel(Model):
         for s in (solver, pre):
             if isinstance(s, AMG):
                 if self._dist:
-                    raise ConfigError(
-                        "ThermalModel: AMG is single-device for now; use "
-                        "CG/BiCGStab with a Jacobi preconditioner on "
-                        "partitioned meshes"
+                    ok = s.setup_structure_dist(
+                        np.asarray(mesh.cf_nbr), np.asarray(mesh.cf_mask),
+                        mesh.n_owned_cells,
                     )
-                s.setup_structure(np.asarray(mesh.cf_nbr), np.asarray(mesh.cf_mask))
+                    if not ok:
+                        raise ConfigError(
+                            "ThermalModel: distributed AMG needs all "
+                            "shards to share the condensed grid structure"
+                            " (regular partitions of structured meshes); "
+                            "use CG/BiCGStab with a Jacobi preconditioner"
+                            " on this partition"
+                        )
+                else:
+                    s.setup_structure(
+                        np.asarray(mesh.cf_nbr), np.asarray(mesh.cf_mask)
+                    )
 
         if self._dist:
             self.state = self.partition.device_put(self.state)

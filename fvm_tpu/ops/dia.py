@@ -76,8 +76,18 @@ class CondensePlan:
     (reference: CRMatrix.h:1064).
     """
 
-    def __init__(self, cols: np.ndarray, mask: np.ndarray):
+    def __init__(self, cols: np.ndarray, mask: np.ndarray,
+                 drop_beyond: int | None = None):
         n, K = cols.shape
+        # drop_beyond: treat rows >= drop_beyond (distributed halo /
+        # padding cells) as outside the local domain — their rows and all
+        # couplings into them are removed from the pattern WITHOUT
+        # folding (the additive-Schwarz approximation used when the plan
+        # serves a local preconditioner).  Never used on an exact solve.
+        if drop_beyond is not None:
+            mask = mask.copy()
+            mask[drop_beyond:] = False
+            mask = mask & (cols < drop_beyond)
         valid = mask & (cols != np.arange(n)[:, None])
         deg = valid.sum(axis=1)
         cand = deg <= 1
@@ -98,6 +108,10 @@ class CondensePlan:
             elim[tgt[bad]] = False
         self.ok = bool(elim.any())
         if not self.ok:
+            # still expose the (possibly halo-dropped) structure so the
+            # distributed setup can use it uniformly
+            self.mask2 = mask
+            self.dia2 = DIAInfo.build(cols, mask, condense=False)
             return
         e = np.nonzero(elim)[0]
         self.elim_rows = e.astype(np.int32)
