@@ -82,6 +82,11 @@ class FlowModelOptions(ModelOptions):
     _defaults = {
         "momentumURF": 0.7,
         "pressureURF": 0.3,
+        # coupled (advanceCoupled) relaxation: near-Newton. Measured on the
+        # Re=100 cavity: 1.0 stagnates on the nonlinear transient, 0.95
+        # reaches 1e-3 in 13 outers and then converges superlinearly; lower
+        # values only slow the asymptotic rate (0.9 -> 21, 0.8 -> 43).
+        "coupledMomentumURF": 0.95,
         "transient": False,
         "timeStep": 0.1,
         "timeDiscretizationOrder": 1,
@@ -454,6 +459,238 @@ class FlowModel(Model):
             return new_state, {"mom_norm": mom_norm, "cont_norm": cont_norm}
 
         return step
+
+    # ------------------------------------------------------------------
+
+    def _build_coupled_step(self):
+        """Fully coupled pressure-velocity step (reference advanceCoupled,
+        FlowModel_impl.h:1474: VPMatrix/PVMatrix blocks added to the
+        momentum+continuity LinearSystem and solved as one system).
+
+        One (dim+1)x(dim+1) BlockELL system per outer iteration with
+        unknowns q = (u, v, [w], p):
+          - momentum rows: same diffusion/convection linearization as the
+            segregated predictor; the pressure force p_f*A_f is IMPLICIT
+            through the V-P column (dF/dp = w_f * A_f);
+          - continuity row: Rhie-Chow mass flux with dmdot/dp = +-Df (the
+            segregated pressure-correction stencil) and the P-V coupling
+            dmdot/dV = rho_f * w_f * A_f from the face-averaged velocity.
+        The solution delta updates V and p directly (Newton step; the
+        momentum URF supplies the relaxation, as in the reference where
+        linearizeMomentum carries the underrelaxer) and the mass flux is
+        corrected with the full continuity-row linearization (reference
+        correctMassFluxInterior in coupled mode, FlowModel_impl.h:1263).
+        """
+        from ..ops import bell
+
+        opts = self.options
+        # under-relaxing the coupled diagonal breaks the Newton consistency
+        # between the momentum and continuity rows (measured: urf 0.9 slows
+        # the outer contraction from 0.45 to 0.87 per iteration); default
+        # to a full Newton step — the implicit coupling supplies stability
+        urf_v = float(opts["coupledMomentumURF"])
+        solver = opts["coupledLinearSolver"]
+
+        def step(mesh, params, state, bcvals):
+            dim = mesh.dim
+            B = dim + 1
+            n_int = mesh.n_interior_cells
+            interior_cells = jnp.arange(mesh.n_cells) < n_int
+            bnd = jnp.arange(mesh.n_faces) >= mesh.n_interior_faces
+
+            state = dict(
+                state,
+                velocity=maybe_sync(mesh, state["velocity"]),
+                pressure=maybe_sync(mesh, state["pressure"]),
+            )
+            state = self._refresh_ghosts(mesh, params, state, bcvals)
+            V = state["velocity"]
+            p = state["pressure"]
+            mdot = state["massFlux"]
+            bmdot = self._boundary_mass_flux(mesh, params, state, bcvals)
+            mdot = jnp.where(bnd, bmdot, mdot)
+
+            # ---- momentum linearization (shared scalar stencil) ----------
+            mu_f = disc.harmonic_face_gamma(mesh, params["mu"])
+            needs_gradV = (not mesh.orthogonal) or (
+                opts["convectionScheme"] == "sou"
+            )
+            gradV = (
+                maybe_sync(mesh, self._grad(mesh, params, V))
+                if needs_gradV
+                else None
+            )
+            flux = disc.diffusion_flux(mesh, V, mu_f, gradV)
+            flux = flux + disc.convection_flux(
+                mesh, V, mdot, opts["convectionScheme"], gradV
+            )
+            wo = mesh.face_wo
+            p_f = wo * mesh.take_owner(p) + (1.0 - wo) * mesh.take_nbr(p)
+            F_mom = flux.F + p_f[:, None] * mesh.face_area
+            diag_cell = jnp.zeros(mesh.n_cells, V.dtype)
+            r_cell = jnp.zeros((mesh.n_cells, dim), V.dtype)
+            if opts["transient"]:
+                d2, r2 = disc.transient_term(
+                    mesh,
+                    V,
+                    state["velocity_N1"],
+                    opts["timeStep"],
+                    params["rho"],
+                    state.get("velocity_N2"),
+                )
+                diag_cell = diag_cell + d2
+                r_cell = r_cell + r2
+            # scalar momentum matrix only for aP (Rhie-Chow) and mom_norm
+            A_m, r_m = assembly.assemble(
+                mesh,
+                FaceFlux(F_mom, flux.dF_dO, flux.dF_dN),
+                r_cell=r_cell,
+                diag_cell=diag_cell,
+            )
+            gh = slice(n_int, mesh.n_cells)
+            r_m = r_m.at[gh].set(0.0)
+            mom_norm = A_m.norm(r_m)
+            aP = jnp.where(interior_cells, A_m.diag / urf_v, A_m.diag)
+
+            # ---- Rhie-Chow face mass flux (lagged velocity) --------------
+            rho_f = assembly.cells_to_faces_distance_weighted(
+                mesh, params["rho"]
+            )
+            Vbar = assembly.cells_to_faces_distance_weighted(mesh, V)
+            gradp = maybe_sync(mesh, self._grad(mesh, params, p))
+            vol_over_ap = jnp.where(
+                interior_cells, mesh.cell_volume / aP, 0.0
+            )
+            vol_over_ap = maybe_sync(mesh, vol_over_ap)
+            voap_f = assembly.cells_to_faces_distance_weighted(
+                mesh, bck.extend_to_ghosts(mesh, vol_over_ap)
+            )
+            Df = rho_f * voap_f * mesh.face_e_over_d
+            gpbar = assembly.cells_to_faces_distance_weighted(mesh, gradp)
+            dp = mesh.take_nbr(p) - mesh.take_owner(p)
+            rc = Df * (dp - jnp.einsum("fd,fd->f", gpbar, mesh.face_ds))
+            mdot_int = (
+                rho_f * jnp.einsum("fd,fd->f", Vbar, mesh.face_area) - rc
+            )
+            mdot = jnp.where(bnd, bmdot, mdot_int)
+
+            pres_face = jnp.zeros(mesh.n_faces, bool)
+            for g, bc in self._group_bcs():
+                if bc.bc_type == "PressureBoundary":
+                    sl = mesh.group_faces(g)
+                    pres_face = pres_face.at[sl].set(True)
+            Df_cont = jnp.where(bnd & ~pres_face, 0.0, Df)
+
+            # ---- block Jacobians -----------------------------------------
+            I_d = jnp.eye(dim, dtype=V.dtype)
+            # velocity-velocity: scalar stencil times I
+            dO_vv = flux.dF_dO[:, None, None] * I_d
+            dN_vv = flux.dF_dN[:, None, None] * I_d
+            # velocity-pressure: d(p_f A_f)/dp
+            dO_vp = wo[:, None] * mesh.face_area
+            dN_vp = (1.0 - wo)[:, None] * mesh.face_area
+            # pressure-velocity: d(mdot)/dV; boundary mdot is fixed except
+            # on pressure boundaries, where mdot = rho V_O . A
+            wV_O = jnp.where(bnd, jnp.where(pres_face, 1.0, 0.0), wo)
+            wV_N = jnp.where(bnd, 0.0, 1.0 - wo)
+            dO_pv = (rho_f * wV_O)[:, None] * mesh.face_area
+            dN_pv = (rho_f * wV_N)[:, None] * mesh.face_area
+            dO_p = jnp.concatenate([dO_pv, Df_cont[:, None]], axis=1)
+            dN_p = jnp.concatenate([dN_pv, -Df_cont[:, None]], axis=1)
+            dO = jnp.concatenate(
+                [
+                    jnp.concatenate([dO_vv, dO_vp[:, :, None]], axis=2),
+                    dO_p[:, None, :],
+                ],
+                axis=1,
+            )
+            dN = jnp.concatenate(
+                [
+                    jnp.concatenate([dN_vv, dN_vp[:, :, None]], axis=2),
+                    dN_p[:, None, :],
+                ],
+                axis=1,
+            )
+            F_blk = jnp.concatenate([F_mom, mdot[:, None]], axis=1)
+            diag_blk = jnp.zeros((mesh.n_cells, B, B), V.dtype)
+            diag_blk = diag_blk.at[:, jnp.arange(dim), jnp.arange(dim)].set(
+                diag_cell[:, None]
+            )
+            r_blk = jnp.concatenate(
+                [r_cell, jnp.zeros((mesh.n_cells, 1), V.dtype)], axis=1
+            )
+            A_b, r_b = bell.assemble_block(
+                mesh, F_blk, dO, dN, r_cell=r_blk, diag_cell=diag_blk
+            )
+            # ghost rows: identity blocks (delta = 0; ghosts refreshed
+            # explicitly from the BCs each outer iteration)
+            eyeB = jnp.eye(B, dtype=V.dtype)
+            A_b = A_b.replace(
+                diag=A_b.diag.at[gh].set(eyeB), off=A_b.off.at[gh].set(0.0)
+            )
+            r_b = r_b.at[gh].set(0.0)
+            cont_norm = jnp.sqrt(A_b.psum(jnp.sum(r_b[:, dim] ** 2)))
+            # implicit under-relaxation of the velocity diagonal (matches
+            # the aP used in Df)
+            sub = A_b.diag[:, :dim, :dim]
+            A_b = A_b.replace(
+                diag=A_b.diag.at[:, :dim, :dim].set(
+                    jnp.where(
+                        interior_cells[:, None, None], sub / urf_v, sub
+                    )
+                )
+            )
+            if not self._has_pressure_bc:
+                A_b = A_b.replace(
+                    diag=A_b.diag.at[:, dim, dim].mul(
+                        1.0 + 1e6 * params["pin_mask"]
+                    )
+                )
+
+            dq, stats = solver.solve_fn(A_b, r_b, jnp.zeros_like(r_b))
+            dV = dq[:, :dim]
+            pc = dq[:, dim]
+            if not self._has_pressure_bc:
+                num = gsum(mesh, jnp.sum(jnp.where(interior_cells, pc, 0.0)))
+                den = gsum(mesh, jnp.sum(interior_cells.astype(pc.dtype)))
+                pc = pc - jnp.where(interior_cells, num / den, 0.0)
+            V = V + jnp.where(interior_cells[:, None], dV, 0.0)
+            p = p + jnp.where(interior_cells, pc, 0.0)
+
+            # mass-flux correction from the continuity-row linearization
+            dq_s = maybe_sync(mesh, dq)
+            dmdot = jnp.einsum(
+                "fi,fi->f", dO_p, mesh.take_owner(dq_s)
+            ) + jnp.einsum("fi,fi->f", dN_p, mesh.take_nbr(dq_s))
+            mdot = jnp.where(bnd & ~pres_face, mdot, mdot + dmdot)
+
+            new_state = dict(state)
+            new_state["velocity"] = V
+            new_state["pressure"] = p
+            new_state["massFlux"] = mdot
+            new_state["momAp"] = aP
+            return new_state, {"mom_norm": mom_norm, "cont_norm": cont_norm}
+
+        return step
+
+    def advanceCoupled(self, niter: int = 1) -> ResidualHistory:
+        """Fully coupled pressure-velocity advance (reference
+        FlowModel_impl.h:1474 advanceCoupled)."""
+        if not self._initialized:
+            raise ConfigError("call init() before advanceCoupled()")
+        if self.options.get("coupledLinearSolver") is None:
+            self.options["coupledLinearSolver"] = BiCGStab(
+                preconditioner=JacobiSolver(sweeps=4),
+                relative_tolerance=1e-3,
+                max_iterations=200,
+            )
+        if getattr(self, "_step_coupled", None) is None:
+            self._step_coupled = self._wrap_step(self._build_coupled_step())
+        segregated, self._step = self._step, self._step_coupled
+        try:
+            return self.advance(niter)
+        finally:
+            self._step = segregated
 
     # ------------------------------------------------------------------
 

@@ -56,6 +56,24 @@ def small_inv(M: jnp.ndarray) -> jnp.ndarray:
             -2,
         )
         return adj / det[..., None, None]
+    if B == 4:
+        # blockwise 2x2 Schur complement: M = [[A,B],[C,D]],
+        # S = D - C A^-1 B, M^-1 assembled from A^-1 and S^-1.
+        # Covers the coupled (u,v,w,p) blocks; the (1,1) "A" corner is the
+        # velocity diagonal block, which is SPD-dominant in the systems
+        # assembled here, so the pivot-free split is safe.
+        A = M[..., :2, :2]
+        Bm = M[..., :2, 2:]
+        C = M[..., 2:, :2]
+        D = M[..., 2:, 2:]
+        Ai = small_inv(A)
+        S = D - C @ Ai @ Bm
+        Si = small_inv(S)
+        AiB = Ai @ Bm
+        CAi = C @ Ai
+        top = jnp.concatenate([Ai + AiB @ Si @ CAi, -AiB @ Si], axis=-1)
+        bot = jnp.concatenate([-Si @ CAi, Si], axis=-1)
+        return jnp.concatenate([top, bot], axis=-2)
     raise NotImplementedError(f"small_inv: B={B}")
 
 

@@ -140,3 +140,66 @@ def test_slip_jump_couette():
     # accomodation -> 0 recovers no-slip Couette u = y
     V2 = run(1e-12)
     np.testing.assert_allclose(V2[:, 0], y, atol=3e-3)
+
+
+def test_coupled_poiseuille_exact():
+    """advanceCoupled on plane Poiseuille: same exact solution as SIMPLE,
+    reached in far fewer outer iterations (reference FlowModel_impl.h:1474)."""
+    L, H, dp, mu = 4.0, 1.0, 1.0, 0.1
+    m = make_flow(quad_2d(16, 16, lx=L, ly=H))
+    m.vc["viscosity"] = mu
+    m.bc["left"].bc_type = "PressureBoundary"
+    m.bc["left"]["specifiedPressure"] = dp
+    m.bc["right"].bc_type = "PressureBoundary"
+    m.bc["right"]["specifiedPressure"] = 0.0
+    m.bc["bottom"].bc_type = "NoSlipWall"
+    m.bc["top"].bc_type = "NoSlipWall"
+    m.init()
+    hist = m.advanceCoupled(40)
+    assert hist[-1][1] / hist[0][1] < 1e-4, "momentum did not converge"
+    V = m.getVelocity()
+    y = np.asarray(m.mesh.cell_centroid)[: m.mesh.n_interior_cells, 1]
+    u_exact = dp / (2 * mu * L) * y * (H - y)
+    np.testing.assert_allclose(V[:, 0], u_exact, rtol=4e-2, atol=1e-4)
+    np.testing.assert_allclose(V[:, 1], 0.0, atol=1e-4)
+    min_ = m.getMassFluxIntegral("left")
+    mout = m.getMassFluxIntegral("right")
+    assert min_ + mout == pytest.approx(0.0, abs=1e-6 * abs(min_))
+
+
+def test_coupled_cavity_fewer_outer_iterations():
+    """Coupled PV beats SIMPLE on outer-iteration count for the lid cavity
+    (the point of advanceCoupled): same flow field, >=2x fewer iterations
+    to a 1e-3 momentum ratio."""
+    n = 24
+
+    def setup(m):
+        m.vc["viscosity"] = 0.01
+        for side in ("left", "right", "bottom"):
+            m.bc[side].bc_type = "NoSlipWall"
+        m.bc["top"].bc_type = "NoSlipWall"
+        m.bc["top"]["specifiedXVelocity"] = 1.0
+        m.init()
+
+    def iters_to(hist, ratio):
+        m0 = hist[0][1]
+        for it, mom, cont in hist:
+            if mom / m0 < ratio:
+                return it
+        return len(hist) + 1000
+
+    ms = make_flow(quad_2d(n, n), momentumURF=0.7, pressureURF=0.3)
+    setup(ms)
+    hist_s = ms.advance(300)
+
+    mc = make_flow(quad_2d(n, n))
+    setup(mc)
+    hist_c = mc.advanceCoupled(120)
+
+    it_s = iters_to(hist_s, 1e-3)
+    it_c = iters_to(hist_c, 1e-3)
+    assert it_c <= 300, "coupled did not converge"
+    assert it_c * 2 <= it_s, f"coupled {it_c} vs SIMPLE {it_s} outer iters"
+    Vs = ms.getVelocity()
+    Vc = mc.getVelocity()
+    np.testing.assert_allclose(Vc, Vs, atol=2e-2)
