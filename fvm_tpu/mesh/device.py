@@ -85,6 +85,14 @@ class DeviceMesh:
     # mirrors (core.bcs.extend_to_ghosts applies the copy)
     periodic_ghost: jnp.ndarray | None = None  # (np_,) ghost cell ids
     periodic_src: jnp.ndarray | None = None  # (np_,) partner owner ids
+    # double-shell interfaces (mesh.Mesh.make_interface): tuple of
+    # (name, left_group_name, right_group_name).  The i-th face of the L
+    # group pairs with the i-th face of the R group; their ghost cells are
+    # the per-face shell unknowns, and their matrix rows carry EXTRA ELL
+    # slots (filled by assemble_device_mesh): slot 1 -> partner ghost,
+    # slot 2 -> partner owner (slot 0 is the own-face owner as usual).
+    # Kernels in core.interfaces rely on this slot layout.
+    interfaces: tuple = struct.field(pytree_node=False, default=())
 
     # --- fast indexed gathers (fall back to plain indexing) ---------------
 
@@ -148,6 +156,13 @@ class DeviceMesh:
         start = self.n_interior_cells + (g[3] - self.n_interior_faces)
         return slice(start, start + g[4])
 
+    def interface(self, name: str):
+        """(left_group, right_group) tuples of a double-shell interface."""
+        for nm, ln, rn in self.interfaces:
+            if nm == name:
+                return self.group_by_name(ln), self.group_by_name(rn)
+        raise KeyError(name)
+
 
 def assemble_device_mesh(
     dim: int,
@@ -169,6 +184,8 @@ def assemble_device_mesh(
     n_shards=None,
     as_numpy: bool = False,
     face_valid: np.ndarray | None = None,
+    extra_adj: tuple | None = None,
+    interfaces: tuple = (),
 ) -> DeviceMesh:
     """Low-level device-mesh assembler from flat arrays.
 
@@ -196,7 +213,10 @@ def assemble_device_mesh(
     order = np.argsort(rows, kind="stable")
     rows, cols = rows[order], cols[order]
     counts = np.bincount(rows, minlength=n_cells)
-    Kmax = int(counts.max()) if len(counts) else 1
+    extra_need = np.zeros(n_cells, dtype=np.int64)
+    if extra_adj is not None:
+        extra_need = np.bincount(extra_adj[0], minlength=n_cells)
+    Kmax = int((counts + extra_need).max()) if len(counts) else 1
     if K is None:
         K = Kmax
     elif Kmax > K:
@@ -212,6 +232,25 @@ def assemble_device_mesh(
     cf_is_owner = owner[cf_face] == np.arange(n_cells)[:, None]
     cf_nbr = np.where(cf_is_owner, nbr[cf_face], owner[cf_face])
     cf_nbr = np.where(cf_mask, cf_nbr, np.arange(n_cells)[:, None])
+
+    if extra_adj is not None:
+        # splice non-face couplings (double-shell interface rows) into the
+        # free tail slots; relative order within a row is preserved, so
+        # the interface kernels can rely on [partner ghost, partner owner]
+        # landing at slots 1 and 2 of each shell-ghost row.
+        erows = np.asarray(extra_adj[0], dtype=np.int64)
+        ecols = np.asarray(extra_adj[1], dtype=np.int64)
+        order2 = np.argsort(erows, kind="stable")
+        er, ec = erows[order2], ecols[order2]
+        ptr2 = np.zeros(n_cells + 1, dtype=np.int64)
+        np.cumsum(extra_need, out=ptr2[1:])
+        slot2 = np.arange(len(er)) - ptr2[er] + counts[er]
+        cf_mask[er, slot2] = True
+        cf_nbr[er, slot2] = ec
+        # geometry gathers for these slots read the row's own face; the
+        # assembled values are overwritten by the interface kernels
+        cf_face[er, slot2] = cf_face[er, 0]
+        cf_is_owner[er, slot2] = cf_is_owner[er, 0]
 
     dia = None
     gathers = None
@@ -295,6 +334,7 @@ def assemble_device_mesh(
         dia=dia,
         gathers=gathers,
         orthogonal=orthogonal,
+        interfaces=tuple(interfaces),
     )
 
 
@@ -398,6 +438,26 @@ def build_device_mesh(
         nc = nc + 1
         nf = nf_new
 
+    iface_meta = tuple(getattr(mesh, "interfaces", ()))
+    extra_adj = None
+    if iface_meta:
+        # extra ELL couplings for the shell-ghost rows, in final face
+        # numbering (boundary faces keep their relative order under the
+        # slot-major shift). Per-row order [partner ghost, partner owner].
+        by_name = {g[1]: g for g in groups}
+        rows_, cols_ = [], []
+        for nm, ln, rn in iface_meta:
+            gL, gR = by_name[ln], by_name[rn]
+            fL = np.arange(gL[3], gL[3] + gL[4])
+            fR = np.arange(gR[3], gR[3] + gR[4])
+            ghL = n_int_c + (fL - n_int_f)
+            ghR = n_int_c + (fR - n_int_f)
+            ownL = fc[fL, 0]
+            ownR = fc[fR, 0]
+            rows_ += [ghL, ghR, ghL, ghR]
+            cols_ += [ghR, ghL, ownR, ownL]
+        extra_adj = (np.concatenate(rows_), np.concatenate(cols_))
+
     dm = assemble_device_mesh(
         mesh.dim,
         fc,
@@ -412,6 +472,8 @@ def build_device_mesh(
         cv,
         dtype=dtype,
         face_valid=face_valid,
+        extra_adj=extra_adj,
+        interfaces=iface_meta,
     )
     if periodic_ghost is not None:
         dm = dm.replace(periodic_ghost=periodic_ghost, periodic_src=periodic_src)

@@ -181,6 +181,93 @@ class Mesh:
             self.periodic_pairs = []
         self.periodic_pairs.extend(zip(fa.tolist(), fb.tolist()))
 
+    def make_interface(self, name: str, faces, left_cells=None) -> "Mesh":
+        """Split interior faces into a double-shell interface; returns a NEW
+        mesh.
+
+        TPU-native counterpart of the reference's shell / double-shell
+        meshes (reference: Mesh.h:316-317 createShell/createDoubleShell):
+        instead of an extra shell Mesh object, each selected interior face
+        becomes TWO boundary-like faces in paired groups ``name:L`` (owner =
+        original owner) and ``name:R`` (owner = original neighbor, area
+        flipped), each with its own ghost cell at the face centroid.  Those
+        ghost cells are the two independent shell unknowns per face
+        (phi_L, phi_R); interface kernels (core.interfaces) write the flux-
+        balance and jump-closure equations into their matrix rows, playing
+        the role of LinearizeInterfaceJump.h:24 / the battery
+        species/potential interface linearizers.
+
+        The i-th face of ``name:L`` pairs with the i-th face of ``name:R``.
+        ``left_cells`` (optional (n_interior_cells,) bool mask) orients the
+        pairing: the L side of every face is the cell inside the mask
+        (jump closures like phi_R = A*phi_L + B are side-sensitive).
+        Call make_interface BEFORE make_periodic (face ids are renumbered).
+        """
+        faces = np.unique(np.asarray(faces, dtype=np.int64))
+        if len(faces) == 0:
+            raise MeshError("make_interface: empty face selection")
+        if (faces >= self.n_interior_faces).any() or (faces < 0).any():
+            raise MeshError("make_interface: faces must be interior")
+        nf = self.n_faces
+        # current-order topology
+        fc = self.face_cells.copy()
+        # boundary neighbors back to -1 (ghosts are reconstructed)
+        fc[self.n_interior_faces:, 1] = -1
+        owners = fc[faces, 0].copy()
+        nbrs = fc[faces, 1].copy()
+        if left_cells is not None:
+            left_cells = np.asarray(left_cells, dtype=bool)
+            if not (left_cells[owners] ^ left_cells[nbrs]).all():
+                raise MeshError(
+                    "make_interface: left_cells must contain exactly one "
+                    "side of every selected face"
+                )
+            flip = ~left_cells[owners]
+            owners[flip], nbrs[flip] = nbrs[flip], fc[faces, 0][flip]
+        # L faces: reuse the original rows oriented owner -> ghost
+        fc[faces, 0] = owners
+        fc[faces, 1] = -1
+        # R faces: appended duplicates owned by the other side, with the
+        # node winding reversed so the face area points neighbor -> ghost
+        node_rows = [self.face_nodes.row(f) for f in range(nf)]
+        if left_cells is not None:
+            for f, fl in zip(faces, flip):
+                if fl:
+                    node_rows[int(f)] = node_rows[int(f)][::-1]
+        node_rows += [node_rows[int(f)][::-1] for f in faces]
+        face_nodes = CRConnectivity.from_rows(node_rows, self.n_nodes)
+        fcr = np.concatenate(
+            [fc, np.stack([nbrs, np.full(len(faces), -1)], axis=1)], axis=0
+        )
+        groups = [
+            (g.ident, g.name, g.group_type,
+             np.arange(g.offset, g.offset + g.count))
+            for g in self.face_groups
+            if g.group_type != "interior"
+        ]
+        next_id = max((g.ident for g in self.face_groups), default=0) + 1
+        groups.append((next_id, f"{name}:L", "interface", faces))
+        groups.append(
+            (next_id + 1, f"{name}:R", "interface",
+             nf + np.arange(len(faces)))
+        )
+        m = Mesh(self.dim, self.coords, face_nodes, fcr, groups,
+                 mesh_id=self.mesh_id)
+        m.interfaces = tuple(getattr(self, "interfaces", ())) + (
+            (name, f"{name}:L", f"{name}:R"),
+        )
+        return m
+
+    def interface_faces_between(self, mask_a, mask_b) -> np.ndarray:
+        """Interior faces whose owner/neighbor cross two cell sets (e.g.
+        material regions); input masks are (n_interior_cells,) bools."""
+        mask_a = np.asarray(mask_a, dtype=bool)
+        mask_b = np.asarray(mask_b, dtype=bool)
+        fi = self.face_cells[: self.n_interior_faces]
+        o, n = fi[:, 0], fi[:, 1]
+        hit = (mask_a[o] & mask_b[n]) | (mask_b[o] & mask_a[n])
+        return np.nonzero(hit)[0]
+
     def ghost_cell_of_boundary_face(self, f: int) -> int:
         """Ghost cell id for boundary face index f (global face numbering)."""
         return self.n_interior_cells + (f - self.n_interior_faces)

@@ -45,6 +45,24 @@ class Model:
             bc = self._make_bc()
             self.bc[g[1]] = bc
             self.bc[g[0]] = bc
+        # double-shell interface closures (mesh.make_interface): per
+        # interface name, an options dict, e.g. {"type": "jump",
+        # "A_coeff": a, "B_coeff": b, "weight_R": w}.  Default (absent
+        # entry) is a continuous interface (A=1, B=0).
+        self.interface: dict = {}
+        ifaces = getattr(mesh, "interfaces", ())
+        if ifaces:
+            if self._dist:
+                raise ConfigError(
+                    f"{self.name}: double-shell interfaces are not "
+                    "supported on partitioned meshes yet"
+                )
+            if not getattr(self, "_supports_interfaces", False):
+                raise ConfigError(
+                    f"{self.name}: mesh has double-shell interfaces "
+                    f"({[i[0] for i in ifaces]}) but this model does not "
+                    "support them"
+                )
         self._initialized = False
 
     # --- distribution helpers ---------------------------------------------
@@ -188,8 +206,13 @@ class Model:
         return jnp.asarray(src, dtype=jnp.int32)
 
     def _group_bcs(self):
-        """Yield (group_tuple, bc) for each boundary group."""
+        """Yield (group_tuple, bc) for each boundary group.
+
+        Double-shell interface groups are skipped: their ghost rows carry
+        the flux-balance / jump equations (core.interfaces), not BCs."""
         for g in self.mesh.boundary_groups():
+            if g[2] == "interface":
+                continue
             bc = self.bc[g[1]]
             if bc.bc_type is None:
                 raise ConfigError(

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 from ..mesh.device import DeviceMesh
 from ..core.options import BoundaryCondition, ModelOptions
 from ..core import bcs as bck
+from ..core import interfaces as ifc
 from ..ops import assembly, discretizations as disc
 from ..ops.halo import maybe_sync
 from ..ops.gradients import ls_gradient_coefficients, gradient
@@ -36,6 +37,7 @@ class GenericScalarModel(Model):
     """
 
     var = "phi"
+    _supports_interfaces = True
     diffusivity_vc = "diffusivity"
     initial_vc = "initialValue"
     bc_dirichlet = "specifiedValue"
@@ -149,6 +151,17 @@ class GenericScalarModel(Model):
                 )
             else:
                 A, r = bck.extrapolation_rows(mesh, A, r, gc, phi, valid, scale)
+        for nm, _, _ in mesh.interfaces:
+            cfg = self.interface.get(nm, {})
+            fL, fR, gL, gR = ifc.interface_slices(mesh, nm)
+            A, r = ifc.balance_rows(
+                mesh, nm, A, r, flux, weight_R=cfg.get("weight_R", 1.0)
+            )
+            scale = D_f[fR] * mesh.face_e_over_d[fR]
+            A, r = ifc.jump_rows(
+                mesh, nm, A, r, phi,
+                cfg.get("A_coeff", 1.0), cfg.get("B_coeff", 0.0), scale,
+            )
         A, r = assembly.identity_unowned_rows(mesh, A, r)
         return A, r
 
@@ -197,3 +210,25 @@ class GenericScalarModel(Model):
         if self._dist:
             return self.partition.gather_cells(self.state[self.var])
         return np.asarray(self.state[self.var][: self.mesh.n_interior_cells])
+
+    def getFluxIntegral(self, group_name) -> float:
+        """Diffusive flux leaving the domain through a boundary group
+        (reference: the per-model get<Var>FluxIntegral accessors)."""
+        mesh = self.mesh
+        if self._dist:
+            raise ConfigError("getFluxIntegral: single-device only for now")
+        g = (
+            mesh.group_by_name(group_name)
+            if isinstance(group_name, str)
+            else group_name
+        )
+        sl = mesh.group_faces(g)
+        phi = self.state[self.var]
+        D_f = disc.harmonic_face_gamma(mesh, self.params["D"])
+        gradp = (
+            gradient(mesh, self.params["grad_coeff"], phi)
+            if "grad_coeff" in self.params
+            else None
+        )
+        flux = disc.diffusion_flux(mesh, phi, D_f, gradp)
+        return float(jnp.sum(flux.F[sl]))

@@ -1,0 +1,137 @@
+"""Double-shell interface tests (reference: Mesh.h:316-317 createShell/
+createDoubleShell, LinearizeInterfaceJump.h:24).
+
+Exact-solution checks: 1D two-region diffusion with a concentration jump
+phi_R = A*phi_L + B at the interface has a piecewise-linear solution with
+constant flux q = (A*phi0 + B - phi1) / (L_R/D_R + A*L_L/D_L).
+"""
+
+import numpy as np
+import pytest
+
+import fvm_tpu as fvm
+from fvm_tpu.mesh.generate import quad_2d
+from fvm_tpu.models.vacancy import VacancyModel
+
+
+def make_split_model(nx=16, ny=4, lx=2.0, x_split=1.0, D_left=1.0,
+                     D_right=1.0, phi0=1.0, phi1=0.0):
+    m = quad_2d(nx, ny, lx=lx, ly=1.0)
+    # cell centroids on the host mesh (before device build): use the cell
+    # order of quad_2d (x fastest); approximate via face_cells geometry
+    import fvm_tpu.mesh.metrics as metrics
+
+    geom = metrics.compute_geometry(m)
+    xc = geom.cell_centroid[: m.n_interior_cells, 0]
+    left = xc < x_split
+    faces = m.interface_faces_between(left, ~left)
+    assert len(faces) == ny
+    m2 = m.make_interface("mid", faces, left_cells=left)
+    dm = fvm.mesh.build_device_mesh(m2)
+
+    model = VacancyModel(dm)
+    model.options["verbose"] = False
+    D = np.where(left, D_left, D_right)
+    # ghost cells inherit the owner diffusivity via extend_to_ghosts
+    model.vc["vacancyDiffusivity"] = np.concatenate(
+        [D, np.zeros(dm.n_cells - len(D))]
+    )[: m2.n_interior_cells]
+    model.bc["left"].bc_type = "Dirichlet"
+    model.bc["left"]["specifiedConcentration"] = phi0
+    model.bc["right"].bc_type = "Dirichlet"
+    model.bc["right"]["specifiedConcentration"] = phi1
+    model.bc["top"].bc_type = "Symmetry"
+    model.bc["bottom"].bc_type = "Symmetry"
+    return model, xc, left
+
+
+def exact_profile(xc, left, A, B, D_left, D_right, phi0=1.0, phi1=0.0,
+                  x_split=1.0, lx=2.0):
+    LL, LR = x_split, lx - x_split
+    q = (A * phi0 + B - phi1) / (LR / D_right + A * LL / D_left)
+    phiL_i = phi0 - q * x_split / D_left  # left value AT the interface
+    phiR_i = A * phiL_i + B
+    out = np.where(
+        left,
+        phi0 - q / D_left * xc,
+        phiR_i - q / D_right * (xc - x_split),
+    )
+    return out, q, phiL_i, phiR_i
+
+
+def test_continuous_interface_matches_unsplit():
+    """A=1, B=0, equal D: the split mesh must reproduce the plain linear
+    profile exactly (the interface is then invisible)."""
+    model, xc, left = make_split_model()
+    model.init()
+    model.advance(3)
+    phi = model.getConcentration()
+    exact = 1.0 - xc / 2.0
+    np.testing.assert_allclose(phi, exact, atol=1e-10)
+
+
+def test_jump_interface_exact():
+    """Concentration jump phi_R = A phi_L + B with dissimilar D."""
+    A, B, DL, DR = 2.0, 0.1, 1.0, 0.25
+    model, xc, left = make_split_model(D_left=DL, D_right=DR)
+    model.interface["mid"] = {"A_coeff": A, "B_coeff": B}
+    model.init()
+    model.advance(3)
+    phi = model.getConcentration()
+    exact, q, phiL_i, phiR_i = exact_profile(xc, left, A, B, DL, DR)
+    np.testing.assert_allclose(phi, exact, atol=1e-9)
+    # shell unknowns hold the two one-sided interface values
+    dm = model.mesh
+    gl, gr = dm.interface("mid")
+    sL = dm.ghost_cells_of_group(gl)
+    sR = dm.ghost_cells_of_group(gr)
+    state = np.asarray(model.state[model.var])
+    np.testing.assert_allclose(state[sL], phiL_i, atol=1e-9)
+    np.testing.assert_allclose(state[sR], phiR_i, atol=1e-9)
+
+
+def test_interface_flux_conservation():
+    """Steady state: boundary flux in == flux out across the jump."""
+    A, B, DL, DR = 1.5, -0.2, 2.0, 0.5
+    model, xc, left = make_split_model(D_left=DL, D_right=DR)
+    model.interface["mid"] = {"A_coeff": A, "B_coeff": B}
+    model.init()
+    model.advance(3)
+    exact, q, *_ = exact_profile(xc, left, A, B, DL, DR)
+    fin = model.getFluxIntegral("left")
+    fout = model.getFluxIntegral("right")
+    assert fin + fout == pytest.approx(0.0, abs=1e-10 * max(abs(fin), 1))
+    assert abs(fin) == pytest.approx(abs(q), rel=1e-8)
+
+
+def test_interface_orientation_flip():
+    """left_cells mask orients the L side regardless of face ownership:
+    flipping the mask swaps which side the jump applies to."""
+    A, B, DL, DR = 2.0, 0.0, 1.0, 1.0
+    # same physical setup but declare the RIGHT region as 'L': the jump
+    # becomes phi_left_side = A*phi_right_side at the interface, i.e. the
+    # mirrored analytic solution of a domain traversed right-to-left
+    m = quad_2d(16, 4, lx=2.0, ly=1.0)
+    import fvm_tpu.mesh.metrics as metrics
+
+    geom = metrics.compute_geometry(m)
+    xc = geom.cell_centroid[: m.n_interior_cells, 0]
+    right = xc > 1.0
+    faces = m.interface_faces_between(right, ~right)
+    m2 = m.make_interface("mid", faces, left_cells=right)
+    dm = fvm.mesh.build_device_mesh(m2)
+    model = VacancyModel(dm)
+    model.options["verbose"] = False
+    model.interface["mid"] = {"A_coeff": A, "B_coeff": B}
+    model.bc["left"].bc_type = "Dirichlet"
+    model.bc["left"]["specifiedConcentration"] = 0.0
+    model.bc["right"].bc_type = "Dirichlet"
+    model.bc["right"]["specifiedConcentration"] = 1.0
+    model.bc["top"].bc_type = "Symmetry"
+    model.bc["bottom"].bc_type = "Symmetry"
+    model.init()
+    model.advance(3)
+    phi = model.getConcentration()
+    # mirrored problem: phi0=1 at x'=0 (x=2), jump L(right region)->R
+    exact, *_ = exact_profile(2.0 - xc, right, A, B, 1.0, 1.0)
+    np.testing.assert_allclose(phi, exact, atol=1e-9)
