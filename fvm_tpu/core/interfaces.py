@@ -26,6 +26,7 @@ slot 2 -> the partner bulk owner.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -94,3 +95,46 @@ def flux_closure_rows(mesh, name, A, r, flux, i_star, dI_dL, dI_dR, urf=1.0):
     off = off.at[gR, 1].set(dI_dL)
     r = r.at[gR].set(flux.F[fR] - i_star)
     return A.replace(diag=diag, off=off), r
+
+
+def apply_model_interfaces(mesh, interface_cfg, A, r, phi, flux, D_f):
+    """Apply balance + closure rows for every interface of ``mesh``.
+
+    ``interface_cfg`` maps interface name -> options dict:
+      type "jump" (default): {"A_coeff", "B_coeff"} linear jump
+          phi_R = A*phi_L + B (LinearizeInterfaceJump.h:140-142).
+      type "flux": {"flux_fn": f} Butler-Volmer-style closure
+          F_R = f(phi_L, phi_R) * face_area
+        with f an elementwise scalar function returning the PER-AREA
+        closure flux leaving the R bulk into the interface; its exact
+        per-face derivatives come from jax.grad — the reference hand-codes
+        these in BatteryLinearizeSpeciesInterface.h:219-221.
+      common: {"weight_R": w} balance-row weight on the R flux (the
+        species transference factor), {"urf": u} closure-diagonal
+        under-relaxation (interfaceUnderRelax).
+    """
+    for nm, _, _ in mesh.interfaces:
+        cfg = interface_cfg.get(nm, {})
+        fL, fR, gL, gR = interface_slices(mesh, nm)
+        A, r = balance_rows(
+            mesh, nm, A, r, flux, weight_R=cfg.get("weight_R", 1.0)
+        )
+        if cfg.get("type", "jump") == "flux":
+            ifn = cfg["flux_fn"]
+            area = mesh.face_area_mag[fR]
+            phiL, phiR = phi[gL], phi[gR]
+            i_a, dL_a, dR_a = jax.vmap(
+                lambda a, b: (ifn(a, b),) + jax.grad(ifn, (0, 1))(a, b)
+            )(phiL, phiR)
+            A, r = flux_closure_rows(
+                mesh, nm, A, r, flux,
+                i_a * area, dL_a * area, dR_a * area,
+                urf=cfg.get("urf", 1.0),
+            )
+        else:
+            scale = D_f[fR] * mesh.face_e_over_d[fR]
+            A, r = jump_rows(
+                mesh, nm, A, r, phi,
+                cfg.get("A_coeff", 1.0), cfg.get("B_coeff", 0.0), scale,
+            )
+    return A, r

@@ -476,3 +476,39 @@ class BatteryModel(Model):
             )
             return float(jnp.sum(vals))
         return float(local(mesh, self.params["sigma"], self.state["phi"]))
+
+
+def species_interface_flux(eta, csMax=26390.0, rr_constant=6.33e-10,
+                           T=300.0, alpha_a=0.5, alpha_c=0.5):
+    """Butler-Volmer species closure for a double-shell interface.
+
+    Returns the elementwise flux_fn(ce, cs) -> Li molar flux leaving the
+    electrode side (R) into the interface, for use as
+    ``model.interface[name] = {"type": "flux", "flux_fn": ...,
+    "weight_R": 1 - t_plus}`` on a SpeciesModel over a
+    ``Mesh.make_interface`` mesh with the electrolyte as the L side.
+
+    Reference semantics: BatteryLinearizeSpeciesInterface.h:197-221 —
+      i = C0 * k * F * ce^ac * (csMax - cs)^aa * cs^ac,
+      C0 = exp(Ca*eta) - exp(-Cc*eta),  Ca/Cc = alpha*F/(R*T)
+    with the per-face derivatives supplied by jax.grad instead of the
+    reference's hand-coded dIdCS/dIdCE.  ``eta`` is the interface
+    overpotential (phi_s - phi_e - U); pass the fixed-eta form here (the
+    reference's commented A_coeff/B_coeff variant at :199) or rebuild the
+    closure per outer iteration for potential-coupled runs.  The returned
+    molar flux is i/F.
+    """
+    Ca = alpha_a * FARADAY / (RGAS * T)
+    Cc = alpha_c * FARADAY / (RGAS * T)
+    C0 = np.exp(Ca * eta) - np.exp(-Cc * eta)
+
+    def flux_fn(ce, cs):
+        eps = 1e-12 * csMax
+        ce_c = jnp.clip(ce, eps, None)
+        cs_c = jnp.clip(cs, eps, csMax - eps)
+        return (
+            C0 * rr_constant * ce_c**alpha_c
+            * (csMax - cs_c) ** alpha_a * cs_c**alpha_c
+        )
+
+    return flux_fn

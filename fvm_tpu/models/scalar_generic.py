@@ -45,7 +45,7 @@ class GenericScalarModel(Model):
 
     def init(self) -> None:
         mesh = self.mesh
-        x0 = self._cell_field(self.vc, self.initial_vc)
+        x0 = self._cell_field(self.vc, self.initial_vc, extend_ghosts=True)
         self.state = {self.var: x0, "massFlux": self._full_faces(0.0)}
         if self.options["transient"]:
             self.state[f"{self.var}_N1"] = x0
@@ -151,17 +151,9 @@ class GenericScalarModel(Model):
                 )
             else:
                 A, r = bck.extrapolation_rows(mesh, A, r, gc, phi, valid, scale)
-        for nm, _, _ in mesh.interfaces:
-            cfg = self.interface.get(nm, {})
-            fL, fR, gL, gR = ifc.interface_slices(mesh, nm)
-            A, r = ifc.balance_rows(
-                mesh, nm, A, r, flux, weight_R=cfg.get("weight_R", 1.0)
-            )
-            scale = D_f[fR] * mesh.face_e_over_d[fR]
-            A, r = ifc.jump_rows(
-                mesh, nm, A, r, phi,
-                cfg.get("A_coeff", 1.0), cfg.get("B_coeff", 0.0), scale,
-            )
+        A, r = ifc.apply_model_interfaces(
+            mesh, self.interface, A, r, phi, flux, D_f
+        )
         A, r = assembly.identity_unowned_rows(mesh, A, r)
         return A, r
 

@@ -59,6 +59,7 @@ class SpeciesModelOptions(ModelOptions):
 
 
 class SpeciesModel(Model):
+    _supports_interfaces = True
     """Holds nSpecies independent transport fields.
 
     bc access: model.bc_for(i)[group] (per-species BC dicts, mirroring the
@@ -93,6 +94,8 @@ class SpeciesModel(Model):
 
     def _group_bcs_for(self, i):
         for g in self.mesh.boundary_groups():
+            if g[2] == "interface":
+                continue
             bc = self._bcs[i][g[1]]
             if bc.bc_type is None:
                 raise ConfigError(
@@ -108,7 +111,11 @@ class SpeciesModel(Model):
             "massFlux": self._full_faces(0.0),
         }
         for i in range(self.n_species):
-            x0 = self._cell_field(self.vcs[i], "initialMassFraction")
+            # ghosts start at their owner's value (shell-ghost unknowns on
+            # interface meshes need a sane nonlinear starting point)
+            x0 = self._cell_field(
+                self.vcs[i], "initialMassFraction", extend_ghosts=True
+            )
             self.state[f"mf{i}"] = x0
             if self.options["transient"]:
                 self.state[f"mf{i}_N1"] = x0
@@ -204,6 +211,17 @@ class SpeciesModel(Model):
                 )
             else:
                 A, r = bck.extrapolation_rows(mesh, A, r, gc, c, valid, scale)
+        from ..core import interfaces as ifc
+
+        cfg = (
+            self.interface
+            if i == 0
+            else {
+                nm: self.interface.get(f"s{i}:{nm}", self.interface.get(nm, {}))
+                for nm, _, _ in mesh.interfaces
+            }
+        )
+        A, r = ifc.apply_model_interfaces(mesh, cfg, A, r, c, flux, D_f)
         A, r = assembly.identity_unowned_rows(mesh, A, r)
         return A, r
 

@@ -135,3 +135,131 @@ def test_interface_orientation_flip():
     # mirrored problem: phi0=1 at x'=0 (x=2), jump L(right region)->R
     exact, *_ = exact_profile(2.0 - xc, right, A, B, 1.0, 1.0)
     np.testing.assert_allclose(phi, exact, atol=1e-9)
+
+
+def test_flux_closure_contact_resistance():
+    """Linear closure F_R = k*(phi_R - phi_L): a contact resistance 1/k in
+    series -> q = (phi0 - phi1)/(L_L/D_L + L_R/D_R + 1/k)."""
+    DL, DR, k = 1.0, 0.5, 2.0
+    model, xc, left = make_split_model(D_left=DL, D_right=DR)
+    import jax.numpy as jnp
+
+    model.interface["mid"] = {
+        "type": "flux",
+        "flux_fn": lambda pl, pr: k * (pr - pl),
+    }
+    model.init()
+    model.advance(5)
+    phi = model.getConcentration()
+    q = (1.0 - 0.0) / (1.0 / DL + 1.0 / DR + 1.0 / k)
+    phiL_i = 1.0 - q / DL
+    phiR_i = phiL_i - q / k
+    exact = np.where(left, 1.0 - q / DL * xc, phiR_i - q / DR * (xc - 1.0))
+    np.testing.assert_allclose(phi, exact, atol=1e-9)
+    fin = model.getFluxIntegral("left")
+    assert abs(fin) == pytest.approx(q, rel=1e-8)
+
+
+def test_flux_closure_nonlinear_bv():
+    """Butler-Volmer-like closure F_R = k*sinh(c*(phi_R - phi_L)): the
+    outer Newton linearization (auto-diff'd) must converge to the root of
+    phi0 - phi1 - q*(L_L/D_L + L_R/D_R) = asinh(-q/k)/c."""
+    import jax.numpy as jnp
+
+    DL, DR, k, c = 1.0, 0.5, 0.8, 3.0
+    model, xc, left = make_split_model(D_left=DL, D_right=DR)
+    model.interface["mid"] = {
+        "type": "flux",
+        "flux_fn": lambda pl, pr: k * jnp.sinh(c * (pr - pl)),
+    }
+    model.init()
+    hist = model.advance(25)
+    assert hist[-1][1] / hist[0][1] < 1e-10
+
+    # scalar root: g(q) = (phi0-phi1) - q*(LL/DL+LR/DR) + asinh(q/k)/c = 0
+    # (delta = phiR - phiL = asinh(-q/k)/c; profile drop = q*sum(L/D) - delta)
+    def g(q):
+        return 1.0 - q * (1.0 / DL + 1.0 / DR) + np.arcsinh(-q / k) / c
+
+    lo, hi = 0.0, 1.0
+    for _ in range(200):
+        mid = 0.5 * (lo + hi)
+        if g(lo) * g(mid) <= 0:
+            hi = mid
+        else:
+            lo = mid
+    q = 0.5 * (lo + hi)
+    phiL_i = 1.0 - q / DL
+    phiR_i = phiL_i + np.arcsinh(-q / k) / c
+    exact = np.where(left, 1.0 - q / DL * xc, phiR_i - q / DR * (xc - 1.0))
+    phi = model.getConcentration()
+    np.testing.assert_allclose(phi, exact, atol=1e-8)
+
+
+def test_battery_double_shell_species():
+    """Reference battery species interface on a double-shell mesh
+    (BatteryLinearizeSpeciesInterface.h): electrolyte (L) | electrode (R)
+    with BV molar flux i/F and transference-factor-weighted balance.
+
+    Verified against the physics, not a precomputed root: at steady state
+    with a specified Li flux q into the electrode back contact,
+      - electrode region carries q (slope q/D_s),
+      - electrolyte region carries tf*q (slope tf*q/D_e),
+      - the shell unknowns satisfy flux_fn(ce_i, cs_i) == q.
+    """
+    from fvm_tpu.models.battery import species_interface_flux
+    from fvm_tpu.models.species import SpeciesModel
+    import fvm_tpu.mesh.metrics as metrics
+
+    tf, q, D = 0.637, 1e-3, 1e-2
+    ce0, cs_init = 1000.0, 2000.0
+    m = quad_2d(16, 4, lx=2.0, ly=1.0)
+    geom = metrics.compute_geometry(m)
+    xc = geom.cell_centroid[: m.n_interior_cells, 0]
+    left = xc < 1.0
+    m2 = m.make_interface(
+        "elyte_anode", m.interface_faces_between(left, ~left), left_cells=left
+    )
+    dm = fvm.mesh.build_device_mesh(m2)
+    model = SpeciesModel(dm)
+    model.options["verbose"] = False
+    model.vc["massDiffusivity"] = D
+    model.vc["initialMassFraction"] = np.where(left, ce0, cs_init)
+    flux_fn = species_interface_flux(eta=0.1)
+    model.interface["elyte_anode"] = {
+        "type": "flux", "flux_fn": flux_fn, "weight_R": tf,
+    }
+    model.bc["left"].bc_type = "SpecifiedMassFraction"
+    model.bc["left"]["specifiedMassFraction"] = ce0
+    # Li injected at the electrode back contact at molar flux q (so the
+    # interface passes +q toward the electrolyte: BV flux positive)
+    model.bc["right"].bc_type = "SpecifiedMassFlux"
+    model.bc["right"]["specifiedMassFlux"] = q
+    model.bc["top"].bc_type = "Symmetry"
+    model.bc["bottom"].bc_type = "Symmetry"
+    model.init()
+    hist = model.advance(40)
+    assert hist[-1][1] / hist[0][1] < 1e-8
+
+    c = model.getMassFraction(0)
+    # electrolyte: ce(x) = ce0 + tf*q/D * x  (flux tf*q toward -x)
+    ce_exact = ce0 + tf * q / D * xc[left]
+    np.testing.assert_allclose(c[left], ce_exact, rtol=1e-8)
+    ce_i = ce0 + tf * q / D * 1.0
+    # electrode slope: flux q toward -x -> dc/dx = q/D
+    cs = c[~left]
+    xs = xc[~left]
+    slope = np.polyfit(xs, cs, 1)[0]
+    assert slope == pytest.approx(q / D, rel=1e-6)
+    # shell unknowns satisfy the BV closure exactly
+    dm2 = model.mesh
+    gl, gr = dm2.interface("elyte_anode")
+    sL = dm2.ghost_cells_of_group(gl)
+    sR = dm2.ghost_cells_of_group(gr)
+    state = np.asarray(model.state["mf0"])
+    np.testing.assert_allclose(state[sL], ce_i, rtol=1e-8)
+    i_closure = np.asarray(flux_fn(state[sL], state[sR]))
+    np.testing.assert_allclose(i_closure, q, rtol=1e-7)
+    # balance: boundary influx at the left = tf * q (leaving)
+    fin = model.getMassFluxIntegral("left")
+    assert abs(fin) == pytest.approx(tf * q * 1.0, rel=1e-6)
