@@ -121,6 +121,33 @@ def extrapolation_rows(
     return A.replace(diag=diag, off=off), r
 
 
+def periodic_rows(
+    mesh: DeviceMesh, A: ELLMatrix, r, gc: slice, phi, psrc, valid=None,
+    scale=None,
+) -> tuple[ELLMatrix, jnp.ndarray]:
+    """IMPLICIT periodic ghost rows: scale*(dx_g - dx_partner) =
+    scale*(phi_partner - phi_g).
+
+    The partner-owner coupling lives in the extra ELL slot (slot 1) that
+    mesh.device.assemble_device_mesh adds for every periodic ghost, so the
+    wrap participates in the linear solve like an interior coupling —
+    linear problems converge in ONE outer iteration instead of the
+    ~0.7x/iter contraction of lagged ghost pinning (reference treats
+    periodic pairs as ordinary implicit coupling, Mesh.h:259-265).
+    ``psrc`` is the partner-owner cell per ghost (mesh.periodic_src order
+    restricted to this group, as built by Model._periodic_group_src).
+    """
+    s = 1.0 if scale is None else jnp.where(jnp.asarray(scale) > 0, scale, 1.0)
+    diag = A.diag.at[gc].set(s)
+    off = A.off.at[gc].set(0.0)
+    off = off.at[gc, 1].set(-s if scale is not None else -1.0)
+    resid = (phi[psrc] - phi[gc]) * s
+    if valid is not None:
+        resid = jnp.where(valid, resid, 0.0)
+    r = r.at[gc].set(resid if r.ndim == 1 else jnp.broadcast_to(resid, r[gc].shape))
+    return A.replace(diag=diag, off=off), r
+
+
 def robin_sink_rows(
     mesh: DeviceMesh, A: ELLMatrix, r, gc: slice, coeff, sink_residual
 ) -> tuple[ELLMatrix, jnp.ndarray]:

@@ -439,6 +439,15 @@ def build_device_mesh(
         nf = nf_new
 
     iface_meta = tuple(getattr(mesh, "interfaces", ()))
+    extra_rows: list = []
+    extra_cols: list = []
+    if periodic_ghost is not None:
+        # implicit periodic rows: each periodic ghost gets an extra ELL
+        # slot (slot 1) coupling it to the wrapped partner owner, so the
+        # ghost equation dx_g = dx_partner is solved implicitly
+        # (core.bcs.periodic_rows); cell ids are slot-major invariant
+        extra_rows.append(np.asarray(periodic_ghost))
+        extra_cols.append(np.asarray(periodic_src))
     extra_adj = None
     if iface_meta:
         # extra ELL couplings for the shell-ghost rows, in final face
@@ -456,7 +465,10 @@ def build_device_mesh(
             ownR = fc[fR, 0]
             rows_ += [ghL, ghR, ghL, ghR]
             cols_ += [ghR, ghL, ownR, ownL]
-        extra_adj = (np.concatenate(rows_), np.concatenate(cols_))
+        extra_rows += rows_
+        extra_cols += cols_
+    if extra_rows:
+        extra_adj = (np.concatenate(extra_rows), np.concatenate(extra_cols))
 
     dm = assemble_device_mesh(
         mesh.dim,

@@ -144,10 +144,9 @@ class GenericScalarModel(Model):
                     valid, scale,
                 )
             elif bc.bc_type == "Periodic":
-                # lagged pinning to the wrapped partner owner
                 psrc = params[f"periodic_src:{g[1]}"]
-                A, r = bck.dirichlet_rows(
-                    mesh, A, r, gc, phi[psrc], phi, valid, scale
+                A, r = bck.periodic_rows(
+                    mesh, A, r, gc, phi, psrc, valid, scale
                 )
             else:
                 A, r = bck.extrapolation_rows(mesh, A, r, gc, phi, valid, scale)

@@ -230,11 +230,11 @@ class ThermalModel(Model):
             elif t in ("SpecifiedHeatFlux", "Symmetry"):
                 A, r = bck.extrapolation_rows(mesh, A, r, gc, T, valid, scale)
             elif t == "Periodic":
-                # lagged pinning: ghost follows the wrapped partner owner
-                # (geometry already wraps via the repositioned ghost)
+                # implicit wrap (geometry already wraps via the
+                # repositioned ghost; the partner coupling is in slot 1)
                 psrc = params[f"periodic_src:{g[1]}"]
-                A, r = bck.dirichlet_rows(
-                    mesh, A, r, gc, T[psrc], T, valid, scale
+                A, r = bck.periodic_rows(
+                    mesh, A, r, gc, T, psrc, valid, scale
                 )
             elif t in ("Convective", "Radiative", "Mixed"):
                 amag = mesh.face_area_mag[sl]

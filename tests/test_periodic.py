@@ -108,3 +108,32 @@ def test_periodic_generic_scalar():
     assert c.std() < 0.05 * np.asarray(
         1.0 + np.cos(2 * np.pi * x)
     ).std()
+
+
+def test_periodic_implicit_one_shot():
+    """Implicit periodic rows (extra ELL slot to the wrapped partner owner)
+    make a LINEAR ring-dominated problem converge in ONE outer iteration —
+    the lagged-pinning scheme this replaces contracted ~0.7x/iter
+    (reference treats periodic pairs as ordinary interior coupling)."""
+    nx, ny = 16, 4
+    mesh = quad_2d(nx, ny)
+    mesh.make_periodic("left", "right")
+    dm = fvm.mesh.build_device_mesh(mesh)
+    x = np.asarray(dm.cell_centroid)[: dm.n_interior_cells, 0]
+    m = ThermalModel(dm)
+    m.options["verbose"] = False
+    m.options["linearSolver"] = fvm.linear.BiCGStab(
+        relative_tolerance=1e-12, max_iterations=400,
+        preconditioner=fvm.linear.JacobiSolver(sweeps=3),
+    )
+    m.vc["heatSource"] = np.cos(2 * np.pi * x) * 10.0
+    m.bc["left"].bc_type = "Periodic"
+    m.bc["right"].bc_type = "Periodic"
+    m.bc["bottom"].bc_type = "SpecifiedTemperature"
+    m.bc["bottom"]["specifiedTemperature"] = 300.0
+    m.bc["top"].bc_type = "Symmetry"
+    m.init()
+    hist = m.advance(2)
+    assert hist[1][1] / hist[0][1] < 1e-9, (
+        f"not implicit: second-iteration residual ratio {hist[1][1]/hist[0][1]}"
+    )
