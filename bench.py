@@ -28,6 +28,15 @@ import time
 
 
 def main():
+    # persistent XLA compilation cache: repeat runs skip the multi-minute
+    # first-step remote compile (harmless if the backend ignores it)
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_fvm")
+    import jax
+
+    try:
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     n = int(os.environ.get("FVM_BENCH_N", "1024"))
     iters = int(os.environ.get("FVM_BENCH_ITERS", "10"))
     dtype = os.environ.get("FVM_BENCH_DTYPE", "float32")

