@@ -430,3 +430,47 @@ def test_dist_amg_flow_default():
     assert hist[-1][1] < hist[0][1]  # momentum residual falls
     v = np.asarray(f.partition.gather_cells(f.state["velocity"]))
     assert np.isfinite(v).all() and np.abs(v).max() <= 1.2
+
+
+def test_sou_convection_seam_order_preservation():
+    """Second-order-upwind convection at partition seams must match the
+    single-device result exactly: the SOU reconstruction uses halo-synced
+    gradients whose halo copies equal the owning shard's full-stencil
+    values — the role of the reference's two-deep (cellCells2) halos
+    (StorageSite.h:68-77, Mesh.h:176)."""
+    from fvm_tpu.models import ThermalModel
+
+    def setup(m):
+        m.options["verbose"] = False
+        m.options["convective"] = True
+        m.options["convectionScheme"] = "sou"
+        m.bc["left"].bc_type = "SpecifiedTemperature"
+        m.bc["left"]["specifiedTemperature"] = 400.0
+        m.bc["right"].bc_type = "SpecifiedTemperature"
+        m.bc["right"]["specifiedTemperature"] = 300.0
+        m.bc["bottom"].bc_type = "Symmetry"
+        m.bc["top"].bc_type = "Symmetry"
+        m.init()
+        # uniform convecting mass flux in +x: SOU reconstruction active
+        mesh = m.mesh
+        if m._dist:
+            ax = np.asarray(mesh.face_area)[..., 0]
+            m.state["massFlux"] = jax.numpy.asarray(2.0 * ax)
+        else:
+            ax = np.asarray(mesh.face_area)[:, 0]
+            m.state["massFlux"] = jax.numpy.asarray(2.0 * ax)
+
+    mesh = quad_2d(24, 8)
+    single = ThermalModel(fvm.mesh.build_device_mesh(mesh))
+    setup(single)
+    single.advance(40)
+    T1 = single.getTemperature()
+
+    part = Partition(quad_2d(24, 8), 8)
+    dist = ThermalModel(part.sharded_mesh, partition=part)
+    setup(dist)
+    dist.advance(40)
+    TN = dist.getTemperature()
+
+    # seam cells included: the profiles must agree to solver tolerance
+    np.testing.assert_allclose(TN, T1, rtol=1e-8, atol=1e-7)
