@@ -23,6 +23,23 @@ from .mesh import Mesh, FaceGroup
 from .metrics import MeshGeometry, compute_geometry
 
 
+class HostMeshData:
+    """Host numpy copies of the topology/geometry arrays that init-time
+    HOST computations need (LS gradient coefficients, AMG aggregation).
+
+    Reading these back from the device costs ~9 s per 1M-cell array
+    through the TPU tunnel (device->host is far slower than upload), so
+    the build keeps the originals.  Held as a static pytree field and
+    compared by identity, like DIAInfo."""
+
+    __slots__ = ("cell_centroid", "cf_nbr", "cf_mask")
+
+    def __init__(self, cell_centroid, cf_nbr, cf_mask):
+        self.cell_centroid = cell_centroid
+        self.cf_nbr = cf_nbr
+        self.cf_mask = cf_mask
+
+
 @struct.dataclass
 class DeviceMesh:
     # --- static metadata (hashable, part of jit cache key) ---------------
@@ -76,6 +93,8 @@ class DeviceMesh:
     dia: object = struct.field(pytree_node=False, default=None)
     # ShiftGather bundle for hot index maps (ops.dia.MeshGathers)
     gathers: object = struct.field(pytree_node=False, default=None)
+    # host numpy copies for init-time host math (HostMeshData | None)
+    host: object = struct.field(pytree_node=False, default=None)
     # True when every interior face's non-orthogonal remainder T vanishes
     # (structured grids): models skip deferred gradient corrections
     orthogonal: bool = struct.field(pytree_node=False, default=False)
@@ -155,6 +174,13 @@ class DeviceMesh:
         """Ghost-cell slice for a boundary group (cells are face-ordered)."""
         start = self.n_interior_cells + (g[3] - self.n_interior_faces)
         return slice(start, start + g[4])
+
+    def host_cf(self):
+        """(cf_nbr, cf_mask) as HOST numpy arrays without device readback
+        (AMG setup, coloring, LS coefficients run on the host)."""
+        if self.host is not None:
+            return self.host.cf_nbr, self.host.cf_mask
+        return np.asarray(self.cf_nbr), np.asarray(self.cf_mask)
 
     def interface(self, name: str):
         """(left_group, right_group) tuples of a double-shell interface."""
@@ -254,6 +280,13 @@ def assemble_device_mesh(
 
     dia = None
     gathers = None
+    host_data = None
+    if axis_name is None and not as_numpy:
+        host_data = HostMeshData(
+            np.asarray(cell_centroid, dtype=np.float64),
+            np.asarray(cf_nbr, dtype=np.int32),
+            np.asarray(cf_mask, dtype=bool),
+        )
     if axis_name is None and not as_numpy:
         from ..ops.dia import DIAInfo, MeshGathers, SlotMajorGathers
 
@@ -299,9 +332,13 @@ def assemble_device_mesh(
         i = lambda x: np.asarray(x, dtype=np.int32)
         b = lambda x: np.asarray(x, dtype=bool)
     else:
-        f = lambda x: jnp.asarray(x, dtype=dtype)
-        i = lambda x: jnp.asarray(x, dtype=np.int32)
-        b = lambda x: jnp.asarray(x, dtype=bool)
+        # convert dtype in NUMPY first: jnp.asarray with a dtype change
+        # compiles a convert op on the device, and each distinct shape is
+        # a multi-second remote compile through the TPU tunnel (the raw
+        # transfer itself runs at ~1 GB/s)
+        f = lambda x: jnp.asarray(np.asarray(x, dtype=dtype))
+        i = lambda x: jnp.asarray(np.ascontiguousarray(x, dtype=np.int32))
+        b = lambda x: jnp.asarray(np.ascontiguousarray(x, dtype=bool))
 
     return DeviceMesh(
         dim=dim,
@@ -333,6 +370,7 @@ def assemble_device_mesh(
         n_shards=n_shards,
         dia=dia,
         gathers=gathers,
+        host=host_data,
         orthogonal=orthogonal,
         interfaces=tuple(interfaces),
     )

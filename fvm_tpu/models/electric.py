@@ -161,9 +161,7 @@ class ElectricModel(Model):
             pre = getattr(s, "preconditioner", None)
             for ss in (s, pre):
                 if isinstance(ss, AMG) and not self._dist:
-                    ss.setup_structure(
-                        np.asarray(mesh.cf_nbr), np.asarray(mesh.cf_mask)
-                    )
+                    ss.setup_structure(*mesh.host_cf())
 
         if self._dist:
             self.state = self.partition.device_put(self.state)
@@ -320,9 +318,13 @@ class ElectricModel(Model):
         axis = int(self.options["tunnelingDirection"])
         L = int(self.options["tunnelingMaxSteps"])
         nc_i = mesh.n_interior_cells
-        cc = np.asarray(mesh.cell_centroid)
-        nbr = np.asarray(mesh.cf_nbr)
-        msk = np.asarray(mesh.cf_mask)
+        if mesh.host is not None:
+            cc = mesh.host.cell_centroid
+            nbr, msk = mesh.host.cf_nbr, mesh.host.cf_mask
+        else:
+            cc = np.asarray(mesh.cell_centroid)
+            nbr = np.asarray(mesh.cf_nbr)
+            msk = np.asarray(mesh.cf_mask)
         # most-positive-ds interior neighbor per cell: the reference's
         # "neighborUp" walk ascends the tunneling axis (:125-131)
         ds = cc[nbr, axis] - cc[:, axis][:, None]

@@ -211,9 +211,7 @@ class FlowModel(Model):
                                 "structured meshes)"
                             )
                     else:
-                        ss.setup_structure(
-                            np.asarray(mesh.cf_nbr), np.asarray(mesh.cf_mask)
-                        )
+                        ss.setup_structure(*mesh.host_cf())
 
         if self._dist:
             self.state = self.partition.device_put(self.state)

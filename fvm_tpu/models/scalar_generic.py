@@ -82,7 +82,7 @@ class GenericScalarModel(Model):
         pre = getattr(solver, "preconditioner", None)
         for s in (solver, pre):
             if isinstance(s, AMG) and not self._dist:
-                s.setup_structure(np.asarray(mesh.cf_nbr), np.asarray(mesh.cf_mask))
+                s.setup_structure(*mesh.host_cf())
         if self._dist:
             self.state = self.partition.device_put(self.state)
             self.params = self.partition.device_put(self.params)

@@ -158,9 +158,7 @@ class ThermalModel(Model):
                             " on this partition"
                         )
                 else:
-                    s.setup_structure(
-                        np.asarray(mesh.cf_nbr), np.asarray(mesh.cf_mask)
-                    )
+                    s.setup_structure(*mesh.host_cf())
 
         if self._dist:
             self.state = self.partition.device_put(self.state)

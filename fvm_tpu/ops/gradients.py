@@ -43,9 +43,16 @@ def ls_gradient_coefficients(mesh: DeviceMesh):
 
 
 def _ls_gradient_coefficients_host(mesh) -> np.ndarray:
-    cc = np.asarray(mesh.cell_centroid, dtype=np.float64)
-    cf_nbr = np.asarray(mesh.cf_nbr)
-    mask = np.asarray(mesh.cf_mask)
+    if getattr(mesh, "host", None) is not None:
+        # device->host readback is ~9 s per 1M-cell array on the TPU
+        # tunnel; the build keeps host copies (mesh.device.HostMeshData)
+        cc = mesh.host.cell_centroid
+        cf_nbr = mesh.host.cf_nbr
+        mask = mesh.host.cf_mask
+    else:
+        cc = np.asarray(mesh.cell_centroid, dtype=np.float64)
+        cf_nbr = np.asarray(mesh.cf_nbr)
+        mask = np.asarray(mesh.cf_mask)
     d = cc[cf_nbr] - cc[:, None, :]
     d = np.where(mask[:, :, None], d, 0.0)
     d2 = np.sum(d * d, axis=2)

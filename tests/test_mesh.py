@@ -124,3 +124,78 @@ def test_device_mesh_tables():
     # orthogonal mesh: non-orthogonal remainder T = 0 on interior faces
     T = np.asarray(dm.face_t)[: dm.n_interior_faces]
     np.testing.assert_allclose(T, 0.0, atol=1e-12)
+
+
+def test_merge_meshes_thermal_equivalence():
+    """MeshAssembler role (reference MeshAssembler.h:15): two abutting
+    strips merged into one mesh must solve identically to the directly
+    generated mesh (coincident boundary faces fuse into interior faces)."""
+    import fvm_tpu as fvm
+    from fvm_tpu.mesh.generate import quad_2d
+    from fvm_tpu.mesh.assemble import merge_meshes
+    from fvm_tpu.models import ThermalModel
+
+    left = quad_2d(8, 8, lx=0.5, ly=1.0)
+    right = quad_2d(8, 8, lx=0.5, ly=1.0)
+    right.coords = right.coords + np.array([0.5, 0.0])
+    merged = merge_meshes([left, right])
+    assert merged.n_interior_cells == 128
+    # the 8 coincident faces became interior: 2*8*8 cells, interior faces
+    # of a 16x8 grid = 15*8 + 16*7
+    assert merged.n_interior_faces == 2 * (7 * 8 + 8 * 7) + 8
+
+    def solve(mesh):
+        dm = fvm.mesh.build_device_mesh(mesh)
+        m = ThermalModel(dm)
+        m.options["verbose"] = False
+        for nm, v in (("left", 400.0), ("right", 300.0)):
+            m.bc[nm].bc_type = "SpecifiedTemperature"
+            m.bc[nm]["specifiedTemperature"] = v
+        m.bc["top"].bc_type = "Symmetry"
+        m.bc["bottom"].bc_type = "Symmetry"
+        m.init()
+        m.advance(3)
+        cc = np.asarray(dm.cell_centroid)[: dm.n_interior_cells]
+        return cc, m.getTemperature()
+
+    cc1, T1 = solve(merged)
+    cc2, T2 = solve(quad_2d(16, 8, lx=1.0, ly=1.0))
+    i1 = np.lexsort((cc1[:, 0], cc1[:, 1]))
+    i2 = np.lexsort((cc2[:, 0], cc2[:, 1]))
+    np.testing.assert_allclose(cc1[i1], cc2[i2], atol=1e-12)
+    np.testing.assert_allclose(T1[i1], T2[i2], atol=1e-8)
+
+
+def test_extract_region_roundtrip():
+    """MeshDismantler role (reference MeshDismantler.h:16): cutting the
+    left half back out of a merged mesh gives a standalone solvable mesh
+    with the cut as a new boundary group."""
+    import fvm_tpu as fvm
+    from fvm_tpu.mesh.generate import quad_2d
+    from fvm_tpu.mesh.assemble import extract_region
+    from fvm_tpu.mesh.metrics import compute_geometry
+    from fvm_tpu.models import ThermalModel
+
+    full = quad_2d(16, 8, lx=1.0, ly=1.0)
+    geom = compute_geometry(full)
+    xc = geom.cell_centroid[: full.n_interior_cells, 0]
+    sub = extract_region(full, xc < 0.5, cut_name="mid")
+    assert sub.n_interior_cells == 64
+    assert any(g.name == "mid" for g in sub.face_groups)
+
+    dm = fvm.mesh.build_device_mesh(sub)
+    m = ThermalModel(dm)
+    m.options["verbose"] = False
+    m.bc["left"].bc_type = "SpecifiedTemperature"
+    m.bc["left"]["specifiedTemperature"] = 400.0
+    m.bc["mid"].bc_type = "SpecifiedTemperature"
+    m.bc["mid"]["specifiedTemperature"] = 300.0
+    m.bc["top"].bc_type = "Symmetry"
+    m.bc["bottom"].bc_type = "Symmetry"
+    assert not any(g.name == "right" for g in sub.face_groups)  # dropped
+    m.init()
+    m.advance(3)
+    T = m.getTemperature()
+    cc = np.asarray(dm.cell_centroid)[: dm.n_interior_cells]
+    exact = 400.0 - 200.0 * cc[:, 0]
+    np.testing.assert_allclose(T, exact, atol=1e-8)
