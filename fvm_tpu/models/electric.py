@@ -93,6 +93,7 @@ class ElectricModelOptions(ModelOptions):
 
 
 class ElectricModel(Model):
+    _supports_interfaces = True
     name = "ElectricModel"
 
     def __init__(self, mesh: DeviceMesh, partition=None):
@@ -206,6 +207,32 @@ class ElectricModel(Model):
                 )
             else:
                 A, r = bck.extrapolation_rows(mesh, A, r, gc, phi, valid, scale)
+        if mesh.interfaces:
+            # dielectric shell (reference LinearizeDielectric.h:102): a
+            # thin layer of thickness t and constant eps_d between the two
+            # shell potentials, with an optional layer surface charge:
+            #   F_R = eps_d/t * (phi_R - phi_L) - 0.5 * q_layer * t
+            # expressed through the generic flux-closure rows.  Plain
+            # jump/flux configs pass through unchanged.
+            from ..core import interfaces as ifc
+
+            cfg = {}
+            for nm, _, _ in mesh.interfaces:
+                c = dict(self.interface.get(nm, {}))
+                if c.get("type") == "dielectric":
+                    epsd = float(c["constant"])
+                    t_d = float(c["thickness"])
+                    q_l = float(c.get("charge", 0.0))
+
+                    def _mk(epsd=epsd, t_d=t_d, q_l=q_l):
+                        def fn(pl, pr):
+                            return epsd / t_d * (pr - pl) - 0.5 * q_l * t_d
+
+                        return fn
+
+                    c = {"type": "flux", "flux_fn": _mk()}
+                cfg[nm] = c
+            A, r = ifc.apply_model_interfaces(mesh, cfg, A, r, phi, flux, eps_f)
         if "ib_mask" in params:
             A, r = assembly.dirichlet_cells(
                 A, r, params["ib_mask"], params["ib_value"], phi
