@@ -205,6 +205,28 @@ class Model:
             ) from e
         return jnp.asarray(src, dtype=jnp.int32)
 
+    def _log_iteration(self, msg: str) -> None:
+        """Per-iteration residual line: printed when verbose, else routed
+        to the 'model' rlog channel (reference: rlog info channel +
+        printNormalizedResiduals)."""
+        from ..core import rlog
+
+        if self.options.get("verbose"):
+            print(msg)
+        else:
+            rlog.model(msg)
+
+    def _phase(self, name: str, result=None):
+        """Phase tracing context for advance loops; active when the model
+        options set profile=True (reference: per-solver timing dumps)."""
+        from ..core import rlog
+
+        if self.options.get("profile"):
+            return rlog.tracer.phase(f"{self.name}/{name}", result)
+        import contextlib
+
+        return contextlib.nullcontext()
+
     def _group_bcs(self):
         """Yield (group_tuple, bc) for each boundary group.
 

@@ -713,8 +713,9 @@ class FlowModel(Model):
             if self._norm0 is None:
                 self._norm0 = (max(mom_norm, 1e-300), max(cont_norm, 1e-300))
             hist.append((it, mom_norm, cont_norm))
-            if opts["verbose"]:
-                print(f"{self.name}: {it}: mom {mom_norm:.6e} cont {cont_norm:.6e}")
+            self._log_iteration(
+                f"{self.name}: {it}: mom {mom_norm:.6e} cont {cont_norm:.6e}"
+            )
             if (
                 mom_norm / self._norm0[0] < opts["momentumTolerance"]
                 and cont_norm / self._norm0[1] < opts["continuityTolerance"]

@@ -179,13 +179,15 @@ class GenericScalarModel(Model):
         hist = ResidualHistory()
         bcvals = self._resolve_bcvals()
         for it in range(niter):
-            self.state, aux = self._step(self.mesh, self.params, self.state, bcvals)
+            with self._phase("step"):
+                self.state, aux = self._step(
+                    self.mesh, self.params, self.state, bcvals
+                )
             rnorm = float(aux["rnorm"])
             if self._initial_norm is None or self._initial_norm == 0.0:
                 self._initial_norm = rnorm
             hist.append((it, rnorm))
-            if opts["verbose"]:
-                print(f"{self.name}: {it}: {rnorm:.6e}")
+            self._log_iteration(f"{self.name}: {it}: {rnorm:.6e}")
             if rnorm < opts["absoluteTolerance"]:
                 break
             if rnorm / max(self._initial_norm, 1e-300) < opts["relativeTolerance"]:

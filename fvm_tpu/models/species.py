@@ -254,8 +254,7 @@ class SpeciesModel(Model):
             if self._initial_norm is None or self._initial_norm == 0.0:
                 self._initial_norm = rnorm
             hist.append((it, rnorm))
-            if opts["verbose"]:
-                print(f"{self.name}: {it}: {rnorm:.6e}")
+            self._log_iteration(f"{self.name}: {it}: {rnorm:.6e}")
             if rnorm < opts["absoluteTolerance"]:
                 break
             if rnorm / max(self._initial_norm, 1e-300) < opts["relativeTolerance"]:

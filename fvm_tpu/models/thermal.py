@@ -310,7 +310,10 @@ class ThermalModel(Model):
         # host round trip); convergence checks are skipped
         sync = bool(opts.get("residualSync", True)) or bool(opts["verbose"])
         for it in range(niter):
-            self.state, aux = self._step(self.mesh, self.params, self.state, bcvals)
+            with self._phase("step"):
+                self.state, aux = self._step(
+                    self.mesh, self.params, self.state, bcvals
+                )
             if not sync:
                 hist.append((it, aux["rnorm"]))
                 continue
@@ -318,8 +321,7 @@ class ThermalModel(Model):
             if self._initial_norm is None or self._initial_norm == 0.0:
                 self._initial_norm = rnorm
             hist.append((it, rnorm))
-            if opts["verbose"]:
-                print(f"{self.name}: {it}: {rnorm:.6e}")
+            self._log_iteration(f"{self.name}: {it}: {rnorm:.6e}")
             if rnorm < opts["absoluteTolerance"]:
                 break
             if rnorm / max(self._initial_norm, 1e-300) < opts["relativeTolerance"]:
