@@ -125,6 +125,38 @@ class Model:
                 vals[f"{g[1]}:__valid"] = jnp.ones(g[4], bool)
         return vals
 
+    def _map_mesh(self, fn, *args):
+        """Apply ``fn(local_mesh, *args)`` — vmapped over the shard axis
+        when distributed (post-processing paths; the stacked state already
+        carries synced halos from the last step)."""
+        if self._dist:
+            return jax.vmap(fn)(self.mesh, *args)
+        return fn(self.mesh, *args)
+
+    def _sum_group(self, g, F):
+        """Sum a per-face quantity over a boundary group's REAL faces.
+
+        ``F``: (nf, ...) single-device or (S, nf, ...) stacked.  When
+        distributed, padded group slots are masked out and the sum runs
+        over every shard (counterpart of the reference's per-rank integral
+        + allreduce in get<Var>FluxIntegral accessors)."""
+        sl = self.mesh.group_faces(g)
+        if self._dist:
+            Fg = F[:, sl]
+            mask = self.partition.group_valid_mask(g[1])
+            mask = mask.reshape(mask.shape + (1,) * (Fg.ndim - 2))
+            return jnp.sum(jnp.where(mask, Fg, 0), axis=(0, 1))
+        return jnp.sum(F[sl], axis=0)
+
+    def _group_bc_values(self, g, bc, key):
+        """Per-face BC values for a group: (L,) or stacked (S, L)."""
+        if self._dist:
+            n_global = self.partition.global_group_count(g[1])
+            return self.partition.scatter_bc(
+                g[1], np.asarray(bc.resolve(key, n_global))
+            )
+        return bc.resolve(key, g[4])
+
     def _wrap_step(self, step):
         """jit (and shard_map when distributed) a
         step(mesh, params, state, bcvals) -> (state, aux) function."""

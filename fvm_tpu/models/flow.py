@@ -744,29 +744,26 @@ class FlowModel(Model):
 
     def getMassFluxIntegral(self, group_name) -> float:
         mesh = self.mesh
-        if self._dist:
-            raise ConfigError("getMassFluxIntegral: single-device only for now")
         g = mesh.group_by_name(group_name) if isinstance(group_name, str) else group_name
-        sl = mesh.group_faces(g)
-        return float(jnp.sum(self.state["massFlux"][sl]))
+        return float(self._sum_group(g, self.state["massFlux"]))
 
     def getMomentumFluxIntegral(self, group_name) -> np.ndarray:
         """Force on a boundary group: pressure + viscous (reference:
         getMomentumFluxIntegral)."""
         mesh = self.mesh
-        if self._dist:
-            raise ConfigError("getMomentumFluxIntegral: single-device only for now")
         g = mesh.group_by_name(group_name) if isinstance(group_name, str) else group_name
-        sl = mesh.group_faces(g)
-        V = self.state["velocity"]
-        p = self.state["pressure"]
-        mu_f = disc.harmonic_face_gamma(mesh, self.params["mu"])
-        gradV = (
-            gradient(mesh, self.params["grad_coeff"], V)
-            if "grad_coeff" in self.params
-            else None
-        )
-        dflux = disc.diffusion_flux(mesh, V, mu_f, gradV)
-        p_f = assembly.cells_to_faces_distance_weighted(mesh, p)
-        F = dflux.F[sl] + p_f[sl, None] * mesh.face_area[sl]
-        return np.asarray(jnp.sum(F, axis=0))
+
+        def face_force(m, V, p, mu, grad_coeff=None):
+            mu_f = disc.harmonic_face_gamma(m, mu)
+            gradV = (
+                gradient(m, grad_coeff, V) if grad_coeff is not None else None
+            )
+            dflux = disc.diffusion_flux(m, V, mu_f, gradV)
+            p_f = assembly.cells_to_faces_distance_weighted(m, p)
+            return dflux.F + p_f[:, None] * m.face_area
+
+        args = (self.state["velocity"], self.state["pressure"], self.params["mu"])
+        if "grad_coeff" in self.params:
+            args = args + (self.params["grad_coeff"],)
+        F = self._map_mesh(face_force, *args)
+        return np.asarray(self._sum_group(g, F))

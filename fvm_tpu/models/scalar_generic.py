@@ -302,20 +302,21 @@ class GenericScalarModel(Model):
         """Diffusive flux leaving the domain through a boundary group
         (reference: the per-model get<Var>FluxIntegral accessors)."""
         mesh = self.mesh
-        if self._dist:
-            raise ConfigError("getFluxIntegral: single-device only for now")
         g = (
             mesh.group_by_name(group_name)
             if isinstance(group_name, str)
             else group_name
         )
-        sl = mesh.group_faces(g)
-        phi = self.state[self.var]
-        D_f = disc.harmonic_face_gamma(mesh, self.params["D"])
-        gradp = (
-            gradient(mesh, self.params["grad_coeff"], phi)
-            if "grad_coeff" in self.params
-            else None
-        )
-        flux = disc.diffusion_flux(mesh, phi, D_f, gradp)
-        return float(jnp.sum(flux.F[sl]))
+
+        def face_flux(m, phi, D, grad_coeff=None):
+            D_f = disc.harmonic_face_gamma(m, D)
+            gradp = (
+                gradient(m, grad_coeff, phi) if grad_coeff is not None else None
+            )
+            return disc.diffusion_flux(m, phi, D_f, gradp).F
+
+        args = (self.state[self.var], self.params["D"])
+        if "grad_coeff" in self.params:
+            args = args + (self.params["grad_coeff"],)
+        F = self._map_mesh(face_flux, *args)
+        return float(self._sum_group(g, F))

@@ -275,13 +275,16 @@ class SpeciesModel(Model):
     def getMassFluxIntegral(self, group_name, i: int = 0) -> float:
         mesh = self.mesh
         g = mesh.group_by_name(group_name) if isinstance(group_name, str) else group_name
-        sl = mesh.group_faces(g)
-        c = self.state[f"mf{i}"]
-        D_f = disc.harmonic_face_gamma(mesh, self.params[f"D{i}"])
-        gradc = (
-            gradient(mesh, self.params["grad_coeff"], c)
-            if "grad_coeff" in self.params
-            else None
-        )
-        flux = disc.diffusion_flux(mesh, c, D_f, gradc)
-        return float(-jnp.sum(flux.F[sl]))
+
+        def face_flux(m, c, D, grad_coeff=None):
+            D_f = disc.harmonic_face_gamma(m, D)
+            gradc = (
+                gradient(m, grad_coeff, c) if grad_coeff is not None else None
+            )
+            return disc.diffusion_flux(m, c, D_f, gradc).F
+
+        args = (self.state[f"mf{i}"], self.params[f"D{i}"])
+        if "grad_coeff" in self.params:
+            args = args + (self.params["grad_coeff"],)
+        F = self._map_mesh(face_flux, *args)
+        return float(-self._sum_group(g, F))

@@ -384,25 +384,32 @@ class ThermalModel(Model):
         (reference: ThermalModel_impl.h:400 getHeatFluxIntegral)
         """
         mesh = self.mesh
-        if self._dist:
-            raise ConfigError("getHeatFluxIntegral: gather the field first")
         g = mesh.group_by_name(group_name) if isinstance(group_name, str) else group_name
         sl = mesh.group_faces(g)
         bc = self.bc[g[1]]
         T = self.state["T"]
         if bc.bc_type == "SpecifiedHeatFlux":
-            q = bc.resolve("specifiedHeatFlux", g[4])
-            return float(jnp.sum(q * mesh.face_area_mag[sl]))
+            q = self._group_bc_values(g, bc, "specifiedHeatFlux")
+            amag = mesh.face_area_mag[..., sl]
+            if self._dist:
+                mask = self.partition.group_valid_mask(g[1])
+                return float(jnp.sum(jnp.where(mask, q * amag, 0)))
+            return float(jnp.sum(q * amag))
         if bc.bc_type == "Symmetry":
             return 0.0
-        gamma_f = disc.harmonic_face_gamma(mesh, self.params["k_cell"])
-        gradT = (
-            gradient(mesh, self.params["grad_coeff"], T)
-            if "grad_coeff" in self.params
-            else None
-        )
-        flux = disc.diffusion_flux(mesh, T, gamma_f, gradT)
-        return float(-jnp.sum(flux.F[sl]))
+
+        def face_flux(m, T, k, grad_coeff=None):
+            gamma_f = disc.harmonic_face_gamma(m, k)
+            gradT = (
+                gradient(m, grad_coeff, T) if grad_coeff is not None else None
+            )
+            return disc.diffusion_flux(m, T, gamma_f, gradT).F
+
+        args = (T, self.params["k_cell"])
+        if "grad_coeff" in self.params:
+            args = args + (self.params["grad_coeff"],)
+        F = self._map_mesh(face_flux, *args)
+        return float(-self._sum_group(g, F))
 
     def getTemperature(self) -> np.ndarray:
         """Interior-cell temperatures in GLOBAL numbering (gathers shards)."""

@@ -474,3 +474,90 @@ def test_sou_convection_seam_order_preservation():
 
     # seam cells included: the profiles must agree to solver tolerance
     np.testing.assert_allclose(TN, T1, rtol=1e-8, atol=1e-7)
+
+
+def test_dist_flux_integrals_match_single():
+    """Boundary flux/force integrals on a partitioned mesh must match the
+    single-device values (reference: per-rank integral + MPI allreduce in
+    get<Var>FluxIntegral, ThermalModel_impl.h:400, FlowModel force
+    integrals)."""
+    mesh = quad_2d(16, 12)
+
+    single = ThermalModel(fvm.mesh.build_device_mesh(mesh))
+    _setup_thermal(single)
+    single.advance(10)
+
+    part = Partition(quad_2d(16, 12), 8)
+    dist = ThermalModel(part.sharded_mesh, partition=part)
+    _setup_thermal(dist)
+    dist.advance(10)
+
+    for grp in ("left", "right", "top", "bottom"):
+        assert dist.getHeatFluxIntegral(grp) == pytest.approx(
+            single.getHeatFluxIntegral(grp), rel=1e-6, abs=1e-8
+        )
+    # global balance: net heat flow into the converged domain ~ 0
+    tot = sum(dist.getHeatFluxIntegral(g) for g in ("left", "right", "top", "bottom"))
+    assert abs(tot) < 1e-5
+
+
+def test_dist_flow_force_integrals_match_single():
+    n = 16
+    mesh = quad_2d(n, n)
+
+    def setup(m):
+        m.options["verbose"] = False
+        m.vc["viscosity"] = 0.05
+        for side in ("left", "right", "bottom", "top"):
+            m.bc[side].bc_type = "NoSlipWall"
+        m.bc["top"]["specifiedXVelocity"] = 1.0
+        m.init()
+
+    single = FlowModel(fvm.mesh.build_device_mesh(mesh))
+    setup(single)
+    single.advance(40)
+
+    part = Partition(quad_2d(n, n), 4)
+    dist = FlowModel(part.sharded_mesh, partition=part)
+    setup(dist)
+    dist.advance(40)
+
+    for grp in ("top", "bottom", "left", "right"):
+        np.testing.assert_allclose(
+            dist.getMomentumFluxIntegral(grp),
+            single.getMomentumFluxIntegral(grp),
+            rtol=1e-4,
+            atol=1e-6,
+        )
+        assert dist.getMassFluxIntegral(grp) == pytest.approx(
+            single.getMassFluxIntegral(grp), abs=1e-8
+        )
+
+
+def test_dist_scalar_flux_integral_matches_single():
+    from fvm_tpu.models import SpeciesModel
+
+    mesh = quad_2d(12, 12)
+
+    def setup(m):
+        m.options["verbose"] = False
+        m.bc["left"].bc_type = "SpecifiedMassFraction"
+        m.bc["left"]["specifiedMassFraction"] = 1.0
+        m.bc["right"].bc_type = "SpecifiedMassFraction"
+        m.bc["bottom"].bc_type = "Symmetry"
+        m.bc["top"].bc_type = "Symmetry"
+        m.init()
+
+    single = SpeciesModel(fvm.mesh.build_device_mesh(mesh))
+    setup(single)
+    single.advance(8)
+
+    part = Partition(quad_2d(12, 12), 4)
+    dist = SpeciesModel(part.sharded_mesh, partition=part)
+    setup(dist)
+    dist.advance(8)
+
+    for grp in ("left", "right"):
+        assert dist.getMassFluxIntegral(grp) == pytest.approx(
+            single.getMassFluxIntegral(grp), rel=1e-6, abs=1e-9
+        )
