@@ -140,7 +140,15 @@ def periodic_rows(
     s = 1.0 if scale is None else jnp.where(jnp.asarray(scale) > 0, scale, 1.0)
     diag = A.diag.at[gc].set(s)
     off = A.off.at[gc].set(0.0)
-    off = off.at[gc, 1].set(-s if scale is not None else -1.0)
+    # padded group slots (distributed shards) must NOT get the partner
+    # coupling: their slot-1 neighbor is the row itself, which would make
+    # the identity row singular (dx_g - dx_g = 0)
+    soff = jnp.broadcast_to(
+        jnp.asarray(s, A.off.dtype), (gc.stop - gc.start,)
+    )
+    if valid is not None:
+        soff = jnp.where(valid, soff, 0.0)
+    off = off.at[gc, 1].set(-soff)
     resid = (phi[psrc] - phi[gc]) * s
     if valid is not None:
         resid = jnp.where(valid, resid, 0.0)

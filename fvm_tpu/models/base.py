@@ -221,7 +221,9 @@ class Model:
                 "mesh.make_periodic() before build_device_mesh()"
             )
         if self._dist:
-            raise ConfigError("Periodic BCs: multi-device support pending")
+            return jnp.asarray(
+                self.partition.periodic_group_src(g[1]), dtype=jnp.int32
+            )
         lut = dict(
             zip(
                 np.asarray(mesh.periodic_ghost).tolist(),

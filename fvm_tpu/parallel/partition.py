@@ -101,6 +101,28 @@ class Partition:
             )
         self.parts = parts
 
+        # --- periodic pairs: wrapped ghost geometry + partner lut ---------
+        # (same repositioning as build_device_mesh; the partner owner of a
+        # ghost may live on another shard, so it is added to the halo and
+        # the implicit slot-1 coupling references its halo copy)
+        ccn_use = geom.cell_centroid
+        self._periodic_lut: dict | None = None
+        pairs = getattr(mesh, "periodic_pairs", None)
+        if pairs:
+            fc_ = mesh.face_cells
+            fcn_ = geom.face_centroid
+            ccn_use = ccn_use.copy()
+            lut = {}
+            for fa_, fb_ in pairs:
+                ga_, gb_ = fc_[fa_, 1], fc_[fb_, 1]
+                oa_, ob_ = fc_[fa_, 0], fc_[fb_, 0]
+                ccn_use[ga_] = ccn_use[ob_] + (fcn_[fa_] - fcn_[fb_])
+                ccn_use[gb_] = ccn_use[oa_] + (fcn_[fb_] - fcn_[fa_])
+                lut[int(ga_)] = int(ob_)
+                lut[int(gb_)] = int(oa_)
+            self._periodic_lut = lut
+        self._ccn_wrapped = ccn_use
+
         bgroups = [g for g in mesh.face_groups if g.group_type != "interior"]
 
         # --- per-shard selections ---------------------------------------
@@ -163,6 +185,17 @@ class Partition:
                 np.concatenate([owner[fint], nbr[fint]])
             ) if len(fint) else np.array([], dtype=np.int64)
             halo = ref[(ref < n_int) & (parts[ref] != d)]
+            if self._periodic_lut:
+                # partner owners of this shard's periodic ghosts
+                psrc = np.array(
+                    [
+                        src
+                        for gh, src in self._periodic_lut.items()
+                        if g2l[d, gh] >= 0 and parts[src] != d
+                    ],
+                    dtype=np.int64,
+                )
+                halo = np.unique(np.concatenate([halo, psrc]))
             halo_global.append(halo)
 
         L_halo = max((len(h) for h in halo_global), default=0)
@@ -209,8 +242,27 @@ class Partition:
             ccent = np.zeros((n_cells_local, mesh.dim))
             cvol = np.zeros(n_cells_local)
             gcells = np.nonzero(g2l[d] >= 0)[0]
-            ccent[g2l[d, gcells]] = self.geom.cell_centroid[gcells]
+            ccent[g2l[d, gcells]] = self._ccn_wrapped[gcells]
             cvol[g2l[d, gcells]] = self.geom.cell_volume[gcells]
+
+            extra = None
+            if self._periodic_lut:
+                gh_glob = np.sort(
+                    np.array(
+                        [gh for gh in self._periodic_lut if g2l[d, gh] >= 0],
+                        dtype=np.int64,
+                    )
+                )
+                src_glob = np.array(
+                    [self._periodic_lut[int(gh)] for gh in gh_glob],
+                    dtype=np.int64,
+                )
+                rows_p = g2l[d, gh_glob] if len(gh_glob) else gh_glob
+                cols_p = g2l[d, src_glob] if len(gh_glob) else src_glob
+                if len(rows_p) and (cols_p < 0).any():
+                    raise MeshError("partition: periodic partner not in halo")
+                if len(rows_p):
+                    extra = (rows_p, cols_p)
 
             lm = assemble_device_mesh(
                 mesh.dim,
@@ -227,6 +279,7 @@ class Partition:
                 dtype=dtype,
                 n_owned_cells=n_owned,
                 as_numpy=True,
+                extra_adj=extra,
             )
             local_meshes.append(lm)
 
@@ -299,6 +352,41 @@ class Partition:
             n_owned_cells_=n_owned,
             n_shards=self.n_shards,
         )
+        if self._periodic_lut:
+            # stacked (S, P) local periodic tables, padded with the dummy
+            # cell (dummy -> dummy copies are no-ops in extend_to_ghosts)
+            pg_all, ps_all = [], []
+            for d in range(self.n_shards):
+                gh_glob = np.sort(
+                    np.array(
+                        [gh for gh in self._periodic_lut if g2l[d, gh] >= 0],
+                        dtype=np.int64,
+                    )
+                )
+                pg_all.append(
+                    g2l[d, gh_glob] if len(gh_glob) else np.zeros(0, np.int64)
+                )
+                ps_all.append(
+                    g2l[
+                        d,
+                        np.array(
+                            [self._periodic_lut[int(g_)] for g_ in gh_glob],
+                            dtype=np.int64,
+                        ),
+                    ]
+                    if len(gh_glob)
+                    else np.zeros(0, np.int64)
+                )
+            P = max(1, max(len(x) for x in pg_all))
+            pg = np.full((self.n_shards, P), dummy, dtype=np.int64)
+            ps = np.full((self.n_shards, P), dummy, dtype=np.int64)
+            for d in range(self.n_shards):
+                pg[d, : len(pg_all[d])] = pg_all[d]
+                ps[d, : len(ps_all[d])] = ps_all[d]
+            self.sharded_mesh = self.sharded_mesh.replace(
+                periodic_ghost=jnp.asarray(pg, jnp.int32),
+                periodic_src=jnp.asarray(ps, jnp.int32),
+            )
         self.g2l = g2l
         self.n_cells_local = n_cells_local
         self.n_owned_local = n_owned
@@ -339,6 +427,38 @@ class Partition:
         if out.dtype.kind == "f":
             return jnp.asarray(out, config.dtype)
         return jnp.asarray(out)
+
+    def periodic_group_src(self, group_name: str) -> np.ndarray:
+        """(S, L_grp) stacked LOCAL partner-owner cell per ghost of a
+        Periodic boundary group, padded with the dummy cell.  Row order
+        matches the group's local ghost slice (face-slot order)."""
+        if not self._periodic_lut:
+            raise MeshError("periodic_group_src: mesh has no periodic pairs")
+        g = [g for g in self._bgroups if g.name == group_name][0]
+        L = self._L_grp[group_name]
+        mesh = self.mesh
+        dummy = self.n_cells_local - 1
+        out = np.full((self.n_shards, L), dummy, dtype=np.int64)
+        for d in range(self.n_shards):
+            pos = self._grp_global_pos[(d, group_name)]
+            if len(pos) == 0:
+                continue
+            gf = g.offset + pos  # global face ids
+            ghosts = mesh.n_interior_cells + (gf - mesh.n_interior_faces)
+            try:
+                src = np.array(
+                    [self._periodic_lut[int(gh)] for gh in ghosts],
+                    dtype=np.int64,
+                )
+            except KeyError as e:
+                raise MeshError(
+                    f"group {group_name!r}: not all faces are periodic-paired"
+                ) from e
+            loc = self.g2l[d, src]
+            if (loc < 0).any():
+                raise MeshError("periodic_group_src: partner not local/halo")
+            out[d, : len(pos)] = loc
+        return out
 
     def group_valid_mask(self, group_name: str) -> jnp.ndarray:
         L = self._L_grp[group_name]

@@ -137,3 +137,51 @@ def test_periodic_implicit_one_shot():
     assert hist[1][1] / hist[0][1] < 1e-9, (
         f"not implicit: second-iteration residual ratio {hist[1][1]/hist[0][1]}"
     )
+
+
+def test_periodic_dist_matches_single():
+    """Periodic pairs under partitioning: the partner owner of a wrap
+    ghost may live on another shard (it rides the halo exchange); the
+    implicit slot-1 coupling must reproduce the single-device solve
+    exactly (reference: periodic pairs as ordinary interior coupling
+    across ranks, Mesh.h:259-265 syncCounts/syncIndices)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from fvm_tpu.mesh.metrics import compute_geometry
+    from fvm_tpu.parallel import Partition
+
+    nx, ny = 16, 8
+
+    def setup(m, x):
+        m.options["verbose"] = False
+        m.options["relativeTolerance"] = 1e-13
+        m.vc["heatSource"] = np.cos(2 * np.pi * x) * 10.0
+        m.bc["left"].bc_type = "Periodic"
+        m.bc["right"].bc_type = "Periodic"
+        m.bc["bottom"].bc_type = "SpecifiedTemperature"
+        m.bc["bottom"]["specifiedTemperature"] = 300.0
+        m.bc["top"].bc_type = "Symmetry"
+        m.init()
+
+    mesh = quad_2d(nx, ny)
+    mesh.make_periodic("left", "right")
+    dm = fvm.mesh.build_device_mesh(mesh)
+    x1 = np.asarray(dm.cell_centroid)[: dm.n_interior_cells, 0]
+    m1 = ThermalModel(dm)
+    setup(m1, x1)
+    m1.advance(60)
+    T1 = m1.getTemperature()
+
+    mesh2 = quad_2d(nx, ny)
+    mesh2.make_periodic("left", "right")
+    part = Partition(mesh2, 8)
+    xg = compute_geometry(mesh2).cell_centroid[: mesh2.n_interior_cells, 0]
+    mN = ThermalModel(part.sharded_mesh, partition=part)
+    setup(mN, xg)
+    hist = mN.advance(60)
+    TN = mN.getTemperature()
+
+    np.testing.assert_allclose(TN, T1, rtol=1e-7, atol=1e-7)
+    assert hist[-1][1] / hist[0][1] < 1e-9
