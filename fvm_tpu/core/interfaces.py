@@ -41,23 +41,26 @@ def interface_slices(mesh, name: str):
     )
 
 
-def balance_rows(mesh, name, A, r, flux, weight_R=1.0):
+def balance_rows(mesh, name, A, r, flux, weight_R=1.0, valid=None):
     """Overwrite the ghost_L rows with the flux-balance equation.
 
     Row form (A = -dr/dx convention): r = F_L + w F_R, so the diagonal
     -dF_L/dphi_gL = +gamma_L*e/d stays positive like any diffusion row.
+    ``valid`` masks padded group slots on distributed shards: padded
+    shell-ghost rows become identity equations.
     """
     fL, fR, gL, gR = interface_slices(mesh, name)
-    diag = A.diag.at[gL].set(-flux.dF_dN[fL])
+    v = jnp.ones(gL.stop - gL.start, bool) if valid is None else valid
+    diag = A.diag.at[gL].set(jnp.where(v, -flux.dF_dN[fL], 1.0))
     off = A.off.at[gL].set(0.0)
-    off = off.at[gL, 0].set(-flux.dF_dO[fL])
-    off = off.at[gL, 1].set(-weight_R * flux.dF_dN[fR])
-    off = off.at[gL, 2].set(-weight_R * flux.dF_dO[fR])
-    r = r.at[gL].set(flux.F[fL] + weight_R * flux.F[fR])
+    off = off.at[gL, 0].set(jnp.where(v, -flux.dF_dO[fL], 0.0))
+    off = off.at[gL, 1].set(jnp.where(v, -weight_R * flux.dF_dN[fR], 0.0))
+    off = off.at[gL, 2].set(jnp.where(v, -weight_R * flux.dF_dO[fR], 0.0))
+    r = r.at[gL].set(jnp.where(v, flux.F[fL] + weight_R * flux.F[fR], 0.0))
     return A.replace(diag=diag, off=off), r
 
 
-def jump_rows(mesh, name, A, r, phi, A_coeff, B_coeff, scale=None):
+def jump_rows(mesh, name, A, r, phi, A_coeff, B_coeff, scale=None, valid=None):
     """Overwrite the ghost_R rows with phi_R = A_coeff * phi_L + B_coeff.
 
     ``scale`` (typically gamma_R * e/d of the R faces) keeps the row on the
@@ -67,15 +70,19 @@ def jump_rows(mesh, name, A, r, phi, A_coeff, B_coeff, scale=None):
     """
     fL, fR, gL, gR = interface_slices(mesh, name)
     s = 1.0 if scale is None else scale
-    diag = A.diag.at[gR].set(s * jnp.ones(gR.stop - gR.start, r.dtype))
+    v = jnp.ones(gR.stop - gR.start, bool) if valid is None else valid
+    ones = jnp.ones(gR.stop - gR.start, r.dtype)
+    diag = A.diag.at[gR].set(jnp.where(v, s * ones, 1.0))
     off = A.off.at[gR].set(0.0)
-    off = off.at[gR, 1].set(-s * A_coeff * jnp.ones(gR.stop - gR.start, r.dtype))
-    resid = s * (A_coeff * phi[gL] + B_coeff - phi[gR])
+    off = off.at[gR, 1].set(jnp.where(v, -s * A_coeff * ones, 0.0))
+    resid = jnp.where(v, s * (A_coeff * phi[gL] + B_coeff - phi[gR]), 0.0)
     r = r.at[gR].set(resid)
     return A.replace(diag=diag, off=off), r
 
 
-def flux_closure_rows(mesh, name, A, r, flux, i_star, dI_dL, dI_dR, urf=1.0):
+def flux_closure_rows(
+    mesh, name, A, r, flux, i_star, dI_dL, dI_dR, urf=1.0, valid=None
+):
     """Overwrite the ghost_R rows with the F_R = i(phi_L, phi_R) closure.
 
     ``i_star`` is the closure flux at the current state and dI_dL/dI_dR its
@@ -87,13 +94,14 @@ def flux_closure_rows(mesh, name, A, r, flux, i_star, dI_dL, dI_dR, urf=1.0):
     under-relaxes the diagonal (interfaceUnderRelax).
     """
     fL, fR, gL, gR = interface_slices(mesh, name)
+    v = jnp.ones(gR.stop - gR.start, bool) if valid is None else valid
     base = -flux.dF_dN[fR]  # positive transport diagonal
     diag_val = (base + jnp.where(dI_dR > 0.0, dI_dR, 0.0)) / urf
-    diag = A.diag.at[gR].set(diag_val)
+    diag = A.diag.at[gR].set(jnp.where(v, diag_val, 1.0))
     off = A.off.at[gR].set(0.0)
-    off = off.at[gR, 0].set(-flux.dF_dO[fR])
-    off = off.at[gR, 1].set(dI_dL)
-    r = r.at[gR].set(flux.F[fR] - i_star)
+    off = off.at[gR, 0].set(jnp.where(v, -flux.dF_dO[fR], 0.0))
+    off = off.at[gR, 1].set(jnp.where(v, dI_dL, 0.0))
+    r = r.at[gR].set(jnp.where(v, flux.F[fR] - i_star, 0.0))
     return A.replace(diag=diag, off=off), r
 
 
@@ -116,8 +124,12 @@ def apply_model_interfaces(mesh, interface_cfg, A, r, phi, flux, D_f):
     for nm, _, _ in mesh.interfaces:
         cfg = interface_cfg.get(nm, {})
         fL, fR, gL, gR = interface_slices(mesh, nm)
+        # padded group slots (distributed shards) carry zero-area dummy
+        # faces; their shell-ghost rows must stay identity equations
+        valid = mesh.face_area_mag[fL] > 0
         A, r = balance_rows(
-            mesh, nm, A, r, flux, weight_R=cfg.get("weight_R", 1.0)
+            mesh, nm, A, r, flux, weight_R=cfg.get("weight_R", 1.0),
+            valid=valid,
         )
         if cfg.get("type", "jump") == "flux":
             ifn = cfg["flux_fn"]
@@ -129,12 +141,13 @@ def apply_model_interfaces(mesh, interface_cfg, A, r, phi, flux, D_f):
             A, r = flux_closure_rows(
                 mesh, nm, A, r, flux,
                 i_a * area, dL_a * area, dR_a * area,
-                urf=cfg.get("urf", 1.0),
+                urf=cfg.get("urf", 1.0), valid=valid,
             )
         else:
             scale = D_f[fR] * mesh.face_e_over_d[fR]
             A, r = jump_rows(
                 mesh, nm, A, r, phi,
                 cfg.get("A_coeff", 1.0), cfg.get("B_coeff", 0.0), scale,
+                valid=valid,
             )
     return A, r

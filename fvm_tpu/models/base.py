@@ -52,11 +52,6 @@ class Model:
         self.interface: dict = {}
         ifaces = getattr(mesh, "interfaces", ())
         if ifaces:
-            if self._dist:
-                raise ConfigError(
-                    f"{self.name}: double-shell interfaces are not "
-                    "supported on partitioned meshes yet"
-                )
             if not getattr(self, "_supports_interfaces", False):
                 raise ConfigError(
                     f"{self.name}: mesh has double-shell interfaces "
@@ -77,11 +72,20 @@ class Model:
         v = vcdict[key]
         if self._dist:
             arr = np.asarray(v)
+            hm = self.partition.mesh
             if arr.ndim == 0:
-                host = np.full(self.partition.mesh.n_cells, float(arr))
+                host = np.full(hm.n_cells, float(arr))
             else:
-                host = np.zeros(self.partition.mesh.n_cells)
+                host = np.zeros(hm.n_cells)
                 host[: len(arr)] = arr
+                if extend_ghosts and len(arr) < hm.n_cells:
+                    # owner-copy into ghost cells not covered by the array
+                    # (the dist counterpart of bcs.extend_to_ghosts)
+                    gh = np.arange(max(len(arr), hm.n_interior_cells), hm.n_cells)
+                    own = hm.face_cells[
+                        hm.n_interior_faces + (gh - hm.n_interior_cells), 0
+                    ]
+                    host[gh] = host[own]
             out = jnp.asarray(self.partition.scatter_cells(host), dtype)
             return out
         arr = vcdict.resolve(key, mesh.n_cells, dtype)

@@ -140,7 +140,10 @@ class ElectricModel(Model):
         solver = self.options.get("electrostaticsLinearSolver")
         if solver is None:
             if self._dist:
-                solver = CG(
+                # dielectric-shell closure rows are nonsymmetric: CG
+                # silently mis-converges on them, BiCGStab is exact
+                krylov_cls = BiCGStab if mesh.interfaces else CG
+                solver = krylov_cls(
                     preconditioner=JacobiSolver(sweeps=3),
                     relative_tolerance=1e-10,
                     max_iterations=500,

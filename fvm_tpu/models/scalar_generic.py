@@ -69,7 +69,10 @@ class GenericScalarModel(Model):
         solver = self.options.get("linearSolver")
         if solver is None:
             if self._dist:
-                solver = CG(
+                # interface jump/closure rows are strongly nonsymmetric:
+                # CG silently mis-converges on them, BiCGStab is exact
+                krylov_cls = BiCGStab if mesh.interfaces else CG
+                solver = krylov_cls(
                     preconditioner=JacobiSolver(sweeps=3),
                     relative_tolerance=1e-10,
                     max_iterations=500,

@@ -99,6 +99,37 @@ class Partition:
             parts = rcb_partition(
                 geom.cell_centroid[:n_int], self.n_shards
             )
+
+        # --- double-shell interfaces: co-locate the two bulk owners -------
+        # Each interface face pair (L,R) couples ghost_L/ghost_R/owner_L/
+        # owner_R in one 4-cell stencil (core.interfaces slot layout).
+        # Forcing both bulk owners into the same shard keeps every
+        # interface stencil shard-local AND keeps the padded L/R group
+        # subsets positionally aligned (the kernels pair fL[i] with fR[i]).
+        # The TPU analogue of the reference keeping a shell mesh's two
+        # parent meshes on one rank (MeshAssembler-based COMET setup).
+        self._ifaces = tuple(getattr(mesh, "interfaces", ()))
+        if self._ifaces:
+            parts = parts.copy()
+            owner_of = mesh.face_cells[:, 0]
+            parent = np.arange(n_int, dtype=np.int64)
+
+            def find(a):
+                while parent[a] != a:
+                    parent[a] = parent[parent[a]]
+                    a = parent[a]
+                return a
+
+            by_name = {g.name: g for g in mesh.face_groups}
+            for nm, ln, rn in self._ifaces:
+                gL, gR = by_name[ln], by_name[rn]
+                for i in range(gL.count):
+                    a = find(int(owner_of[gL.offset + i]))
+                    b = find(int(owner_of[gR.offset + i]))
+                    if a != b:
+                        parent[b] = a
+            roots = np.array([find(c) for c in range(n_int)], dtype=np.int64)
+            parts = parts[roots]
         self.parts = parts
 
         # --- periodic pairs: wrapped ghost geometry + partner lut ---------
@@ -245,7 +276,7 @@ class Partition:
             ccent[g2l[d, gcells]] = self._ccn_wrapped[gcells]
             cvol[g2l[d, gcells]] = self.geom.cell_volume[gcells]
 
-            extra = None
+            extra_rows_, extra_cols_ = [], []
             if self._periodic_lut:
                 gh_glob = np.sort(
                     np.array(
@@ -262,7 +293,41 @@ class Partition:
                 if len(rows_p) and (cols_p < 0).any():
                     raise MeshError("partition: periodic partner not in halo")
                 if len(rows_p):
-                    extra = (rows_p, cols_p)
+                    extra_rows_.append(rows_p)
+                    extra_cols_.append(cols_p)
+            if self._ifaces:
+                # shell-ghost couplings, same per-row order as
+                # mesh.device.build_device_mesh: [partner ghost, partner
+                # owner] land at slots 1 and 2 (stable within-row order)
+                by_name_g = {g.name: g for g in bgroups}
+                for nm, ln, rn in self._ifaces:
+                    gLg, gRg = by_name_g[ln], by_name_g[rn]
+                    posL = self._grp_global_pos[(d, ln)]
+                    posR = self._grp_global_pos[(d, rn)]
+                    if not np.array_equal(posL, posR):
+                        raise MeshError(
+                            f"partition: interface {nm!r} L/R subsets "
+                            "misaligned (owner co-location failed)"
+                        )
+                    if len(posL) == 0:
+                        continue
+                    fLg = gLg.offset + posL
+                    fRg = gRg.offset + posR
+                    ghL = g2l[d, n_int + (fLg - n_int_f)]
+                    ghR = g2l[d, n_int + (fRg - n_int_f)]
+                    ownL = g2l[d, owner[fLg]]
+                    ownR = g2l[d, owner[fRg]]
+                    if min(ghL.min(), ghR.min(), ownL.min(), ownR.min()) < 0:
+                        raise MeshError(
+                            f"partition: interface {nm!r} stencil not local"
+                        )
+                    extra_rows_ += [ghL, ghR, ghL, ghR]
+                    extra_cols_ += [ghR, ghL, ownR, ownL]
+            extra = (
+                (np.concatenate(extra_rows_), np.concatenate(extra_cols_))
+                if extra_rows_
+                else None
+            )
 
             lm = assemble_device_mesh(
                 mesh.dim,
@@ -280,6 +345,7 @@ class Partition:
                 n_owned_cells=n_owned,
                 as_numpy=True,
                 extra_adj=extra,
+                interfaces=self._ifaces,
             )
             local_meshes.append(lm)
 

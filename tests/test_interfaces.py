@@ -305,3 +305,106 @@ def test_dielectric_shell_capacitor():
         left, V0 - D / (e1 * EPS0) * xc, phiR_i - D / (e2 * EPS0) * (xc - 1.0)
     )
     np.testing.assert_allclose(phi, exact, rtol=1e-8, atol=1e-10)
+
+
+def _dist_split_model(n_shards, A, B, DL, DR):
+    from fvm_tpu.parallel import Partition
+    import fvm_tpu.mesh.metrics as metrics
+
+    m = quad_2d(16, 4, lx=2.0, ly=1.0)
+    geom = metrics.compute_geometry(m)
+    xc = geom.cell_centroid[: m.n_interior_cells, 0]
+    left = xc < 1.0
+    m2 = m.make_interface(
+        "mid", m.interface_faces_between(left, ~left), left_cells=left
+    )
+    part = Partition(m2, n_shards)
+    model = VacancyModel(part.sharded_mesh, partition=part)
+    model.options["verbose"] = False
+    D = np.where(left, DL, DR)
+    model.vc["vacancyDiffusivity"] = D
+    model.bc["left"].bc_type = "Dirichlet"
+    model.bc["left"]["specifiedConcentration"] = 1.0
+    model.bc["right"].bc_type = "Dirichlet"
+    model.bc["right"]["specifiedConcentration"] = 0.0
+    model.bc["top"].bc_type = "Symmetry"
+    model.bc["bottom"].bc_type = "Symmetry"
+    model.interface["mid"] = {"A_coeff": A, "B_coeff": B}
+    return model, xc, left
+
+
+@pytest.mark.parametrize("n_shards", [2, 8])
+def test_jump_interface_dist_exact(n_shards):
+    """Double-shell jump interface on a partitioned mesh: the partitioner
+    co-locates the two bulk owners of every interface face, so the whole
+    4-cell shell stencil stays shard-local and the analytic piecewise
+    profile is reproduced to machine precision."""
+    import jax
+
+    if len(jax.devices()) < n_shards:
+        pytest.skip("not enough virtual devices")
+    A, B, DL, DR = 2.0, 0.1, 1.0, 0.25
+    model, xc, left = _dist_split_model(n_shards, A, B, DL, DR)
+    model.init()
+    model.advance(3)
+    phi = model.getConcentration()
+    exact, q, phiL_i, phiR_i = exact_profile(xc, left, A, B, DL, DR)
+    np.testing.assert_allclose(phi, exact, atol=1e-9)
+
+
+def test_battery_double_shell_species_dist():
+    """BV flux-closure interface (battery species) on 4 shards matches the
+    single-device solve (reference: BatteryLinearizeSpeciesInterface.h
+    under MPI partitioning)."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    from fvm_tpu.models.battery import species_interface_flux
+    from fvm_tpu.models.species import SpeciesModel
+    from fvm_tpu.parallel import Partition
+    import fvm_tpu.mesh.metrics as metrics
+
+    tf, q, D = 0.637, 1e-3, 1e-2
+    ce0, cs_init = 1000.0, 2000.0
+
+    def build(n_shards=None):
+        m = quad_2d(16, 4, lx=2.0, ly=1.0)
+        geom = metrics.compute_geometry(m)
+        xc = geom.cell_centroid[: m.n_interior_cells, 0]
+        left = xc < 1.0
+        m2 = m.make_interface(
+            "elyte_anode", m.interface_faces_between(left, ~left),
+            left_cells=left,
+        )
+        if n_shards:
+            part = Partition(m2, n_shards)
+            model = SpeciesModel(part.sharded_mesh, partition=part)
+        else:
+            model = SpeciesModel(fvm.mesh.build_device_mesh(m2))
+        model.options["verbose"] = False
+        model.vc["massDiffusivity"] = D
+        model.vc["initialMassFraction"] = np.where(left, ce0, cs_init)
+        model.interface["elyte_anode"] = {
+            "type": "flux",
+            "flux_fn": species_interface_flux(eta=0.1),
+            "weight_R": tf,
+        }
+        model.bc["left"].bc_type = "SpecifiedMassFraction"
+        model.bc["left"]["specifiedMassFraction"] = ce0
+        model.bc["right"].bc_type = "SpecifiedMassFlux"
+        model.bc["right"]["specifiedMassFlux"] = q
+        model.bc["top"].bc_type = "Symmetry"
+        model.bc["bottom"].bc_type = "Symmetry"
+        model.init()
+        model.advance(40)
+        return model
+
+    single = build()
+    dist = build(4)
+    np.testing.assert_allclose(
+        dist.getMassFraction(0), single.getMassFraction(0), rtol=1e-9
+    )
+    assert dist.getMassFluxIntegral("left") == pytest.approx(
+        single.getMassFluxIntegral("left"), rel=1e-6
+    )
