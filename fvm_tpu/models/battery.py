@@ -66,6 +66,11 @@ class BatteryVC(BoundaryCondition):
         "alphaAnodic": 0.5,
         "alphaCathodic": 0.5,
         "temperature": 300.0,
+        # double-shell (make_interface) BV kinetics, reference:
+        # BatteryLinearizeSpeciesInterface.h:197-221
+        "csMax": 26390.0,  # electrode saturation concentration
+        "rateConstant": 6.33e-10,  # reaction-rate constant k
+        "transference": 0.363,  # t_plus; electrolyte balance weight 1-t+
     }
 
 
@@ -81,6 +86,11 @@ class BatteryModelOptions(ModelOptions):
 
 class BatteryModel(Model):
     name = "BatteryModel"
+    # double-shell meshes (Mesh.make_interface with the electrolyte as the
+    # L side): interface ghosts are independent per-side shell unknowns
+    # (phi_L, phi_R, ce_i, cs_i) solved point-coupled by the same JFNK
+    # Newton as the bulk (reference: BatteryPCLinearizeInterface_BV.h)
+    _supports_interfaces = True
 
     def __init__(self, mesh: DeviceMesh, partition=None):
         super().__init__(mesh, partition)
@@ -233,6 +243,68 @@ class BatteryModel(Model):
             i = i - (i - bv(eta)) / gp
         return i
 
+    def _bv_shell(self, ce, cs, eta):
+        """Concentration-dependent Butler-Volmer current density at a
+        double-shell interface (per area, positive = current leaving the
+        electrode bulk into the interface).
+
+        Reference: BatteryLinearizeSpeciesInterface.h:197-221 —
+        i = F k ce^ac (csMax - cs)^aa cs^ac [exp(Ca eta) - exp(-Cc eta)],
+        eta = phi_s - phi_e - U0.  Derivatives come from jax.jvp through
+        this function (the reference hand-codes dIdCS/dIdCE/dIdPhi).
+        """
+        T = float(self.vc["temperature"])
+        aa = float(self.vc["alphaAnodic"])
+        ac = float(self.vc["alphaCathodic"])
+        k = float(self.vc["rateConstant"])
+        csMax = float(self.vc["csMax"])
+        Ca = aa * FARADAY / (RGAS * T)
+        Cc = ac * FARADAY / (RGAS * T)
+        eps = 1e-12 * csMax
+        ce_c = jnp.clip(ce, eps, None)
+        cs_c = jnp.clip(cs, eps, csMax - eps)
+        j0 = FARADAY * k * ce_c**ac * (csMax - cs_c) ** aa * cs_c**ac
+        x1 = jnp.clip(Ca * eta, -60.0, 60.0)
+        x2 = jnp.clip(-Cc * eta, -60.0, 60.0)
+        return j0 * (jnp.exp(x1) - jnp.exp(x2))
+
+    def _shell_rows(self, mesh, params, phi, c, fphi, fc_flux, rp, rc, coupled):
+        """Overwrite the shell-ghost residual rows of a double-shell mesh.
+
+        Per interface face (L = electrolyte, R = electrode; ghosts are the
+        one-sided shell unknowns):
+          phi_L row:  F_phi(fL) + F_phi(fR) = 0        (current balance)
+          phi_R row:  F_phi(fR) - i(ce,cs,eta) A = 0   (BV closure)
+          c_L row:    F_c(fL) + (1 - t+) F_c(fR) = 0   (Li balance)
+          c_R row:    F_c(fR) - (i/F) A = 0            (Faradaic Li flux)
+        All rows are pure functions of u, so jax.jvp supplies the exact
+        point-coupled Newton linearization.
+        """
+        tf = 1.0 - float(self.vc["transference"])
+        for nm, ln, rn in mesh.interfaces:
+            gLg = mesh.group_by_name(ln)
+            gRg = mesh.group_by_name(rn)
+            fL = mesh.group_faces(gLg)
+            fR = mesh.group_faces(gRg)
+            gl = mesh.ghost_cells_of_group(gLg)
+            gr = mesh.ghost_cells_of_group(gRg)
+            vmask = mesh.face_area_mag[fL] > 0
+            amag = mesh.face_area_mag[fL]
+            eta = phi[gr] - phi[gl] - params["U0"][gr]
+            i_bv = self._bv_shell(c[gl], c[gr], eta)
+            rp = rp.at[gl].set(jnp.where(vmask, fphi.F[fL] + fphi.F[fR], 0.0))
+            rp = rp.at[gr].set(jnp.where(vmask, fphi.F[fR] - i_bv * amag, 0.0))
+            if coupled:
+                rc = rc.at[gl].set(
+                    jnp.where(vmask, fc_flux.F[fL] + tf * fc_flux.F[fR], 0.0)
+                )
+                rc = rc.at[gr].set(
+                    jnp.where(
+                        vmask, fc_flux.F[fR] - (i_bv / FARADAY) * amag, 0.0
+                    )
+                )
+        return rp, rc
+
     def _system(self, mesh, params, state, bcvals, u):
         """Residual: steady mode solves phi only (a steady species field
         does not exist under sustained current with zero-flux walls — the
@@ -265,6 +337,17 @@ class BatteryModel(Model):
         F_c = jnp.where(iface, F_if / FARADAY, fc.F)
         dcO = jnp.where(iface, 0.0, fc.dF_dO)
         dcN = jnp.where(iface, 0.0, fc.dF_dN)
+
+        # boundary current injection (SpecifiedCurrent): fixed conduction
+        # flux through the group faces, positive INTO the domain
+        for g, bc in self._group_bcs():
+            if bc.bc_type == "SpecifiedCurrent":
+                sl = mesh.group_faces(g)
+                amag_g = mesh.face_area_mag[sl]
+                I = bcvals[f"{g[1]}:specifiedCurrent"]
+                F_phi = F_phi.at[sl].set(-I * amag_g)
+                dphiO = dphiO.at[sl].set(0.0)
+                dphiN = dphiN.at[sl].set(0.0)
 
         diag_c = jnp.zeros(mesh.n_cells, u.dtype)
         r_c_extra = jnp.zeros(mesh.n_cells, u.dtype)
@@ -301,6 +384,13 @@ class BatteryModel(Model):
             else:
                 Ap, rp = bck.extrapolation_rows(mesh, Ap, rp, gc, phi, valid, scale_p)
             Ac, rc = bck.extrapolation_rows(mesh, Ac, rc, gc, c, valid, scale_c)
+
+        if mesh.interfaces:
+            # double-shell interfaces: point-coupled BV closure rows on
+            # the shell-ghost unknowns (phi_L, phi_R, ce_i, cs_i)
+            rp, rc = self._shell_rows(
+                mesh, params, phi, c, fphi, fc, rp, rc, coupled
+            )
 
         Ac, rc = assembly.identity_unowned_rows(mesh, Ac, rc)
         Ap, rp = assembly.identity_unowned_rows(mesh, Ap, rp)
@@ -462,6 +552,15 @@ class BatteryModel(Model):
         mesh = self.mesh
         g = mesh.group_by_name(group_name) if isinstance(group_name, str) else group_name
         sl = mesh.group_faces(g)
+        bc = self.bc.get(g[1])
+        if bc is not None and bc.bc_type == "SpecifiedCurrent":
+            # the conduction flux is replaced by the injected current
+            I = self._group_bc_values(g, bc, "specifiedCurrent")
+            amag = mesh.face_area_mag[..., sl]
+            if self._dist:
+                mask = self.partition.group_valid_mask(g[1])
+                return float(jnp.sum(jnp.where(mask, I * amag, 0.0)))
+            return float(jnp.sum(I * amag))
 
         def local(mesh, sigma, phi):
             sig_f = disc.harmonic_face_gamma(mesh, sigma)

@@ -128,3 +128,104 @@ def test_battery_thermal_coupling_roundtrip():
     T = t.getTemperature()
     assert T.max() > 300.0 + 1e-3
     assert T.min() >= 300.0 - 1e-9
+
+
+def _build_double_shell(n_shards=None, transient=False, I=5.0,
+                        sig_e=1.0, sig_s=10.0, dt=20.0):
+    """Two-region cell on a double-shell mesh: electrolyte (L, mat 1) |
+    cathode (R, mat 2), reference potential at the electrolyte terminal,
+    specified current at the electrode contact (reference:
+    BatteryPCLinearizeInterface_BV.h point-coupled shell interface)."""
+    import fvm_tpu.mesh.metrics as metrics
+    from fvm_tpu.parallel import Partition
+
+    m = quad_2d(16, 4, lx=2.0, ly=1.0)
+    geom = metrics.compute_geometry(m)
+    xc = geom.cell_centroid[: m.n_interior_cells, 0]
+    left = xc < 1.0
+    m2 = m.make_interface(
+        "sep", m.interface_faces_between(left, ~left), left_cells=left
+    )
+    if n_shards:
+        part = Partition(m2, n_shards)
+        b = BatteryModel(part.sharded_mesh, partition=part)
+    else:
+        b = BatteryModel(fvm.mesh.build_device_mesh(m2))
+    b.options["verbose"] = False
+    if transient:
+        b.options["transient"] = True
+        b.options["timeStep"] = dt
+    geom2 = metrics.compute_geometry(m2)
+    xc2 = geom2.cell_centroid[: m2.n_interior_cells, 0]
+    mat = np.where(xc2 < 1.0, 1, 2).astype(np.int32)
+    b.set_material_regions(mat)
+    b.vc["conductivity"] = (100.0, sig_e, sig_s)
+    b.vc["diffusivity"] = (1e-2, 1e-2, 1e-2)
+    b.bc["left"].bc_type = "SpecifiedPotential"
+    b.bc["left"]["specifiedPotential"] = 0.0
+    b.bc["right"].bc_type = "SpecifiedCurrent"
+    b.bc["right"]["specifiedCurrent"] = I
+    b.bc["top"].bc_type = "Symmetry"
+    b.bc["bottom"].bc_type = "Symmetry"
+    b.init()
+    return b, xc2
+
+
+def test_battery_double_shell_steady_exact():
+    """Steady potential on a double-shell cell: piecewise-linear ohmic
+    profile with the BV overpotential jump eta* = (2/fRT) asinh(I/(2 j0))
+    at the shell interface, exact to machine precision; quadratic Newton."""
+    sig_e, sig_s, I = 1.0, 10.0, 5.0
+    b, xc2 = _build_double_shell(I=I, sig_e=sig_e, sig_s=sig_s)
+    hist = b.advance(30)
+    assert hist[-1][1] / hist[0][1] < 1e-10
+    assert len(hist) <= 6  # quadratic convergence, not outer-lagged
+
+    ce0 = cs0 = 1000.0
+    csMax, k = 26390.0, 6.33e-10
+    j0 = FARADAY * k * np.sqrt(ce0) * np.sqrt(csMax - cs0) * np.sqrt(cs0)
+    fRT = FARADAY / (RGAS * 300.0)
+    eta = 2.0 / fRT * np.arcsinh(I / (2 * j0))
+    phiR_i = I / sig_e * 1.0 + 3.8 + eta
+    exact = np.where(
+        xc2 < 1.0, I / sig_e * xc2, phiR_i + I / sig_s * (xc2 - 1.0)
+    )
+    np.testing.assert_allclose(b.getPotential(), exact, atol=1e-12)
+    # conservation: current in at the contact leaves at the reference
+    assert b.getCurrentIntegral("right") == pytest.approx(I)
+    assert b.getCurrentIntegral("left") == pytest.approx(-I, rel=1e-10)
+
+
+def test_battery_double_shell_coupled_mass():
+    """Transient coupled (c, phi) JFNK on the shell mesh: with the
+    potential equation elliptic, the interface BV current equals the
+    applied current instantaneously, so one BDF1 step moves EXACTLY
+    dt*I/F moles of Li out of the electrode and dt*(1-t+)*I/F into the
+    electrolyte (transference split)."""
+    I, dt = 5.0, 20.0
+    b, xc2 = _build_double_shell(transient=True, I=I, dt=dt)
+    vol = 2.0 / 64.0
+    c0 = b.getConcentration()
+    hist = b.advance(25)
+    assert hist[-1][1] / hist[0][1] < 1e-10
+    c1 = b.getConcentration()
+    left = xc2 < 1.0
+    tf = 1.0 - 0.363
+    dcs = (c1[~left] - c0[~left]).sum() * vol
+    dce = (c1[left] - c0[left]).sum() * vol
+    assert dcs == pytest.approx(-dt * I / FARADAY, rel=1e-8)
+    assert dce == pytest.approx(dt * tf * I / FARADAY, rel=1e-8)
+
+
+def test_battery_double_shell_dist_matches_single():
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    b1, _ = _build_double_shell()
+    b1.advance(30)
+    bN, _ = _build_double_shell(n_shards=4)
+    bN.advance(30)
+    np.testing.assert_allclose(
+        bN.getPotential(), b1.getPotential(), atol=1e-12
+    )
