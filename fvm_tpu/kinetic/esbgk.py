@@ -244,10 +244,22 @@ class KineticModel(Model):
         mesh: DeviceMesh,
         quadrature: Quadrature | None = None,
         partition=None,
+        ordinate_shards: int | None = None,
     ):
+        """``ordinate_shards``: shard the VELOCITY-ordinate axis of f over
+        that many devices (mesh axis 'fvm_v') — the reference's N123
+        direction batching (Field::syncLocalVectorFields) turned into the
+        natural tensor-parallel axis.  Mutually exclusive with spatial
+        partitioning for now (one mesh axis per model)."""
         super().__init__(mesh, partition)
         self.vc = KineticVC()
         self.quadrature = quadrature or Quadrature(8, 8, 8)
+        self.ordinate_shards = ordinate_shards
+        if ordinate_shards and self._dist:
+            raise ConfigError(
+                "KineticModel: ordinate_shards is incompatible with "
+                "spatial partitioning (choose one mesh axis)"
+            )
 
     def _make_options(self):
         return KineticModelOptions()
@@ -305,6 +317,10 @@ class KineticModel(Model):
         if self._dist:
             self.state = self.partition.device_put(self.state)
             self.params = self.partition.device_put(self.params)
+        if self.ordinate_shards:
+            self._shard_ordinates(
+                ("f", "f_N1"), ("dO", "dN"), self.ordinate_shards
+            )
         self._step = self._wrap_step(self._build_step())
         self._initial_norm = None
         self._initialized = True

@@ -88,9 +88,13 @@ class PhononModel(Model):
     name = "PhononModel"
 
     def __init__(self, mesh: DeviceMesh, n_polar=4, n_azimuthal=8,
-                 bands=None, partition=None):
+                 bands=None, partition=None, ordinate_shards=None):
         """bands: optional list of (C_b, vg_b, tau_b) tuples for non-gray
-        transport; defaults to one band from the VC entries."""
+        transport; defaults to one band from the VC entries.
+        ``ordinate_shards``: shard the direction*band axis of e over that
+        many devices (mesh axis 'fvm_v'); XLA GSPMD inserts the psums for
+        the lattice-temperature sums and the collective permutes for
+        specular mirrors.  Mutually exclusive with spatial partitioning."""
         super().__init__(mesh, partition)
         self.vc = PhononVC()
         s, w = sn_directions(n_polar, n_azimuthal)
@@ -98,6 +102,12 @@ class PhononModel(Model):
         self.w = w  # (D,)
         self.D = len(w)
         self.bands = bands  # resolved in init()
+        self.ordinate_shards = ordinate_shards
+        if ordinate_shards and self._dist:
+            raise ConfigError(
+                "PhononModel: ordinate_shards is incompatible with "
+                "spatial partitioning (choose one mesh axis)"
+            )
 
     def _make_options(self):
         return PhononModelOptions()
@@ -220,6 +230,10 @@ class PhononModel(Model):
         if self._dist:
             self.state = self.partition.device_put(self.state)
             self.params = self.partition.device_put(self.params)
+        if self.ordinate_shards:
+            self._shard_ordinates(
+                ("e", "e_N1"), ("dO", "dN"), self.ordinate_shards
+            )
         self._step = self._wrap_step(self._build_step())
         self._initial_norm = None
         self._initialized = True

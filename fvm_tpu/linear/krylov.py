@@ -97,12 +97,20 @@ class BiCGStab(LinearSolver):
         rnorm0 = A.norm(r0)
         target = jnp.maximum(rtol * rnorm0, atol)
 
+        # breakdown safety: when rhat . r or t . t degenerate (which
+        # happens whenever the outer loop feeds a residual already at the
+        # round-off floor), the iterates can diverge violently while the
+        # while_loop keeps spinning to maxit.  Track the best iterate seen
+        # and stop on clear divergence; return the best, not the last.
+        diverged_at = 1e8
+
         def cond(state):
-            i, x, r, p, v, rho, alpha, omega, rn = state
-            return (i < maxit) & (rn > target)
+            i, x, r, p, v, rho, alpha, omega, rn, bx, brn = state
+            ok = jnp.isfinite(rn) & (rn < diverged_at * (rnorm0 + atol))
+            return (i < maxit) & (rn > target) & ok
 
         def body(state):
-            i, x, r, p, v, rho, alpha, omega, rn = state
+            i, x, r, p, v, rho, alpha, omega, rn, bx, brn = state
             rho_new = A.dot(rhat, r)
             beta = (rho_new / jnp.where(jnp.abs(rho) > tiny, rho, tiny)) * (
                 alpha / jnp.where(jnp.abs(omega) > tiny, omega, tiny)
@@ -119,7 +127,11 @@ class BiCGStab(LinearSolver):
             omega = A.dot(t, s) / jnp.where(tt > tiny, tt, tiny)
             x = x + alpha * phat + omega * shat
             r = s - omega * t
-            return (i + 1, x, r, p, v, rho_new, alpha, omega, A.norm(r))
+            rn = A.norm(r)
+            better = jnp.isfinite(rn) & (rn < brn)
+            bx = jnp.where(better, x, bx)
+            brn = jnp.where(better, rn, brn)
+            return (i + 1, x, r, p, v, rho_new, alpha, omega, rn, bx, brn)
 
         one = jnp.asarray(1.0, b.dtype)
         state = (
@@ -132,10 +144,13 @@ class BiCGStab(LinearSolver):
             one,
             one,
             rnorm0,
+            x0,
+            rnorm0,
         )
-        i, x, r, *_ = jax.lax.while_loop(cond, body, state)
-        rn = A.norm(r)
-        return recover(x), SolveStats(i, rnorm0, rn, rn <= target)
+        i, x, r, p, v, rho, alpha, omega, rn, bx, brn = jax.lax.while_loop(
+            cond, body, state
+        )
+        return recover(bx), SolveStats(i, rnorm0, brn, brn <= target)
 
 
 class JacobiSolver(LinearSolver):

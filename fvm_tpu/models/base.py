@@ -129,6 +129,47 @@ class Model:
                 vals[f"{g[1]}:__valid"] = jnp.ones(g[4], bool)
         return vals
 
+    def _shard_ordinates(self, state_keys, param_keys, n_shards,
+                         axis="fvm_v"):
+        """Shard the trailing ORDINATE axis of kinetic state/params over a
+        device-mesh axis (the velocity/k-space analogue of tensor
+        parallelism, SURVEY §5: the reference batches the N123 ordinate
+        axis through syncLocalVectorFields, Field.h:53).
+
+        TPU-native design: plain NamedSharding annotations + jit — XLA's
+        SPMD partitioner inserts the all-reduces for moment sums and the
+        collective permutes for mirror reflections automatically, so the
+        model code is unchanged (the scaling-book recipe: pick a mesh,
+        annotate shardings, let XLA insert collectives)."""
+        P_ = int(n_shards)
+        devs = jax.devices()
+        if len(devs) < P_:
+            raise ConfigError(
+                f"ordinate_shards={P_} but only {len(devs)} devices"
+            )
+        vmesh = jax.sharding.Mesh(np.array(devs[:P_]), (axis,))
+        self._ordinate_mesh = vmesh
+
+        def put(a):
+            if a.shape[-1] % P_:
+                raise ConfigError(
+                    f"ordinate count {a.shape[-1]} not divisible by "
+                    f"ordinate_shards={P_}"
+                )
+            spec = jax.sharding.PartitionSpec(
+                *((None,) * (a.ndim - 1) + (axis,))
+            )
+            return jax.device_put(
+                a, jax.sharding.NamedSharding(vmesh, spec)
+            )
+
+        for k in state_keys:
+            if k in self.state:
+                self.state[k] = put(self.state[k])
+        for k in param_keys:
+            if k in self.params:
+                self.params[k] = put(self.params[k])
+
     def _map_mesh(self, fn, *args):
         """Apply ``fn(local_mesh, *args)`` — vmapped over the shard axis
         when distributed (post-processing paths; the stacked state already

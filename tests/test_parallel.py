@@ -561,3 +561,65 @@ def test_dist_scalar_flux_integral_matches_single():
         assert dist.getMassFluxIntegral(grp) == pytest.approx(
             single.getMassFluxIntegral(grp), rel=1e-6, abs=1e-9
         )
+
+
+def test_esbgk_ordinate_sharding_matches_unsharded():
+    """Velocity-ordinate axis sharded over 8 devices via NamedSharding +
+    GSPMD (the reference's N123 direction batching,
+    Field::syncLocalVectorFields, as the tensor-parallel axis): moments
+    psums and mirror permutes are inserted by XLA, results match the
+    unsharded solve to inner-solver tolerance."""
+    from fvm_tpu.kinetic.esbgk import KineticModel
+    from fvm_tpu.kinetic.quadrature import Quadrature
+
+    def build(ordinate_shards=None):
+        dm = fvm.mesh.build_device_mesh(quad_2d(8, 8))
+        m = KineticModel(
+            dm, quadrature=Quadrature(4, 4, 4),
+            ordinate_shards=ordinate_shards,
+        )
+        m.options["verbose"] = False
+        m.vc["relaxationTime"] = 0.2
+        m.bc["top"].bc_type = "DiffuseWall"
+        m.bc["top"]["specifiedXVelocity"] = 0.5
+        m.bc["bottom"].bc_type = "DiffuseWall"
+        m.bc["left"].bc_type = "SpecularWall"
+        m.bc["right"].bc_type = "SpecularWall"
+        m.init()
+        m.advance(8)
+        return m
+
+    m1 = build()
+    mS = build(ordinate_shards=8)
+    assert "fvm_v" in str(mS.state["f"].sharding.spec)
+    rho1, u1, T1 = m1.moments()
+    rhoS, uS, TS = mS.moments()
+    np.testing.assert_allclose(np.asarray(rhoS), np.asarray(rho1), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(uS), np.asarray(u1), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(TS), np.asarray(T1), atol=2e-6)
+
+
+def test_phonon_ordinate_sharding_matches_unsharded():
+    from fvm_tpu.kinetic import PhononModel
+
+    def build(ordinate_shards=None):
+        dm = fvm.mesh.build_device_mesh(quad_2d(16, 3))
+        m = PhononModel(
+            dm, n_polar=6, n_azimuthal=8, ordinate_shards=ordinate_shards
+        )
+        m.options["verbose"] = False
+        m.vc["relaxationTime"] = 0.05
+        m.vc["groupVelocity"] = 1.0
+        m.bc["left"].bc_type = "Isothermal"
+        m.bc["left"]["specifiedTemperature"] = 310.0
+        m.bc["right"].bc_type = "Isothermal"
+        m.bc["right"]["specifiedTemperature"] = 290.0
+        m.bc["bottom"].bc_type = "Symmetry"
+        m.bc["top"].bc_type = "Symmetry"
+        m.init()
+        m.advance(40)
+        return m
+
+    T1 = build().getTemperature()
+    TS = build(ordinate_shards=8).getTemperature()
+    np.testing.assert_allclose(TS, T1, atol=1e-8)
