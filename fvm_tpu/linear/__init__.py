@@ -2,3 +2,4 @@ from .base import LinearSolver, SolveStats, norm
 from .krylov import CG, BiCGStab, JacobiSolver
 from .amg import AMG, DirectSolver
 from .ilu import ILU0Solver
+from .spike import SpikeSolver

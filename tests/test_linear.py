@@ -184,3 +184,69 @@ def test_ilu0_beats_jacobi_on_anisotropic():
         max_iterations=60,
     ).solve(A, b)
     assert bool(st.converged)
+
+
+def test_spike_tridiagonal_exact():
+    """Truncated-SPIKE core on a diagonally dominant tridiagonal: chunked
+    Thomas + 2x2 interface solves reproduce the exact solution (reference:
+    SpikeMatrix.h:20 local band factor + reduced spike system)."""
+    from fvm_tpu.linear.spike import spike_apply
+
+    rng = np.random.default_rng(0)
+    n = 500
+    a = rng.uniform(-1, 0, n)
+    c = rng.uniform(-1, 0, n)
+    a[0] = 0.0
+    c[-1] = 0.0
+    d = 3.0 + rng.uniform(0, 1, n)
+    T = np.diag(d) + np.diag(a[1:], -1) + np.diag(c[:-1], 1)
+    x_true = rng.standard_normal(n)
+    r = T @ x_true
+    x = np.asarray(
+        spike_apply(
+            jnp.asarray(a), jnp.asarray(d), jnp.asarray(c), jnp.asarray(r), 64
+        )
+    )
+    np.testing.assert_allclose(x, x_true, atol=1e-10)
+
+
+def test_spike_line_preconditioner_anisotropic():
+    """On a stretched mesh (strong coupling along the line axis), SPIKE
+    line relaxation beats Jacobi by an order of magnitude in Krylov
+    iterations — the regime the reference deploys SPIKE in
+    (SpikeSolver.h:21)."""
+    import fvm_tpu as fvm
+    from fvm_tpu.mesh.generate import quad_2d
+    from fvm_tpu.models import ThermalModel
+    from fvm_tpu.linear import BiCGStab, JacobiSolver, SpikeSolver
+
+    dm = fvm.mesh.build_device_mesh(quad_2d(8, 64, lx=8.0, ly=1.0))
+    m = ThermalModel(dm)
+    m.options["verbose"] = False
+    m.bc["bottom"].bc_type = "SpecifiedTemperature"
+    m.bc["bottom"]["specifiedTemperature"] = 400.0
+    m.bc["top"].bc_type = "SpecifiedTemperature"
+    m.bc["top"]["specifiedTemperature"] = 300.0
+    m.bc["left"].bc_type = "Symmetry"
+    m.bc["right"].bc_type = "Symmetry"
+    m.init()
+    bcvals = m._resolve_bcvals()
+    A, r = m._linearize(m.mesh, m.params, m.state, bcvals)
+
+    xs, st_s = BiCGStab(
+        preconditioner=SpikeSolver(), relative_tolerance=1e-8,
+        max_iterations=200,
+    ).solve_fn(A, r, jnp.zeros_like(r))
+    xj, st_j = BiCGStab(
+        preconditioner=JacobiSolver(sweeps=1), relative_tolerance=1e-8,
+        max_iterations=200,
+    ).solve_fn(A, r, jnp.zeros_like(r))
+    assert bool(st_s.converged)
+    assert int(st_s.iterations) * 10 <= int(st_j.iterations)
+    np.testing.assert_allclose(np.asarray(xs), np.asarray(xj), atol=1e-3)
+
+    # stationary SPIKE solve converges on its own where Jacobi cannot
+    x, st = SpikeSolver(
+        relative_tolerance=1e-8, max_iterations=100
+    ).solve_fn(A, r, jnp.zeros_like(r))
+    assert bool(st.converged) and int(st.iterations) <= 20
