@@ -71,27 +71,30 @@ class Model:
         dtype = mesh.cell_volume.dtype
         v = vcdict[key]
         if self._dist:
-            arr = np.asarray(v)
-            hm = self.partition.mesh
-            if arr.ndim == 0:
-                host = np.full(hm.n_cells, float(arr))
-            else:
-                host = np.zeros(hm.n_cells)
-                host[: len(arr)] = arr
-                if extend_ghosts and len(arr) < hm.n_cells:
-                    # owner-copy into ghost cells not covered by the array
-                    # (the dist counterpart of bcs.extend_to_ghosts)
-                    gh = np.arange(max(len(arr), hm.n_interior_cells), hm.n_cells)
-                    own = hm.face_cells[
-                        hm.n_interior_faces + (gh - hm.n_interior_cells), 0
-                    ]
-                    host[gh] = host[own]
-            out = jnp.asarray(self.partition.scatter_cells(host), dtype)
-            return out
+            return self._scatter_host_cells(v, dtype, extend_ghosts)
         arr = vcdict.resolve(key, mesh.n_cells, dtype)
         if extend_ghosts:
             arr = bck.extend_to_ghosts(mesh, arr)
         return arr
+
+    def _scatter_host_cells(self, v, dtype, extend_ghosts=False):
+        """Global (interior-or-full) cell value/array -> stacked per-shard
+        local arrays, optionally owner-copying into uncovered ghosts (the
+        dist counterpart of bcs.extend_to_ghosts)."""
+        arr = np.asarray(v)
+        hm = self.partition.mesh
+        if arr.ndim == 0:
+            host = np.full(hm.n_cells, float(arr))
+        else:
+            host = np.zeros(hm.n_cells)
+            host[: len(arr)] = arr
+            if extend_ghosts and len(arr) < hm.n_cells:
+                gh = np.arange(max(len(arr), hm.n_interior_cells), hm.n_cells)
+                own = hm.face_cells[
+                    hm.n_interior_faces + (gh - hm.n_interior_cells), 0
+                ]
+                host[gh] = host[own]
+        return jnp.asarray(self.partition.scatter_cells(host), dtype)
 
     def _full_cells(self, value, trailing=()):
         import jax.numpy as jnp
@@ -201,6 +204,37 @@ class Model:
                 g[1], np.asarray(bc.resolve(key, n_global))
             )
         return bc.resolve(key, g[4])
+
+    def _smap_cells(self, fn):
+        """shard_map a ``fn(local_mesh, *local_args) -> local cell array``
+        over the partition axis (args and result stacked per shard).
+        Used by distributed post-solve paths (sensitivities, UQ)."""
+        from jax.sharding import PartitionSpec as P
+
+        try:
+            from jax import shard_map as smap
+        except ImportError:
+            from jax.experimental.shard_map import shard_map as smap
+
+        axis = self.mesh.axis_name
+        jmesh = self.partition.jax_mesh
+
+        def local(mesh, *args):
+            sq = lambda t: jax.tree.map(lambda a: a[0], t)
+            out = fn(sq(mesh), *[sq(a) for a in args])
+            return jax.tree.map(lambda a: a[None], out)
+
+        def wrapped(mesh, *args):
+            m = smap(
+                local,
+                mesh=jmesh,
+                in_specs=(P(axis),) * (1 + len(args)),
+                out_specs=P(axis),
+                check_vma=False,
+            )
+            return m(mesh, *args)
+
+        return jax.jit(wrapped)
 
     def _wrap_step(self, step):
         """jit (and shard_map when distributed) a

@@ -140,10 +140,11 @@ class ElectricModel(Model):
         solver = self.options.get("electrostaticsLinearSolver")
         if solver is None:
             if self._dist:
-                # dielectric-shell closure rows are nonsymmetric: CG
-                # silently mis-converges on them, BiCGStab is exact
-                krylov_cls = BiCGStab if mesh.interfaces else CG
-                solver = krylov_cls(
+                # ghost BC rows (flux/extrapolation) and interface
+                # closures are nonsymmetric, and dist matrices are not
+                # boundary-condensed: CG silently diverges on them,
+                # BiCGStab is robust
+                solver = BiCGStab(
                     preconditioner=JacobiSolver(sweeps=3),
                     relative_tolerance=1e-10,
                     max_iterations=500,

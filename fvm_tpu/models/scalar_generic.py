@@ -69,10 +69,11 @@ class GenericScalarModel(Model):
         solver = self.options.get("linearSolver")
         if solver is None:
             if self._dist:
-                # interface jump/closure rows are strongly nonsymmetric:
-                # CG silently mis-converges on them, BiCGStab is exact
-                krylov_cls = BiCGStab if mesh.interfaces else CG
-                solver = krylov_cls(
+                # ghost BC rows (flux/extrapolation) and interface
+                # closures are nonsymmetric, and dist matrices are not
+                # boundary-condensed: CG silently diverges on them,
+                # BiCGStab is robust
+                solver = BiCGStab(
                     preconditioner=JacobiSolver(sweeps=3),
                     relative_tolerance=1e-10,
                     max_iterations=500,
@@ -230,12 +231,39 @@ class GenericScalarModel(Model):
         """
         if not self._initialized:
             raise ConfigError("call init() + advance() before solve_tangent")
-        if self._dist:
-            raise ConfigError("solve_tangent: single-device only for now")
         mesh = self.mesh
         bcvals = self._resolve_bcvals()
         state = self.state
         solver = self.options["linearSolver"]
+
+        if self._dist:
+            # per-shard jvp through the implicitly-differentiated solve
+            # under shard_map (Krylov reductions psum across shards)
+            def pad_dist(key, v):
+                ref = self.params[key]
+                v_ = np.asarray(v)
+                if v_.shape == tuple(ref.shape):
+                    return jnp.asarray(v_, ref.dtype)
+                return self._scatter_host_cells(
+                    v_, ref.dtype, extend_ghosts=True
+                )
+
+            keys = list(param_tangents)
+            tans = {k: pad_dist(k, v) for k, v in param_tangents.items()}
+
+            def local_fn(lmesh, params_all, lstate, lbcvals, tans_p):
+                def step_from_converged(p):
+                    params = dict(params_all, **p)
+                    A, r = self._linearize(lmesh, params, lstate, lbcvals)
+                    dx, _ = solver.solve_fn_implicit(A, r, jnp.zeros_like(r))
+                    return lstate[self.var] + dx
+
+                base_p = {k: params_all[k] for k in keys}
+                return jax.jvp(step_from_converged, (base_p,), (tans_p,))[1]
+
+            mapped = self._smap_cells(local_fn)
+            dphi = mapped(mesh, self.params, state, bcvals, tans)
+            return self.partition.gather_cells(dphi)
 
         def pad(key, v):
             ref = self.params[key]
@@ -269,11 +297,52 @@ class GenericScalarModel(Model):
         iterations."""
         if not self._initialized:
             raise ConfigError("call init() before solve_mc")
-        if self._dist:
-            raise ConfigError("solve_mc: single-device only for now")
         mesh = self.mesh
         bcvals = self._resolve_bcvals()
         solver = self.options["linearSolver"]
+
+        if self._dist:
+            # vmap over samples OUTSIDE the shard_map'd per-sample solve:
+            # the batch runs on every shard, psums reduce per sample
+            ref = self.params[param_key]
+            samples = np.asarray(samples)
+            if samples.ndim == 1:
+                scat = jnp.stack(
+                    [
+                        self._scatter_host_cells(s, ref.dtype)
+                        for s in samples
+                    ]
+                )  # (S_samples, n_shards, nc_local)
+            else:
+                scat = jnp.stack(
+                    [
+                        self._scatter_host_cells(
+                            s, ref.dtype, extend_ghosts=True
+                        )
+                        for s in samples
+                    ]
+                )
+            state0 = self.state
+
+            def local_fn(lmesh, params_all, lstate, lbcvals, val):
+                params = dict(params_all, **{param_key: val})
+
+                def body(st, _):
+                    A, r = self._linearize(lmesh, params, st, lbcvals)
+                    dx, _ = solver.solve_fn(A, r, jnp.zeros_like(r))
+                    return dict(st, **{self.var: st[self.var] + dx}), None
+
+                st, _ = jax.lax.scan(body, lstate, None, length=niter)
+                return st[self.var]
+
+            mapped = self._smap_cells(local_fn)
+            sols = jax.vmap(
+                lambda v: mapped(mesh, self.params, state0, bcvals, v)
+            )(scat)
+            return np.stack(
+                [self.partition.gather_cells(s) for s in np.asarray(sols)]
+            )
+
         ref = self.params[param_key]
         samples = jnp.asarray(samples, ref.dtype)
         if samples.ndim == 1:

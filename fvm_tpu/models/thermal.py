@@ -130,8 +130,10 @@ class ThermalModel(Model):
         solver = self.options.get("linearSolver")
         if solver is None:
             if self._dist:
-                # AMG hierarchies differ per shard; use Jacobi-CG for now
-                solver = CG(
+                # ghost BC rows (flux/extrapolation) are nonsymmetric and
+                # dist matrices are not boundary-condensed: CG can
+                # silently diverge on them, BiCGStab is robust
+                solver = BiCGStab(
                     preconditioner=JacobiSolver(sweeps=3),
                     relative_tolerance=1e-10,
                     max_iterations=500,

@@ -88,3 +88,43 @@ def test_solve_mc_moments():
     np.testing.assert_allclose(
         mean, 1.0 + q * x * np.mean(1.0 / Ds), atol=1e-6
     )
+
+
+def test_solve_tangent_dist_matches_analytic():
+    """Distributed sensitivity: per-shard jvp through the implicitly
+    differentiated solve under shard_map (the reference rebuilds with the
+    Tangent atype under MPI; here the tangent Krylov psums across shards).
+    Also regression-covers SpecifiedFlux BCs on partitioned meshes (the
+    dist default solver must handle the nonsymmetric ghost rows)."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    from fvm_tpu.mesh.metrics import compute_geometry
+    from fvm_tpu.parallel import Partition
+
+    D, q = 2.0, 3.0
+    m0 = quad_2d(12, 4)
+    part = Partition(m0, 4)
+    m = VacancyModel(part.sharded_mesh, partition=part)
+    m.options["verbose"] = False
+    m.vc["vacancyDiffusivity"] = D
+    m.bc["left"].bc_type = "Dirichlet"
+    m.bc["left"]["specifiedConcentration"] = 1.0
+    m.bc["right"].bc_type = "SpecifiedFlux"
+    m.bc["right"]["specifiedVacaFlux"] = q
+    m.bc["top"].bc_type = "Symmetry"
+    m.bc["bottom"].bc_type = "Symmetry"
+    m.init()
+    hist = m.advance(5)
+    assert hist[-1][1] < 1e-8
+
+    x = compute_geometry(m0).cell_centroid[: m0.n_interior_cells, 0]
+    np.testing.assert_allclose(m.get_field(), 1.0 + q * x / D, atol=1e-9)
+    dphi = m.solve_tangent({"D": np.ones(m0.n_interior_cells)})
+    np.testing.assert_allclose(dphi, -q * x / D**2, atol=1e-7)
+
+    # UQ sweep: vmapped over samples outside the shard_map'd solve
+    sols = m.solve_mc("D", np.array([1.0, 2.0, 4.0]), niter=8)
+    for Dv, sol in zip([1.0, 2.0, 4.0], sols):
+        np.testing.assert_allclose(sol, 1.0 + q * x / Dv, atol=1e-7)
