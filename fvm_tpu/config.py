@@ -21,6 +21,15 @@ import jax.numpy as jnp
 # the TPU fast path is unaffected.
 jax.config.update("jax_enable_x64", True)
 
+# Full-precision matmuls: the TPU MXU defaults to bf16 inputs for f32
+# dots, which silently costs ~16 mantissa bits in the AMG coarse apply /
+# dense solves / moment reductions — measured to DIVERGE the f32 coupled
+# flow+thermal bench at 256^2 (AMG V-cycles amplify once the coarse
+# correction carries ~1e-3 relative error).  The framework's hot path is
+# roll/elementwise DIA SpMV, not matmuls, so HIGHEST costs nothing
+# measurable while restoring solver robustness.
+jax.config.update("jax_default_matmul_precision", "highest")
+
 _DTYPES = {
     "float32": jnp.float32,
     "float64": jnp.float64,

@@ -946,18 +946,30 @@ class AMG(LinearSolver):
         r0n = norm(b - A.mv(x0))
         target = jnp.maximum(rtol * r0n, atol)
 
+        # divergence guard: a V-cycle is not guaranteed to contract on
+        # strongly convective matrices (upwinded mass flux mid-SIMPLE),
+        # and one expanding cycle compounds geometrically; track the best
+        # iterate and stop on clear divergence, returning the best (the
+        # outer Picard loop then proceeds from a usable update)
         def cond(state):
-            i, x, rn = state
-            return (i < maxit) & (rn > target)
+            i, x, rn, bx, brn = state
+            ok = jnp.isfinite(rn) & (rn < 1e4 * (r0n + atol))
+            return (i < maxit) & (rn > target) & ok
 
         def body(state):
-            i, x, rn = state
+            i, x, rn, bx, brn = state
             r = b - A.mv(x)
             x = x + self._cycle0(levels, mats, denses, r)
-            return (i + 1, x, norm(b - A.mv(x)))
+            rn = norm(b - A.mv(x))
+            better = jnp.isfinite(rn) & (rn < brn)
+            bx = jnp.where(better, x, bx)
+            brn = jnp.where(better, rn, brn)
+            return (i + 1, x, rn, bx, brn)
 
-        i, x, rn = jax.lax.while_loop(cond, body, (jnp.int32(0), x0, r0n))
-        return recover(x), SolveStats(i, r0n, rn, rn <= target)
+        i, x, rn, bx, brn = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), x0, r0n, x0, r0n)
+        )
+        return recover(bx), SolveStats(i, r0n, brn, brn <= target)
 
 
 class DirectSolver(LinearSolver):

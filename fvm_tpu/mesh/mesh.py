@@ -298,6 +298,29 @@ class Mesh:
         return self._cell_cells
 
     @property
+    def cell_cells2(self) -> CRConnectivity:
+        """Interior cells -> 2-ring neighborhood (neighbors of neighbors,
+        self dropped).  (reference: Mesh::getCellCells2, Mesh.h:176 — the
+        connectivity behind Level-1 two-deep halos, StorageSite.h:68-77.)"""
+        cc = self.cell_cells
+        rows, cols = [], []
+        for i in range(self.n_interior_cells):
+            ring1 = cc.row(i)
+            two = set(ring1.tolist())
+            for j in ring1:
+                if j < self.n_interior_cells:
+                    two.update(cc.row(int(j)).tolist())
+            two.discard(i)
+            rows.extend([i] * len(two))
+            cols.extend(sorted(two))
+        return CRConnectivity.from_pairs(
+            np.asarray(rows, dtype=np.int64),
+            np.asarray(cols, dtype=np.int64),
+            self.n_interior_cells,
+            self.n_cells,
+        )
+
+    @property
     def cell_nodes(self) -> CRConnectivity:
         if self._cell_nodes is None:
             cf = self.cell_faces

@@ -80,13 +80,20 @@ class Partition:
         axis_name: str = "fvm_x",
         dtype=None,
         parts: np.ndarray | None = None,
+        halo_depth: int = 1,
     ):
+        """``halo_depth=2`` adds the second ghost ring (remote neighbors
+        of ring-1 halo cells) to the exchange tables — the reference's
+        Level-1 maps (StorageSite.h:68-77, MeshPartitioner.h:117-118)
+        backing cellCells2 stencils; one all_to_all still syncs both
+        rings."""
         if geom is None:
             geom = compute_geometry(mesh)
         self.mesh = mesh
         self.geom = geom
         self.n_shards = int(n_shards)
         self.axis_name = axis_name
+        self.halo_depth = int(halo_depth)
         dtype = dtype or config.dtype
 
         n_int = mesh.n_interior_cells
@@ -227,6 +234,23 @@ class Partition:
                     dtype=np.int64,
                 )
                 halo = np.unique(np.concatenate([halo, psrc]))
+            if halo_depth > 1:
+                cc = mesh.cell_cells
+                ring = halo
+                for _ in range(halo_depth - 1):
+                    if len(ring) == 0:
+                        break
+                    cnt = cc.row_ptr[ring + 1] - cc.row_ptr[ring]
+                    idx = np.repeat(
+                        cc.row_ptr[ring], cnt
+                    ) + (np.arange(cnt.sum()) - np.repeat(
+                        np.cumsum(cnt) - cnt, cnt
+                    ))
+                    nb = cc.col[idx]
+                    nb = np.unique(nb[nb < n_int])
+                    nb = nb[parts[nb] != d]
+                    ring = np.setdiff1d(nb, halo)
+                    halo = np.union1d(halo, ring)
             halo_global.append(halo)
 
         L_halo = max((len(h) for h in halo_global), default=0)

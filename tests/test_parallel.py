@@ -623,3 +623,51 @@ def test_phonon_ordinate_sharding_matches_unsharded():
     T1 = build().getTemperature()
     TS = build(ordinate_shards=8).getTemperature()
     np.testing.assert_allclose(TS, T1, atol=1e-8)
+
+
+def test_two_ring_halo_cellcells2():
+    """halo_depth=2 Level-1 ghost ring (reference: StorageSite.h:68-77,
+    MeshPartitioner level1_scatter_gather_cells): every 2-ring neighbor
+    (Mesh.cell_cells2, the getCellCells2 analogue) of every owned cell is
+    addressable locally, and ONE all_to_all restores both rings."""
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+    from fvm_tpu.ops.halo import halo_exchange
+
+    try:
+        from jax import shard_map as smap
+    except ImportError:
+        from jax.experimental.shard_map import shard_map as smap
+
+    mesh = quad_2d(12, 8)
+    part = Partition(quad_2d(12, 8), 4, halo_depth=2)
+
+    # coverage: all interior 2-ring neighbors are local (owned or halo)
+    cc2 = mesh.cell_cells2
+    for d in range(4):
+        for c in part._own_int[d]:
+            for j in cc2.row(int(c)):
+                if j < mesh.n_interior_cells:
+                    assert part.g2l[d, j] >= 0, (d, c, j)
+
+    # exchange: zero the halo band, one halo_exchange restores it
+    rng = np.random.default_rng(3)
+    phi_g = rng.standard_normal(mesh.n_cells)
+    stacked = np.asarray(part.scatter_cells(phi_g))
+    broken = stacked.copy()
+    broken[:, part.n_owned_local :] = 0.0
+
+    sm_mesh = part.sharded_mesh
+    axis = sm_mesh.axis_name
+    mapped = smap(
+        lambda s, x: halo_exchange(x[0], s, axis)[None],
+        mesh=part.jax_mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    restored = np.asarray(mapped(sm_mesh.halo, jnp.asarray(broken)))
+    for d in range(4):
+        gc = np.nonzero(part.g2l[d] >= 0)[0]
+        loc = part.g2l[d, gc]
+        np.testing.assert_allclose(restored[d, loc], phi_g[gc], atol=0)
