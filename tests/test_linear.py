@@ -250,3 +250,25 @@ def test_spike_line_preconditioner_anisotropic():
         relative_tolerance=1e-8, max_iterations=100
     ).solve_fn(A, r, jnp.zeros_like(r))
     assert bool(st.converged) and int(st.iterations) <= 20
+
+
+def test_spike_multi_rhs():
+    """spike_apply on (n, k) right-hand sides (momentum-style multi-RHS)."""
+    from fvm_tpu.linear.spike import spike_apply
+
+    rng = np.random.default_rng(7)
+    n, k = 300, 3
+    a = rng.uniform(-1, 0, n)
+    c = rng.uniform(-1, 0, n)
+    a[0] = 0.0
+    c[-1] = 0.0
+    d = 3.5 + rng.uniform(0, 1, n)
+    T = np.diag(d) + np.diag(a[1:], -1) + np.diag(c[:-1], 1)
+    X = rng.standard_normal((n, k))
+    R = T @ X
+    out = np.asarray(
+        spike_apply(
+            jnp.asarray(a), jnp.asarray(d), jnp.asarray(c), jnp.asarray(R), 37
+        )
+    )
+    np.testing.assert_allclose(out, X, atol=1e-9)

@@ -671,3 +671,38 @@ def test_two_ring_halo_cellcells2():
         gc = np.nonzero(part.g2l[d] >= 0)[0]
         loc = part.g2l[d, gc]
         np.testing.assert_allclose(restored[d, loc], phi_g[gc], atol=0)
+
+
+def test_esbgk_ordinate_sharding_transient():
+    """Transient ES-BGK with the ordinate axis sharded: f_N1 rides the
+    same sharding; one BDF1 step matches the unsharded solve."""
+    from fvm_tpu.kinetic.esbgk import KineticModel
+    from fvm_tpu.kinetic.quadrature import Quadrature
+
+    def build(ordinate_shards=None):
+        dm = fvm.mesh.build_device_mesh(quad_2d(6, 6))
+        m = KineticModel(
+            dm, quadrature=Quadrature(4, 4, 4),
+            ordinate_shards=ordinate_shards,
+        )
+        m.options["verbose"] = False
+        m.options["transient"] = True
+        m.options["timeStep"] = 0.05
+        m.vc["relaxationTime"] = 0.2
+        m.bc["top"].bc_type = "DiffuseWall"
+        m.bc["top"]["specifiedXVelocity"] = 0.3
+        m.bc["bottom"].bc_type = "DiffuseWall"
+        m.bc["left"].bc_type = "SpecularWall"
+        m.bc["right"].bc_type = "SpecularWall"
+        m.init()
+        for _ in range(3):
+            m.advance(4)
+            m.updateTime()
+        return m
+
+    m1 = build()
+    mS = build(ordinate_shards=8)
+    rho1, u1, T1 = m1.moments()
+    rhoS, uS, TS = mS.moments()
+    np.testing.assert_allclose(np.asarray(rhoS), np.asarray(rho1), atol=5e-6)
+    np.testing.assert_allclose(np.asarray(uS), np.asarray(u1), atol=5e-6)
