@@ -408,3 +408,48 @@ def test_battery_double_shell_species_dist():
     assert dist.getMassFluxIntegral("left") == pytest.approx(
         single.getMassFluxIntegral("left"), rel=1e-6
     )
+
+
+def test_dielectric_shell_capacitor_dist():
+    """Dielectric double-shell on 4 shards reproduces the series-capacitor
+    exact solution (LinearizeDielectric.h under partitioning)."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    from fvm_tpu.models.electric import ElectricModel, EPS0
+    from fvm_tpu.parallel import Partition
+    import fvm_tpu.mesh.metrics as metrics
+
+    e1, e2, ed, t_d = 2.0, 4.0, 0.5, 0.1
+    V0, V1 = 5.0, 0.0
+    m = quad_2d(16, 4, lx=2.0, ly=1.0)
+    geom = metrics.compute_geometry(m)
+    xc = geom.cell_centroid[: m.n_interior_cells, 0]
+    left = xc < 1.0
+    m2 = m.make_interface(
+        "diel", m.interface_faces_between(left, ~left), left_cells=left
+    )
+    part = Partition(m2, 4)
+    model = ElectricModel(part.sharded_mesh, partition=part)
+    model.options["verbose"] = False
+    model.vc["dielectric_constant"] = np.where(left, e1, e2)
+    model.interface["diel"] = {
+        "type": "dielectric", "constant": ed * EPS0, "thickness": t_d,
+    }
+    model.bc["left"].bc_type = "SpecifiedPotential"
+    model.bc["left"]["specifiedPotential"] = V0
+    model.bc["right"].bc_type = "SpecifiedPotential"
+    model.bc["right"]["specifiedPotential"] = V1
+    model.bc["top"].bc_type = "Symmetry"
+    model.bc["bottom"].bc_type = "Symmetry"
+    model.init()
+    model.advance(5)
+    phi = model.getPotential()
+    D = (V0 - V1) / (1.0 / e1 + t_d / ed + 1.0 / e2) * EPS0
+    phiL_i = V0 - D / (e1 * EPS0) * 1.0
+    phiR_i = phiL_i - D * t_d / (ed * EPS0)
+    exact = np.where(
+        left, V0 - D / (e1 * EPS0) * xc, phiR_i - D / (e2 * EPS0) * (xc - 1.0)
+    )
+    np.testing.assert_allclose(phi, exact, rtol=1e-8, atol=1e-10)
