@@ -3,3 +3,4 @@ from .krylov import CG, BiCGStab, JacobiSolver
 from .amg import AMG, DirectSolver
 from .ilu import ILU0Solver
 from .spike import SpikeSolver
+from .coupled import CoupledSIMPLE

@@ -677,11 +677,26 @@ class FlowModel(Model):
         if not self._initialized:
             raise ConfigError("call init() before advanceCoupled()")
         if self.options.get("coupledLinearSolver") is None:
-            self.options["coupledLinearSolver"] = BiCGStab(
-                preconditioner=JacobiSolver(sweeps=4),
-                relative_tolerance=1e-3,
-                max_iterations=200,
-            )
+            if self._dist:
+                self.options["coupledLinearSolver"] = BiCGStab(
+                    preconditioner=JacobiSolver(sweeps=4),
+                    relative_tolerance=1e-3,
+                    max_iterations=200,
+                )
+            else:
+                # SIMPLE-type block preconditioner: AMG on the p-p
+                # Rhie-Chow Laplacian + block-Jacobi momentum — without
+                # it the Jacobi-only inner Krylov grows with mesh size
+                # and the coupled path loses to segregated SIMPLE at 1M
+                from ..linear.coupled import CoupledSIMPLE
+
+                pre = CoupledSIMPLE(dia=self.mesh.dia)
+                pre.setup_structure(*self.mesh.host_cf())
+                self.options["coupledLinearSolver"] = BiCGStab(
+                    preconditioner=pre,
+                    relative_tolerance=1e-3,
+                    max_iterations=40,
+                )
         if getattr(self, "_step_coupled", None) is None:
             self._step_coupled = self._wrap_step(self._build_coupled_step())
         segregated, self._step = self._step, self._step_coupled
