@@ -57,6 +57,16 @@ def main():
 
     flow = FlowModel(dmesh)
     flow.options["verbose"] = False
+    urf_env = os.environ.get("FVM_BENCH_URF", "")
+    if urf_env:
+        # e.g. "0.9,0.5" — contracts ~2.5x faster per outer at 128^2
+        # (0.975 vs 0.990/outer) but DIVERGES at 1M (the SIMPLE
+        # stability window narrows with refinement); the default stays
+        # the reference-classic 0.7/0.3, which is stable at every size
+        # tested
+        uv, up = (float(x) for x in urf_env.split(","))
+        flow.options["momentumURF"] = uv
+        flow.options["pressureURF"] = up
     flow.vc["viscosity"] = 0.01
     for side in ("left", "right", "bottom", "top"):
         flow.bc[side].bc_type = "NoSlipWall"
