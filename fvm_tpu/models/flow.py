@@ -82,6 +82,9 @@ class FlowModelOptions(ModelOptions):
     _defaults = {
         "momentumURF": 0.7,
         "pressureURF": 0.3,
+        # "SIMPLE" (reference) or "SIMPLEC": the consistent correction
+        # coefficient vol/(aP - sum_nb aNb) lets pressureURF run at ~1.0
+        "algorithm": "SIMPLE",
         # coupled (advanceCoupled) relaxation: near-Newton. Measured on the
         # Re=100 cavity: 1.0 stagnates on the nonlinear transient, 0.95
         # reaches 1e-3 in 13 outers and then converges superlinearly; lower
@@ -320,6 +323,7 @@ class FlowModel(Model):
         opts = self.options
         urf_v = float(opts["momentumURF"])
         urf_p = float(opts["pressureURF"])
+        simplec = str(opts.get("algorithm", "SIMPLE")).upper() == "SIMPLEC"
         mom_solver = opts["momentumLinearSolver"]
         pres_solver = opts["pressureLinearSolver"]
 
@@ -411,6 +415,28 @@ class FlowModel(Model):
                 mesh, bck.extend_to_ghosts(mesh, vol_over_ap)
             )
             Df = rho_f * voap_f * mesh.face_e_over_d
+            # correction coefficient: SIMPLE uses vol/aP; SIMPLEC (Van
+            # Doormaal & Raithby) the consistent vol/(aP - sum|aNb|),
+            # which admits pressureURF ~ 1.  Off-diagonals carry their
+            # assembled (negative) sign, so the denominator is
+            # aP + sum(off) — positive for urf_v < 1.  Only the
+            # CORRECTION uses it; the Rhie-Chow dissipation above stays
+            # on vol/aP so the converged solution is algorithm-independent.
+            if simplec:
+                sum_off = jnp.where(A.mask, A.off, 0.0).sum(axis=1)
+                den = Aur.diag + sum_off
+                corr_den = jnp.where(den > 1e-300, den, aP)
+                vol_corr = jnp.where(
+                    interior_cells, mesh.cell_volume / corr_den, 0.0
+                )
+                vol_corr = maybe_sync(mesh, vol_corr)
+                vc_f = assembly.cells_to_faces_distance_weighted(
+                    mesh, bck.extend_to_ghosts(mesh, vol_corr)
+                )
+                Df_corr = rho_f * vc_f * mesh.face_e_over_d
+            else:
+                vol_corr = vol_over_ap
+                Df_corr = Df
             gpbar = assembly.cells_to_faces_distance_weighted(mesh, gradp)
             dp = mesh.take_nbr(p) - mesh.take_owner(p)
             rc = Df * (dp - jnp.einsum("fd,fd->f", gpbar, mesh.face_ds))
@@ -424,7 +450,7 @@ class FlowModel(Model):
                 if bc.bc_type == "PressureBoundary":
                     sl = mesh.group_faces(g)
                     pres_face = pres_face.at[sl].set(True)
-            Df_cont = jnp.where(bnd & ~pres_face, 0.0, Df)
+            Df_cont = jnp.where(bnd & ~pres_face, 0.0, Df_corr)
             cont_flux = FaceFlux(F=mdot, dF_dO=Df_cont, dF_dN=-Df_cont)
             Ap, rp = assembly.assemble(mesh, cont_flux)
             Ap, rp = identity_ghost_rows(Ap, rp)
@@ -445,8 +471,8 @@ class FlowModel(Model):
             p = p + urf_p * pc
             pc_s = maybe_sync(mesh, pc)
             gradpc = maybe_sync(mesh, self._grad(mesh, params, pc_s))
-            V = V - vol_over_ap[:, None] * gradpc
-            dmdot = -Df * (mesh.take_nbr(pc_s) - mesh.take_owner(pc_s))
+            V = V - vol_corr[:, None] * gradpc
+            dmdot = -Df_corr * (mesh.take_nbr(pc_s) - mesh.take_owner(pc_s))
             mdot = jnp.where(bnd & ~pres_face, mdot, mdot + dmdot)
 
             new_state = dict(state)

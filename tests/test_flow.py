@@ -203,3 +203,33 @@ def test_coupled_cavity_fewer_outer_iterations():
     Vs = ms.getVelocity()
     Vc = mc.getVelocity()
     np.testing.assert_allclose(Vc, Vs, atol=2e-2)
+
+
+def test_simplec_matches_simple():
+    """SIMPLEC (consistent correction denominator, pressureURF=1.0)
+    converges to the same cavity solution as the reference-classic SIMPLE
+    0.7/0.3 configuration."""
+    def solve(algo, uv, up):
+        dm = fvm.mesh.build_device_mesh(quad_2d(16, 16))
+        m = FlowModel(dm)
+        m.options["verbose"] = False
+        m.options["algorithm"] = algo
+        m.options["momentumURF"] = uv
+        m.options["pressureURF"] = up
+        m.options["momentumTolerance"] = 1e-9
+        m.vc["viscosity"] = 0.05
+        for side in ("left", "right", "bottom", "top"):
+            m.bc[side].bc_type = "NoSlipWall"
+        m.bc["top"]["specifiedXVelocity"] = 1.0
+        m.init()
+        hist = m.advance(500)
+        assert hist[-1][1] / hist[0][1] < 1e-7
+        return m.getVelocity()
+
+    # same momentumURF on both sides: the Rhie-Chow dissipation is built
+    # from the relaxed aP (as in the reference, FlowModel_impl.h momAp),
+    # so the converged discrete solution depends on urf_v but NOT on the
+    # correction algorithm
+    V_s = solve("SIMPLE", 0.7, 0.3)
+    V_c = solve("SIMPLEC", 0.7, 1.0)
+    np.testing.assert_allclose(V_c, V_s, atol=2e-5)
