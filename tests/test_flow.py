@@ -233,3 +233,54 @@ def test_simplec_matches_simple():
     V_s = solve("SIMPLE", 0.7, 0.3)
     V_c = solve("SIMPLEC", 0.7, 1.0)
     np.testing.assert_allclose(V_c, V_s, atol=2e-5)
+
+
+def test_poiseuille_tri_mesh():
+    """Unstructured triangle mesh (no DIA fast path, nonzero non-orthogonal
+    correction): plane Poiseuille still reproduces the parabolic profile."""
+    from fvm_tpu.mesh.generate import tri_2d
+
+    mu, dp = 0.1, 1.0
+    dm = fvm.mesh.build_device_mesh(tri_2d(24, 12, lx=2.0, ly=1.0))
+    m = FlowModel(dm)
+    m.options["verbose"] = False
+    m.vc["viscosity"] = mu
+    m.bc["left"].bc_type = "PressureBoundary"
+    m.bc["left"]["specifiedPressure"] = dp
+    m.bc["right"].bc_type = "PressureBoundary"
+    m.bc["right"]["specifiedPressure"] = 0.0
+    m.bc["bottom"].bc_type = "NoSlipWall"
+    m.bc["top"].bc_type = "NoSlipWall"
+    m.init()
+    hist = m.advance(600)
+    assert hist[-1][1] / hist[0][1] < 1e-3
+    V = m.getVelocity()
+    y = np.asarray(dm.cell_centroid)[: dm.n_interior_cells, 1]
+    u_exact = dp / 2.0 / (mu * 2.0) * y * (1.0 - y)
+    # triangle meshes carry O(h) skewness error; profile within a few %,
+    # with larger spurious cross-velocity near the pressure boundaries
+    assert np.abs(V[:, 0] - u_exact).max() < 0.05 * u_exact.max()
+    assert np.abs(V[:, 1]).max() < 0.1 * u_exact.max()
+
+
+def test_cavity_hex_3d():
+    """3D lid-driven cavity on a hex mesh: symmetric mid-plane profile,
+    monotone shear, conservation (the 3D momentum/continuity path)."""
+    from fvm_tpu.mesh.generate import hex_3d
+
+    n = 10
+    dm = fvm.mesh.build_device_mesh(hex_3d(n, n, n))
+    m = FlowModel(dm)
+    m.options["verbose"] = False
+    m.vc["viscosity"] = 0.1
+    for g in ("xmin", "xmax", "ymin", "ymax", "zmin", "zmax"):
+        m.bc[g].bc_type = "NoSlipWall"
+    m.bc["zmax"]["specifiedXVelocity"] = 1.0  # lid moves in +x
+    m.init()
+    hist = m.advance(120)
+    assert hist[-1][1] / hist[0][1] < 1e-3
+    V = m.getVelocity()
+    assert np.isfinite(V).all()
+    # net mass flux through every wall is ~0 (all walls closed)
+    for g in ("xmin", "xmax", "ymin", "ymax", "zmin", "zmax"):
+        assert abs(m.getMassFluxIntegral(g)) < 1e-10
