@@ -85,6 +85,11 @@ class FlowModelOptions(ModelOptions):
         # "SIMPLE" (reference) or "SIMPLEC": the consistent correction
         # coefficient vol/(aP - sum_nb aNb) lets pressureURF run at ~1.0
         "algorithm": "SIMPLE",
+        # >= 2: PISO-style repeated pressure correctors (each rebuilds the
+        # Rhie-Chow flux and re-solves continuity); with transient=True,
+        # momentumURF=pressureURF=1.0 and 2 correctors, ONE outer step
+        # advances a time step (Issa's splitting)
+        "nPressureCorrectors": 1,
         # coupled (advanceCoupled) relaxation: near-Newton. Measured on the
         # Re=100 cavity: 1.0 stagnates on the nonlinear transient, 0.95
         # reaches 1e-3 in 13 outers and then converges superlinearly; lower
@@ -324,6 +329,7 @@ class FlowModel(Model):
         urf_v = float(opts["momentumURF"])
         urf_p = float(opts["pressureURF"])
         simplec = str(opts.get("algorithm", "SIMPLE")).upper() == "SIMPLEC"
+        n_corr = int(opts.get("nPressureCorrectors", 1))
         mom_solver = opts["momentumLinearSolver"]
         pres_solver = opts["pressureLinearSolver"]
 
@@ -398,17 +404,8 @@ class FlowModel(Model):
             V = V + dV
             aP = Aur.diag
 
-            # ---- Rhie-Chow face mass flux --------------------------------
-            state2 = self._refresh_ghosts(
-                mesh,
-                params,
-                dict(state, velocity=maybe_sync(mesh, V), pressure=p),
-                bcvals,
-            )
-            V = state2["velocity"]
+            # ---- momentum-matrix-derived coefficients --------------------
             rho_f = assembly.cells_to_faces_distance_weighted(mesh, params["rho"])
-            Vbar = assembly.cells_to_faces_distance_weighted(mesh, V)
-            gradp = maybe_sync(mesh, self._grad(mesh, params, p))
             vol_over_ap = jnp.where(interior_cells, mesh.cell_volume / aP, 0.0)
             vol_over_ap = maybe_sync(mesh, vol_over_ap)
             voap_f = assembly.cells_to_faces_distance_weighted(
@@ -420,8 +417,8 @@ class FlowModel(Model):
             # which admits pressureURF ~ 1.  Off-diagonals carry their
             # assembled (negative) sign, so the denominator is
             # aP + sum(off) — positive for urf_v < 1.  Only the
-            # CORRECTION uses it; the Rhie-Chow dissipation above stays
-            # on vol/aP so the converged solution is algorithm-independent.
+            # CORRECTION uses it; the Rhie-Chow dissipation stays on
+            # vol/aP so the converged solution is algorithm-independent.
             if simplec:
                 sum_off = jnp.where(A.mask, A.off, 0.0).sum(axis=1)
                 den = Aur.diag + sum_off
@@ -437,43 +434,69 @@ class FlowModel(Model):
             else:
                 vol_corr = vol_over_ap
                 Df_corr = Df
-            gpbar = assembly.cells_to_faces_distance_weighted(mesh, gradp)
-            dp = mesh.take_nbr(p) - mesh.take_owner(p)
-            rc = Df * (dp - jnp.einsum("fd,fd->f", gpbar, mesh.face_ds))
-            mdot_int = rho_f * jnp.einsum("fd,fd->f", Vbar, mesh.face_area) - rc
-            bmdot = self._boundary_mass_flux(mesh, params, state2, bcvals)
-            mdot = jnp.where(bnd, bmdot, mdot_int)
-
-            # ---- pressure correction -------------------------------------
             pres_face = jnp.zeros(mesh.n_faces, bool)
             for g, bc in self._group_bcs():
                 if bc.bc_type == "PressureBoundary":
                     sl = mesh.group_faces(g)
                     pres_face = pres_face.at[sl].set(True)
             Df_cont = jnp.where(bnd & ~pres_face, 0.0, Df_corr)
-            cont_flux = FaceFlux(F=mdot, dF_dO=Df_cont, dF_dN=-Df_cont)
-            Ap, rp = assembly.assemble(mesh, cont_flux)
-            Ap, rp = identity_ghost_rows(Ap, rp)
-            cont_norm = Ap.norm(rp)
-            if not self._has_pressure_bc:
-                Ap = Ap.replace(
-                    diag=Ap.diag * (1.0 + 1e6 * params["pin_mask"])
-                )
-            pc, pres_stats = pres_solver.solve_fn(Ap, rp, jnp.zeros_like(rp))
-            if not self._has_pressure_bc:
-                # subtract a consistent global level
-                num = gsum(mesh, jnp.sum(jnp.where(interior_cells, pc, 0.0)))
-                den = gsum(mesh, jnp.sum(interior_cells.astype(pc.dtype)))
-                pc = pc - num / den
-            pc = jnp.where(interior_cells, pc, 0.0)
 
-            # ---- corrections (reference postContinuitySolve :1263) -------
-            p = p + urf_p * pc
-            pc_s = maybe_sync(mesh, pc)
-            gradpc = maybe_sync(mesh, self._grad(mesh, params, pc_s))
-            V = V - vol_corr[:, None] * gradpc
-            dmdot = -Df_corr * (mesh.take_nbr(pc_s) - mesh.take_owner(pc_s))
-            mdot = jnp.where(bnd & ~pres_face, mdot, mdot + dmdot)
+            # ---- pressure-correction loop: 1 = SIMPLE/SIMPLEC; >=2 =
+            # PISO-style transient splitting (Issa; "Complete PISO and
+            # SIMPLE solvers on GPUs", arXiv:1207.1571) — each corrector
+            # rebuilds the Rhie-Chow mass flux from the corrected field
+            # and re-solves continuity, so one outer step per time step
+            # suffices in transient mode
+            cont_norm = None
+            for _corr in range(n_corr):
+                state2 = self._refresh_ghosts(
+                    mesh,
+                    params,
+                    dict(state, velocity=maybe_sync(mesh, V), pressure=p),
+                    bcvals,
+                )
+                V = state2["velocity"]
+                Vbar = assembly.cells_to_faces_distance_weighted(mesh, V)
+                gradp = maybe_sync(mesh, self._grad(mesh, params, p))
+                gpbar = assembly.cells_to_faces_distance_weighted(mesh, gradp)
+                dp = mesh.take_nbr(p) - mesh.take_owner(p)
+                rc = Df * (dp - jnp.einsum("fd,fd->f", gpbar, mesh.face_ds))
+                mdot_int = (
+                    rho_f * jnp.einsum("fd,fd->f", Vbar, mesh.face_area) - rc
+                )
+                bmdot = self._boundary_mass_flux(mesh, params, state2, bcvals)
+                mdot = jnp.where(bnd, bmdot, mdot_int)
+
+                cont_flux = FaceFlux(F=mdot, dF_dO=Df_cont, dF_dN=-Df_cont)
+                Ap, rp = assembly.assemble(mesh, cont_flux)
+                Ap, rp = identity_ghost_rows(Ap, rp)
+                if cont_norm is None:
+                    cont_norm = Ap.norm(rp)
+                if not self._has_pressure_bc:
+                    Ap = Ap.replace(
+                        diag=Ap.diag * (1.0 + 1e6 * params["pin_mask"])
+                    )
+                pc, pres_stats = pres_solver.solve_fn(
+                    Ap, rp, jnp.zeros_like(rp)
+                )
+                if not self._has_pressure_bc:
+                    # subtract a consistent global level
+                    num = gsum(
+                        mesh, jnp.sum(jnp.where(interior_cells, pc, 0.0))
+                    )
+                    den = gsum(mesh, jnp.sum(interior_cells.astype(pc.dtype)))
+                    pc = pc - num / den
+                pc = jnp.where(interior_cells, pc, 0.0)
+
+                # corrections (reference postContinuitySolve :1263)
+                p = p + urf_p * pc
+                pc_s = maybe_sync(mesh, pc)
+                gradpc = maybe_sync(mesh, self._grad(mesh, params, pc_s))
+                V = V - vol_corr[:, None] * gradpc
+                dmdot = -Df_corr * (
+                    mesh.take_nbr(pc_s) - mesh.take_owner(pc_s)
+                )
+                mdot = jnp.where(bnd & ~pres_face, mdot, mdot + dmdot)
 
             new_state = dict(state)
             new_state["velocity"] = V
