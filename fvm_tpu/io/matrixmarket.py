@@ -81,3 +81,41 @@ def read_matrix_market(matrix_path: str, rhs_path: str | None = None):
             )
         b = jnp.asarray(b, dt)
     return A, b
+
+
+def write_matrix_market(path: str, A, b=None, rhs_path: str | None = None):
+    """Write an ELLMatrix (+ optional rhs) as MatrixMarket coordinate files.
+
+    Counterpart of the reference's matrix dumps (reference:
+    FlowModel_impl.h:1560 dumpContinuityMatrix writes <prefix>.mtx +
+    rhs, consumed back through MMReader for solver debugging)."""
+    diag = np.asarray(A.diag)
+    off = np.asarray(A.off)
+    cols = np.asarray(A.cols)
+    mask = np.asarray(A.mask)
+    n = diag.shape[0]
+    rows_i, cols_i, vals = [np.arange(n)], [np.arange(n)], [diag]
+    r, c = np.nonzero(mask)
+    rows_i.append(r)
+    cols_i.append(cols[r, c])
+    vals.append(off[r, c])
+    rows_all = np.concatenate(rows_i)
+    cols_all = np.concatenate(cols_i)
+    vals_all = np.concatenate(vals)
+    keep = vals_all != 0.0
+    rows_all, cols_all, vals_all = (
+        rows_all[keep], cols_all[keep], vals_all[keep],
+    )
+    with open(path, "w") as f:
+        f.write("%%MatrixMarket matrix coordinate real general\n")
+        f.write(f"{n} {n} {len(vals_all)}\n")
+        for i, j, v in zip(rows_all, cols_all, vals_all):
+            f.write(f"{i + 1} {j + 1} {v:.17g}\n")
+    if b is not None:
+        b = np.asarray(b)
+        rp = rhs_path or (path.rsplit(".", 1)[0] + "_rhs.mtx")
+        with open(rp, "w") as f:
+            f.write("%%MatrixMarket matrix array real general\n")
+            f.write(f"{b.shape[0]} 1\n")
+            for v in b.ravel():
+                f.write(f"{v:.17g}\n")

@@ -806,6 +806,46 @@ class FlowModel(Model):
             return self.partition.gather_cells(self.state["pressure"])
         return np.asarray(self.state["pressure"][: self.mesh.n_interior_cells])
 
+    def dumpContinuityMatrix(self, prefix: str) -> None:
+        """Write the current pressure-correction system as MatrixMarket
+        files ``<prefix>.mtx`` / ``<prefix>_rhs.mtx`` (reference:
+        FlowModel_impl.h:1560 dumpContinuityMatrix; read back with
+        io.read_matrix_market for solver debugging)."""
+        from ..io.matrixmarket import write_matrix_market
+
+        if self._dist:
+            raise ConfigError("dumpContinuityMatrix: single-device only")
+        mesh = self.mesh
+        interior_cells = jnp.arange(mesh.n_cells) < mesh.n_interior_cells
+        bnd = jnp.arange(mesh.n_faces) >= mesh.n_interior_faces
+        aP = self.state["momAp"]
+        rho_f = assembly.cells_to_faces_distance_weighted(
+            mesh, self.params["rho"]
+        )
+        vol_over_ap = jnp.where(
+            interior_cells, mesh.cell_volume / aP, 0.0
+        )
+        voap_f = assembly.cells_to_faces_distance_weighted(
+            mesh, bck.extend_to_ghosts(mesh, vol_over_ap)
+        )
+        Df = rho_f * voap_f * mesh.face_e_over_d
+        pres_face = jnp.zeros(mesh.n_faces, bool)
+        for g, bc in self._group_bcs():
+            if bc.bc_type == "PressureBoundary":
+                sl = mesh.group_faces(g)
+                pres_face = pres_face.at[sl].set(True)
+        Df_cont = jnp.where(bnd & ~pres_face, 0.0, Df)
+        cont_flux = assembly.FaceFlux(
+            F=self.state["massFlux"], dF_dO=Df_cont, dF_dN=-Df_cont
+        )
+        Ap, rp = assembly.assemble(mesh, cont_flux)
+        gh = slice(mesh.n_interior_cells, mesh.n_cells)
+        Ap = Ap.replace(
+            diag=Ap.diag.at[gh].set(1.0), off=Ap.off.at[gh].set(0.0)
+        )
+        rp = rp.at[gh].set(0.0)
+        write_matrix_market(prefix + ".mtx", Ap, rp)
+
     def getMassFluxIntegral(self, group_name) -> float:
         mesh = self.mesh
         g = mesh.group_by_name(group_name) if isinstance(group_name, str) else group_name

@@ -195,3 +195,55 @@ def test_netcdf_roundtrip(tmp_path):
         return m.getTemperature()
 
     np.testing.assert_allclose(solve(mesh2), solve(quad_2d(6, 5)), atol=1e-10)
+
+
+def test_matrix_market_round_trip(tmp_path):
+    """write_matrix_market -> read_matrix_market reproduces the operator
+    (reference: FlowModel dumpContinuityMatrix + MMReader loop)."""
+    import jax.numpy as jnp
+    from fvm_tpu.models.flow import FlowModel
+    from fvm_tpu.io.matrixmarket import read_matrix_market
+
+    dm = fvm.mesh.build_device_mesh(quad_2d(12, 12))
+    m = FlowModel(dm)
+    m.options["verbose"] = False
+    m.vc["viscosity"] = 0.05
+    for side in ("left", "right", "bottom", "top"):
+        m.bc[side].bc_type = "NoSlipWall"
+    m.bc["top"]["specifiedXVelocity"] = 1.0
+    m.init()
+    m.advance(5)
+    prefix = str(tmp_path / "cont")
+    m.dumpContinuityMatrix(prefix)
+    A2, b2 = read_matrix_market(prefix + ".mtx", prefix + "_rhs.mtx")
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(A2.diag.shape[0]))
+
+    # rebuild the original system the same way to compare the action
+    from fvm_tpu.ops import assembly
+    from fvm_tpu.core import bcs as bck
+
+    mesh = m.mesh
+    interior = jnp.arange(mesh.n_cells) < mesh.n_interior_cells
+    bnd = jnp.arange(mesh.n_faces) >= mesh.n_interior_faces
+    aP = m.state["momAp"]
+    rho_f = assembly.cells_to_faces_distance_weighted(mesh, m.params["rho"])
+    voap = jnp.where(interior, mesh.cell_volume / aP, 0.0)
+    voap_f = assembly.cells_to_faces_distance_weighted(
+        mesh, bck.extend_to_ghosts(mesh, voap)
+    )
+    Df = rho_f * voap_f * mesh.face_e_over_d
+    Df_cont = jnp.where(bnd, 0.0, Df)
+    Ap, rp = assembly.assemble(
+        mesh,
+        assembly.FaceFlux(
+            F=m.state["massFlux"], dF_dO=Df_cont, dF_dN=-Df_cont
+        ),
+    )
+    gh = slice(mesh.n_interior_cells, mesh.n_cells)
+    Ap = Ap.replace(diag=Ap.diag.at[gh].set(1.0), off=Ap.off.at[gh].set(0.0))
+    rp = rp.at[gh].set(0.0)
+    np.testing.assert_allclose(
+        np.asarray(A2.mv(x)), np.asarray(Ap.mv(x)), rtol=1e-10, atol=1e-12
+    )
+    np.testing.assert_allclose(np.asarray(b2), np.asarray(rp), atol=1e-15)
