@@ -532,9 +532,31 @@ class BatteryModel(Model):
             )
             q_if = jnp.abs(i_bv * eta_raw) * amag
             q_face = jnp.where(iface, q_if, q_cond)
+            # interior faces split the dissipation between the two cells;
+            # boundary/shell faces attribute it all to the bulk owner (the
+            # ghost is not a physical volume)
+            bnd_f = jnp.arange(mesh.n_faces) >= mesh.n_interior_faces
+            w_own = jnp.where(bnd_f, 1.0, 0.5)
             qc = jnp.zeros(mesh.n_cells, phi.dtype)
-            qc = qc.at[mesh.face_cell0].add(0.5 * q_face)
-            qc = qc.at[mesh.face_cell1].add(0.5 * q_face)
+            qc = qc.at[mesh.face_cell0].add(w_own * q_face)
+            qc = qc.at[mesh.face_cell1].add((1.0 - w_own) * q_face)
+            # double-shell interfaces: the conduction faces already carry
+            # the half-cell ohmic drops into the shell unknowns; add the
+            # irreversible reaction heat |i * eta| of the BV closure,
+            # split between the two bulk owners
+            for nm, ln, rn in mesh.interfaces:
+                gLg = mesh.group_by_name(ln)
+                gRg = mesh.group_by_name(rn)
+                fL = mesh.group_faces(gLg)
+                fR = mesh.group_faces(gRg)
+                gl = mesh.ghost_cells_of_group(gLg)
+                gr = mesh.ghost_cells_of_group(gRg)
+                amag_i = mesh.face_area_mag[fL]
+                eta_i = phi[gr] - phi[gl] - params["U0"][gr]
+                i_sh = self._bv_shell(c[gl], c[gr], eta_i)
+                q_rxn = jnp.abs(i_sh * eta_i) * amag_i
+                qc = qc.at[mesh.face_cell0[fL]].add(0.5 * q_rxn)
+                qc = qc.at[mesh.face_cell0[fR]].add(0.5 * q_rxn)
             return qc / jnp.maximum(mesh.cell_volume, 1e-300)
 
         if self._dist:

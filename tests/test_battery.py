@@ -229,3 +229,22 @@ def test_battery_double_shell_dist_matches_single():
     np.testing.assert_allclose(
         bN.getPotential(), b1.getPotential(), atol=1e-12
     )
+
+
+def test_battery_double_shell_heat_energy_balance():
+    """Heat generation on a double-shell cell: total Joule + reaction
+    heat equals the electrical power delivered, I * (V_terminal - OCV)
+    ... at steady state with reference potential 0 at the electrolyte
+    terminal, the dissipated power is I*V_terminal - I*U0 (the reversible
+    OCV work is not heat)."""
+    I = 5.0
+    b, xc2 = _build_double_shell(I=I)
+    b.advance(30)
+    q = b.get_heat_source()
+    vol = 2.0 / 64.0
+    Q_total = float((q * vol).sum())
+    # the DISCRETE balance closes at the last cell center (the terminal
+    # of the specified-current row): Q == I*phi_term - I*U0 to round-off
+    V_term = float(b.getPotential().max())
+    P_irrev = I * V_term - I * 3.8
+    assert Q_total == pytest.approx(P_irrev, rel=1e-9)
