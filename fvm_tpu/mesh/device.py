@@ -228,17 +228,10 @@ def assemble_device_mesh(
 
     # cell->face ELL table over ALL cells: each face appears in its owner's
     # row and (if the neighbor is a local cell) its neighbor's row
-    rows = np.concatenate([owner, nbr])
-    cols = np.tile(np.arange(nf, dtype=np.int64), 2)
-    # drop entries where owner == nbr (dummy faces attached to one cell)
-    keep = np.ones(len(rows), dtype=bool)
-    keep[nf:] = nbr != owner
-    if face_valid is not None:
-        keep &= np.tile(face_valid, 2)
-    rows, cols = rows[keep], cols[keep]
-    order = np.argsort(rows, kind="stable")
-    rows, cols = rows[order], cols[order]
-    counts = np.bincount(rows, minlength=n_cells)
+    valid_o = face_valid if face_valid is not None else np.ones(nf, bool)
+    counts = np.bincount(owner[valid_o], minlength=n_cells) + np.bincount(
+        nbr[valid_o & (nbr != owner)], minlength=n_cells
+    )
     extra_need = np.zeros(n_cells, dtype=np.int64)
     if extra_adj is not None:
         extra_need = np.bincount(extra_adj[0], minlength=n_cells)
@@ -247,17 +240,34 @@ def assemble_device_mesh(
         K = Kmax
     elif Kmax > K:
         raise ValueError(f"K={K} < max faces per cell {Kmax}")
-    cf_face = np.zeros((n_cells, K), dtype=np.int64)
-    cf_mask = np.zeros((n_cells, K), dtype=bool)
-    ptr = np.zeros(n_cells + 1, dtype=np.int64)
-    np.cumsum(counts, out=ptr[1:])
-    slot = np.arange(len(rows)) - ptr[rows]
-    cf_face[rows, slot] = cols
-    cf_mask[rows, slot] = True
 
-    cf_is_owner = owner[cf_face] == np.arange(n_cells)[:, None]
-    cf_nbr = np.where(cf_is_owner, nbr[cf_face], owner[cf_face])
-    cf_nbr = np.where(cf_mask, cf_nbr, np.arange(n_cells)[:, None])
+    from .. import native
+
+    built = native.cf_build(owner, nbr, face_valid, n_cells, K)
+    if built is not None:
+        cf_face, cf_mask, cf_is_owner, cf_nbr = built
+    else:
+        # numpy fallback: stable sort of the [owner-block | nbr-block]
+        # entries (same slot order as the native two-pass fill)
+        rows = np.concatenate([owner, nbr])
+        cols = np.tile(np.arange(nf, dtype=np.int64), 2)
+        keep = np.ones(len(rows), dtype=bool)
+        keep[nf:] = nbr != owner
+        if face_valid is not None:
+            keep &= np.tile(face_valid, 2)
+        rows, cols = rows[keep], cols[keep]
+        order = np.argsort(rows, kind="stable")
+        rows, cols = rows[order], cols[order]
+        cf_face = np.zeros((n_cells, K), dtype=np.int64)
+        cf_mask = np.zeros((n_cells, K), dtype=bool)
+        ptr = np.zeros(n_cells + 1, dtype=np.int64)
+        np.cumsum(counts, out=ptr[1:])
+        slot = np.arange(len(rows)) - ptr[rows]
+        cf_face[rows, slot] = cols
+        cf_mask[rows, slot] = True
+        cf_is_owner = owner[cf_face] == np.arange(n_cells)[:, None]
+        cf_nbr = np.where(cf_is_owner, nbr[cf_face], owner[cf_face])
+        cf_nbr = np.where(cf_mask, cf_nbr, np.arange(n_cells)[:, None])
 
     if extra_adj is not None:
         # splice non-face couplings (double-shell interface rows) into the

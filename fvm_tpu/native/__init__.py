@@ -65,6 +65,11 @@ def lib():
         L.fvm_aggregate.argtypes = [ctypes.c_int64, ctypes.c_int64, i64p, u8p, i64p]
         L.fvm_greedy_color.restype = ctypes.c_int64
         L.fvm_greedy_color.argtypes = [ctypes.c_int64, ctypes.c_int64, i64p, u8p, i64p]
+        L.fvm_cf_build.restype = None
+        L.fvm_cf_build.argtypes = [
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            i64p, i64p, u8p, i64p, u8p, u8p, i64p,
+        ]
         _lib = L
         return _lib
 
@@ -93,6 +98,43 @@ def aggregate(cols: np.ndarray, mask: np.ndarray):
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
     )
     return out
+
+
+def cf_build(owner, nbr, face_valid, n_cells: int, K: int):
+    """Cell->face ELL tables via the native lib (see hostlib.cpp
+    fvm_cf_build); returns (cf_face, cf_mask, cf_is_owner, cf_nbr) or
+    None when no native toolchain is available."""
+    import ctypes
+
+    L = lib()
+    if L is None:
+        return None
+    nf = int(owner.shape[0])
+    o = _as_i64(owner)
+    nb = _as_i64(nbr)
+    fv = None if face_valid is None else _as_u8(face_valid)
+    cf_face = np.empty((n_cells, K), dtype=np.int64)
+    cf_mask = np.empty((n_cells, K), dtype=np.uint8)
+    cf_own = np.empty((n_cells, K), dtype=np.uint8)
+    cf_nbr = np.empty((n_cells, K), dtype=np.int64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    L.fvm_cf_build(
+        n_cells, nf, K,
+        o.ctypes.data_as(i64p),
+        nb.ctypes.data_as(i64p),
+        fv.ctypes.data_as(u8p) if fv is not None else None,
+        cf_face.ctypes.data_as(i64p),
+        cf_mask.ctypes.data_as(u8p),
+        cf_own.ctypes.data_as(u8p),
+        cf_nbr.ctypes.data_as(i64p),
+    )
+    return (
+        cf_face,
+        cf_mask.astype(bool),
+        cf_own.astype(bool),
+        cf_nbr,
+    )
 
 
 def greedy_color(cols: np.ndarray, mask: np.ndarray):

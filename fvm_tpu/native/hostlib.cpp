@@ -91,4 +91,58 @@ int64_t fvm_greedy_color(int64_t n, int64_t K, const int64_t* cols,
   return ncolors;
 }
 
+// Cell->face ELL table construction (the mesh/device.py assembly block):
+// each face lands in its owner's row and, when the neighbor is a distinct
+// cell, in the neighbor's row.  Row-slot order matches the python
+// stable-sort layout: all owner entries first (face order), then all
+// neighbor entries (face order).  Replaces an argsort over 2*nf entries.
+// cf_face/cf_mask/cf_is_owner/cf_nbr: n_cells*K caller-allocated buffers,
+// zero/self-initialized here.  face_valid may be null (all valid).
+void fvm_cf_build(int64_t n_cells, int64_t nf, int64_t K,
+                  const int64_t* owner, const int64_t* nbr,
+                  const uint8_t* face_valid, int64_t* cf_face,
+                  uint8_t* cf_mask, uint8_t* cf_is_owner, int64_t* cf_nbr) {
+  for (int64_t i = 0; i < n_cells; ++i) {
+    int64_t* cf = cf_face + i * K;
+    uint8_t* cm = cf_mask + i * K;
+    uint8_t* co = cf_is_owner + i * K;
+    int64_t* cn = cf_nbr + i * K;
+    for (int64_t k = 0; k < K; ++k) {
+      cf[k] = 0;
+      cm[k] = 0;
+      co[k] = 0;
+      cn[k] = i;
+    }
+  }
+  std::vector<int64_t> fill(n_cells, 0);
+  for (int64_t f = 0; f < nf; ++f) {
+    if (face_valid && !face_valid[f]) continue;
+    int64_t o = owner[f];
+    int64_t s = fill[o]++;
+    cf_face[o * K + s] = f;
+    cf_mask[o * K + s] = 1;
+    cf_is_owner[o * K + s] = 1;
+    cf_nbr[o * K + s] = nbr[f];
+  }
+  for (int64_t f = 0; f < nf; ++f) {
+    if (face_valid && !face_valid[f]) continue;
+    int64_t o = owner[f];
+    int64_t nb = nbr[f];
+    if (nb == o) continue;
+    int64_t s = fill[nb]++;
+    cf_face[nb * K + s] = f;
+    cf_mask[nb * K + s] = 1;
+    cf_is_owner[nb * K + s] = 0;
+    cf_nbr[nb * K + s] = o;
+  }
+  // cf_is_owner semantics for padded slots follow the python layout
+  // (owner[0] == cell 0 comparisons); padded slots stay mask=0 and the
+  // callers never read their is_owner, but match python for slot 0 pads
+  for (int64_t i = 0; i < n_cells; ++i) {
+    for (int64_t k = fill[i]; k < K; ++k) {
+      cf_is_owner[i * K + k] = (owner[0] == i) ? 1 : 0;
+    }
+  }
+}
+
 }  // extern "C"
