@@ -1,1 +1,2 @@
 from .partition import Partition, rcb_partition
+from .coupling import CouplingServer, CouplingClient
