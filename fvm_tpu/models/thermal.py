@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from ..mesh.device import DeviceMesh
 from ..core.options import BoundaryCondition, ModelOptions
 from ..core import bcs as bck
+from ..core import interfaces as ifc
 from ..ops import assembly, discretizations as disc
 from ..ops.halo import maybe_sync
 from ..ops.gradients import ls_gradient_coefficients, gradient
@@ -84,6 +85,11 @@ class ThermalModelOptions(ModelOptions):
 
 
 class ThermalModel(Model):
+    # double-shell interfaces (contact resistance / thermal jump layers,
+    # reference: BatteryLinearizeThermalInterface.h): default closure is
+    # the continuous interface (A=1, B=0); model.interface[name] sets
+    # jump coefficients or a flux closure (core.interfaces)
+    _supports_interfaces = True
     name = "ThermalModel"
 
     def __init__(self, mesh: DeviceMesh, partition=None):
@@ -273,6 +279,9 @@ class ThermalModel(Model):
             )
 
         # halo rows are owned remotely: identity here
+        A, r = ifc.apply_model_interfaces(
+            mesh, self.interface, A, r, T, flux, gamma_f
+        )
         A, r = assembly.identity_unowned_rows(mesh, A, r)
         return A, r
 

@@ -453,3 +453,59 @@ def test_dielectric_shell_capacitor_dist():
         left, V0 - D / (e1 * EPS0) * xc, phiR_i - D / (e2 * EPS0) * (xc - 1.0)
     )
     np.testing.assert_allclose(phi, exact, rtol=1e-8, atol=1e-10)
+
+
+def test_thermal_shell_contact_resistance():
+    """ThermalModel on a double-shell mesh (reference:
+    BatteryLinearizeThermalInterface.h): continuous default closure
+    reproduces the unsplit linear profile; a thermal contact resistance
+    (flux closure F = (T_L - T_R)/R_c * area) produces the series-circuit
+    temperature jump q = dT_total / (L1/k1 + R_c + L2/k2)."""
+    import jax.numpy as jnp
+    from fvm_tpu.models import ThermalModel
+    import fvm_tpu.mesh.metrics as metrics
+
+    k1, k2, Rc = 2.0, 0.5, 0.4
+    T0, T1 = 400.0, 300.0
+
+    def build(interface_cfg):
+        m = quad_2d(16, 4, lx=2.0, ly=1.0)
+        geom = metrics.compute_geometry(m)
+        xc = geom.cell_centroid[: m.n_interior_cells, 0]
+        left = xc < 1.0
+        m2 = m.make_interface(
+            "tc", m.interface_faces_between(left, ~left), left_cells=left
+        )
+        dm = fvm.mesh.build_device_mesh(m2)
+        mod = ThermalModel(dm)
+        mod.options["verbose"] = False
+        mod.vc["thermalConductivity"] = np.where(left, k1, k2)
+        if interface_cfg is not None:
+            mod.interface["tc"] = interface_cfg
+        mod.bc["left"].bc_type = "SpecifiedTemperature"
+        mod.bc["left"]["specifiedTemperature"] = T0
+        mod.bc["right"].bc_type = "SpecifiedTemperature"
+        mod.bc["right"]["specifiedTemperature"] = T1
+        mod.bc["top"].bc_type = "Symmetry"
+        mod.bc["bottom"].bc_type = "Symmetry"
+        mod.init()
+        mod.advance(5)
+        return mod, xc, left
+
+    # continuous closure: classic two-layer series profile
+    mod, xc, left = build(None)
+    q = (T0 - T1) / (1.0 / k1 + 1.0 / k2)
+    Ti = T0 - q / k1
+    exact = np.where(left, T0 - q / k1 * xc, Ti - q / k2 * (xc - 1.0))
+    np.testing.assert_allclose(mod.getTemperature(), exact, atol=1e-8)
+
+    # contact resistance closure (flux LEAVING the R bulk, so the heat
+    # entering R from hot L is negative): F_R = (T_R - T_L)/R_c per area
+    mod, xc, left = build(
+        {"type": "flux", "flux_fn": lambda tl, tr: (tr - tl) / Rc}
+    )
+    q = (T0 - T1) / (1.0 / k1 + Rc + 1.0 / k2)
+    TLi = T0 - q / k1
+    TRi = TLi - q * Rc
+    exact = np.where(left, T0 - q / k1 * xc, TRi - q / k2 * (xc - 1.0))
+    np.testing.assert_allclose(mod.getTemperature(), exact, atol=1e-8)
