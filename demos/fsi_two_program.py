@@ -48,7 +48,9 @@ def run_server(port: int, n: int) -> None:
         solid.bc["right"].bc_type = "SpecifiedDeformation"
         solid.bc["top"].bc_type = "ZeroTraction"
         solid.bc["bottom"].bc_type = "SpecifiedTraction"
-        solid.bc["bottom"]["specifiedYTraction"] = float(load["traction_y"])
+        # full per-face traction array, like the reference's boundary
+        # force exchange (ServerCoupling.accept)
+        solid.bc["bottom"]["specifiedYTraction"] = load["traction_y"]
         solid.init()
         solid.advance(6)
         wy = solid.getDeformation()[:, 1].reshape(n, 2).mean(axis=1)
@@ -85,7 +87,7 @@ def run_client(port: int, n: int) -> None:
         g = dmesh.group_by_name("top")
         sl = dmesh.group_faces(g)
         p_f = np.asarray(flow.state["pressure"])[np.asarray(dmesh.face_cell0)[sl]]
-        cli.send(traction_y=np.asarray(-p_f.mean()))
+        cli.send(traction_y=-p_f)  # per-face wall load
         wy = cli.recv()["deflection"]
         target = float(wy.mean())
         dmove = 0.5 * (target - wall_offset)
