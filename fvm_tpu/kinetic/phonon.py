@@ -8,7 +8,9 @@ DensityOfStates.h).  Non-gray transport: pass ``bands`` — per-band
 (C_b, vg_b, tau_b) — and the directional energies become one
 (n_cells, D*B) array; all bands relax toward a COMMON lattice
 temperature fixed by total energy conservation (the reference's
-updateTL).  COMET coarsening is not yet ported.
+updateTL).  The COMET point-coupled solve is the JFNK mode (solver
+'COMET': exact rank-1 lattice-T-coupled Jacobian via jax.jvp), playing
+the role of phononbase/COMETModel.h's per-cell coupled solves.
 
 Equation per direction d (group velocity vg, relaxation time tau):
     d e''/dt + vg s_d . grad e'' = (e0 - e'') / tau

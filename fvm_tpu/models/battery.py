@@ -20,7 +20,11 @@ The potential equation carries i as the normal current; the species
 equation carries i/F as the Li flux.  Nonlinearity is handled by exact
 Newton (jvp of the residual) with the diffusion surrogate as
 preconditioner — the JFNK pattern shared with the structure/plate models.
-Shell-mesh jump machinery (LinearizeSpeciesInterface.h) is not yet ported.
+Double-shell meshes (Mesh.make_interface) are ALSO supported: interface
+ghosts become independent per-side shell unknowns (phi_L, phi_R, ce, cs)
+with point-coupled BV closure rows solved by the same JFNK Newton
+(_shell_rows; reference BatteryPCLinearizeInterface_BV.h,
+LinearizeSpeciesInterface.h).
 """
 
 from __future__ import annotations

@@ -16,7 +16,9 @@ This implementation covers:
   electrostatic field each outer iteration (the reference couples the same
   way per timestep).
 
-Tunneling/injection/trap kernels are not yet ported.
+Also covered: Fowler-Nordheim boundary injection, trap capture/emission
+kinetics, trap-band tunneling (vectorized-WKB static walks), dielectric
+double-shell interfaces (thin-layer closure).
 BC types: 'SpecifiedPotential', 'SpecifiedCharge' (surface charge density
 -> flux), 'Symmetry'.
 """

@@ -90,9 +90,15 @@ class SqueezeFilmModel(GenericScalarModel):
 
     def set_gap(self, h, dhdt) -> None:
         """Update the local gap and its rate (e.g. from a PlateModel's
-        deflection and velocity) before the next solve."""
+        deflection and velocity) before the next solve.  Values are GLOBAL
+        (host-mesh interior ordering) scalars or arrays; distributed
+        models scatter them to the per-shard local meshes."""
         mesh = self.mesh
         dtype = self.params["h"].dtype
+        if self._dist:
+            self._apply_gap(self._scatter_host_cells(h, dtype, True))
+            self.params["dhdt"] = self._scatter_host_cells(dhdt, dtype)
+            return
         h = jnp.asarray(h, dtype)
         if h.ndim == 0:
             h = jnp.full((mesh.n_cells,), h)
@@ -119,11 +125,17 @@ class SqueezeFilmModel(GenericScalarModel):
         """Total reaction force of the film on the plate: integral of the
         damping pressure (positive resists closing, dh/dt < 0)."""
         mesh = self.mesh
+        if self._dist:
+            # gather to GLOBAL interior ordering, integrate with the host
+            # mesh's cell volumes (padded local volumes double-count halos)
+            p = self.partition.gather_cells(self.state[self.var])
+            vol = self.partition.geom.cell_volume[
+                : self.partition.mesh.n_interior_cells
+            ]
+            return float(np.sum(p * vol))
         p = self.state[self.var]
         f = jnp.sum(
             p[: mesh.n_interior_cells]
             * mesh.cell_volume[: mesh.n_interior_cells]
         )
-        if self._dist:
-            raise ConfigError("SqueezeFilmModel: dist force integral pending")
         return float(f)

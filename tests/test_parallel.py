@@ -706,3 +706,30 @@ def test_esbgk_ordinate_sharding_transient():
     rhoS, uS, TS = mS.moments()
     np.testing.assert_allclose(np.asarray(rhoS), np.asarray(rho1), atol=5e-6)
     np.testing.assert_allclose(np.asarray(uS), np.asarray(u1), atol=5e-6)
+
+
+def test_squeeze_film_dist_matches_single():
+    """SqueezeFilmModel (Reynolds damping) on 4 shards: set_gap scatters
+    global gap/rate fields and getDampingForce integrates across shards."""
+    from fvm_tpu.models.squeeze_film import SqueezeFilmModel
+
+    def run(n_shards=None):
+        m0 = quad_2d(16, 16)
+        if n_shards:
+            part = Partition(m0, n_shards)
+            m = SqueezeFilmModel(part.sharded_mesh, partition=part)
+        else:
+            m = SqueezeFilmModel(fvm.mesh.build_device_mesh(m0))
+        m.options["verbose"] = False
+        for s in ("left", "right", "bottom", "top"):
+            m.bc[s].bc_type = "Dirichlet"
+            m.bc[s]["specifiedPressure"] = 0.0
+        m.vc["initialGap"] = 1e-4
+        m.init()
+        m.set_gap(1e-4, -1e-3)
+        m.advance(5)
+        return m.getDampingForce()
+
+    f1 = run()
+    fN = run(4)
+    assert fN == pytest.approx(f1, rel=1e-9)
