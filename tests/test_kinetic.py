@@ -166,3 +166,43 @@ def test_phonon_nongray_two_bands():
     assert q == pytest.approx(k_eff * 10.0, rel=0.3)
     T = m.getTemperature()
     assert 295.0 < T.mean() < 305.0
+
+
+def test_fourier_heat_transfer_knudsen_jumps():
+    """Gas heat conduction between diffuse walls (reference:
+    src/fvm/test/ESBGK-tests/heatT2D): monotone temperature profile,
+    near-uniform pressure, and wall temperature JUMPS that grow with the
+    Knudsen number — the kinetic effect a continuum solver cannot give."""
+    from fvm_tpu.kinetic.esbgk import KineticModel
+    from fvm_tpu.kinetic.quadrature import Quadrature
+
+    def run(tau):
+        dm = fvm.mesh.build_device_mesh(quad_2d(16, 3))
+        m = KineticModel(dm, quadrature=Quadrature(8, 8, 8))
+        m.options["verbose"] = False
+        m.vc["relaxationTime"] = tau
+        m.bc["left"].bc_type = "DiffuseWall"
+        m.bc["left"]["specifiedTemperature"] = 1.2
+        m.bc["right"].bc_type = "DiffuseWall"
+        m.bc["right"]["specifiedTemperature"] = 0.8
+        m.bc["top"].bc_type = "SpecularWall"
+        m.bc["bottom"].bc_type = "SpecularWall"
+        m.init()
+        m.advance(30)
+        rho, u, T = m.moments()
+        n = dm.n_interior_cells
+        T = np.asarray(T)[:n].reshape(16, 3).mean(axis=1)
+        rho = np.asarray(rho)[:n].reshape(16, 3).mean(axis=1)
+        return T, rho
+
+    T_lo, rho_lo = run(0.05)  # Kn ~ 0.05
+    T_hi, rho_hi = run(0.5)  # Kn ~ 0.5
+    for T in (T_lo, T_hi):
+        assert np.all(np.diff(T) < 0)  # monotone hot -> cold
+        assert 0.8 < T[-1] < T[0] < 1.2  # jumps at BOTH walls
+    # jumps grow with Kn
+    assert (1.2 - T_hi[0]) > 2.0 * (1.2 - T_lo[0])
+    assert (T_hi[-1] - 0.8) > 2.0 * (T_lo[-1] - 0.8)
+    # pressure p = rho T near-uniform (no flow)
+    p = rho_lo * T_lo
+    assert np.ptp(p) / p.mean() < 0.01
