@@ -134,3 +134,42 @@ def test_creep_shear_relaxation():
         m.getVMStress(), np.sqrt(3.0) * abs(sig), rtol=1e-6
     )
     assert abs(m.getPlasticStrain()[:, 0, 1].mean() - (mu * gam - sig) / (2 * mu)) < 1e-8
+
+
+def test_cantilever_order_of_accuracy():
+    """Mesh-convergence study of the shear-loaded cantilever against the
+    Timoshenko tip deflection (reference: the CANT-SORDER order-of-
+    accuracy suite, src/fvm/test/CANT-SORDER): the error must decrease
+    monotonically under 2x refinement with an improving (superlinear)
+    convergence ratio."""
+    E, nu, L, H, P = 1000.0, 0.0, 10.0, 1.0, 0.1
+
+    def tip_deflection(nx, ny):
+        dm = fvm.mesh.build_device_mesh(quad_2d(nx, ny, lx=L, ly=H))
+        m = StructureModel(dm)
+        m.options["verbose"] = False
+        m.vc["youngsModulus"] = E
+        m.vc["poissonsRatio"] = nu
+        m.bc["left"].bc_type = "SpecifiedDeformation"
+        m.bc["right"].bc_type = "SpecifiedTraction"
+        m.bc["right"]["specifiedYTraction"] = P
+        m.bc["bottom"].bc_type = "ZeroTraction"
+        m.bc["top"].bc_type = "ZeroTraction"
+        m.init()
+        hist = m.advance(10)
+        assert hist[-1][1] / hist[0][1] < 1e-8
+        w = m.getDeformation()
+        x = np.asarray(dm.cell_centroid)[: dm.n_interior_cells]
+        return w[x[:, 0] > L - L / nx, 1].mean()
+
+    I = H**3 / 12.0
+    G = E / 2.0
+    F = P * H
+    exact = F * L**3 / (3 * E * I) + F * L / (5.0 / 6.0 * G * H)
+    errs = [abs(tip_deflection(nx, ny) - exact) for nx, ny in
+            [(20, 2), (40, 4), (80, 8)]]
+    assert errs[0] > errs[1] > errs[2]
+    r1 = errs[0] / errs[1]
+    r2 = errs[1] / errs[2]
+    assert r2 > r1 > 1.5  # improving, superlinear convergence
+    assert errs[2] < 0.1 * exact  # finest grid within 10%
