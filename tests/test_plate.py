@@ -61,3 +61,35 @@ def test_cantilever_plate_strip():
     w = m.getDeflection().reshape(30, 4).mean(axis=1)
     w_exact = q * L**4 / (8 * D)
     assert w[-1] == pytest.approx(w_exact, rel=0.15)
+
+
+def test_cantilever_plate_order_of_accuracy():
+    """Mesh-convergence of the cantilever strip tip deflection toward the
+    thin-plate solution (reference: CANT-TORDER order-of-accuracy suite):
+    monotone error decrease at a consistent refinement ratio."""
+    E, nu, h, q, L = 1e9, 0.0, 0.02, 100.0, 1.0
+    D = E * h**3 / 12.0
+    exact = q * L**4 / (8 * D)
+
+    def tip(nx, ny):
+        dm = fvm.mesh.build_device_mesh(quad_2d(nx, ny, lx=L, ly=0.2))
+        m = PlateModel(dm)
+        m.options["verbose"] = False
+        m.vc["ym"] = E
+        m.vc["nu"] = nu
+        m.vc["thickness"] = h
+        m.vc["pressure"] = q
+        m.bc["left"].bc_type = "Clamped"
+        m.bc["right"].bc_type = "Free"
+        m.bc["bottom"].bc_type = "Symmetry"
+        m.bc["top"].bc_type = "Symmetry"
+        m.init()
+        hist = m.advance(8)
+        assert hist[-1][1] / hist[0][1] < 1e-6
+        return m.getDeflection().reshape(nx, ny).mean(axis=1)[-1]
+
+    errs = [abs(tip(nx, ny) - exact) for nx, ny in
+            [(15, 2), (30, 4), (60, 8)]]
+    assert errs[0] > errs[1] > errs[2]
+    assert errs[0] / errs[1] > 1.5 and errs[1] / errs[2] > 1.5
+    assert errs[2] < 0.015 * exact
