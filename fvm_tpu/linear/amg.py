@@ -466,13 +466,17 @@ class _StructuredLevel:
 class _Level:
     """Static per-level metadata (host-built, device index arrays)."""
 
-    def __init__(self, cols: np.ndarray, mask: np.ndarray, level: int = 0):
+    def __init__(self, cols: np.ndarray, mask: np.ndarray, level: int = 0,
+                 agg: np.ndarray | None = None):
         n, K = cols.shape
         # pairwise/block index aggregation measured 2-2.5x worse
         # convergence than greedy graph agglomeration; greedy's python loop
         # is ~8 s at 1M cells (one-time) now that the coarse-map LUT is
-        # vectorized, so greedy stays the default.
-        agg = aggregate(cols, mask)
+        # vectorized, so greedy stays the default.  ``agg`` overrides the
+        # aggregation (identity levels pad ragged per-shard hierarchies in
+        # the distributed general path).
+        if agg is None:
+            agg = aggregate(cols, mask)
         nC = int(agg.max()) + 1
 
         # coarse graph structure
@@ -518,6 +522,10 @@ class _Level:
         self.mask_c = jnp.asarray(mask_c)
         self.cols_c_np = cols_c
         self.mask_c_np = mask_c
+        # host copies for the distributed stacked-hierarchy setup
+        self.agg_np = agg
+        self.to_diag_np = to_diag
+        self.to_off_np = to_off
         # DIA fast path for the coarse SpMV (aggregation preserves locality)
         from ..ops.dia import DIAInfo
 
@@ -601,6 +609,107 @@ def _local_condense(A, arrs):
         )
 
     return diag2, offv, fold_b, recover
+
+
+class _StackedGraphLevel:
+    """One level of the distributed GENERAL (graph-aggregation) hierarchy.
+
+    Per-shard greedy hierarchies are ragged (each shard coarsens its own
+    local graph), so every level is padded to the max fine/coarse sizes
+    across shards and the index tables are stacked (S, ...) DATA selected
+    by axis_index at trace time — the same stacking pattern
+    ``_local_condense`` uses for condensation tables.  Padded fine rows
+    map to a trash segment; padded coarse rows get identity diagonals, so
+    smoothing on them is a no-op.  This is what makes the reference's
+    "AMG at any np on any mesh" (AMG.h:53-103) hold here: the hierarchy
+    no longer requires shards to share a structured condensed grid.
+    """
+
+    def __init__(self, shard_levels, n_pad: int, K_pad: int):
+        S = len(shard_levels)
+        self.nC = max(lev.nC for lev in shard_levels)
+        self.Kc = max(lev.Kc for lev in shard_levels)
+        nC, Kc = self.nC, self.Kc
+        agg = np.full((S, n_pad), nC, dtype=np.int32)
+        to_diag = np.full((S, n_pad * K_pad), nC, dtype=np.int32)
+        to_off = np.full((S, n_pad * K_pad), nC * Kc, dtype=np.int32)
+        cols_c = np.tile(
+            np.arange(nC, dtype=np.int32)[None, :, None], (S, 1, Kc)
+        )
+        mask_c = np.zeros((S, nC, Kc), dtype=bool)
+        live_c = np.zeros((S, nC), dtype=bool)
+        for d, lev in enumerate(shard_levels):
+            agg[d, : lev.n] = lev.agg_np
+            # flat (i, k) reindex from the shard's (n_d, K_d) layout to the
+            # padded (n_pad, K_pad) layout; trash targets remap too
+            td = lev.to_diag_np.reshape(lev.n, lev.K)
+            to = lev.to_off_np.reshape(lev.n, lev.K)
+            td = np.where(td == lev.nC, nC, td)
+            ic, sl = to // lev.Kc, to % lev.Kc
+            to = np.where(to == lev.nC * lev.Kc, nC * Kc, ic * Kc + sl)
+            block_d = to_diag.reshape(S, n_pad, K_pad)
+            block_o = to_off.reshape(S, n_pad, K_pad)
+            block_d[d, : lev.n, : lev.K] = td
+            block_o[d, : lev.n, : lev.K] = to
+            cols_c[d, : lev.nC, : lev.Kc] = lev.cols_c_np
+            mask_c[d, : lev.nC, : lev.Kc] = lev.mask_c_np
+            live_c[d, : lev.nC] = True
+        self._agg = agg
+        self._to_diag = to_diag.reshape(S, -1)
+        self._to_off = to_off.reshape(S, -1)
+        self._cols_c = cols_c
+        self._mask_c = mask_c
+        self._live_c = live_c
+
+    def select(self, idx):
+        """Per-shard view (inside shard_map): returns a _ShardGraphLevel."""
+        return _ShardGraphLevel(
+            jnp.asarray(self._agg)[idx],
+            jnp.asarray(self._to_diag)[idx],
+            jnp.asarray(self._to_off)[idx],
+            jnp.asarray(self._cols_c)[idx],
+            jnp.asarray(self._mask_c)[idx],
+            jnp.asarray(self._live_c)[idx],
+            self.nC,
+            self.Kc,
+        )
+
+
+class _ShardGraphLevel:
+    """Traced per-shard level ops (restrict/prolong/galerkin) with padded
+    static shapes; the index arrays are data, the sizes are static."""
+
+    def __init__(self, agg, to_diag, to_off, cols_c, mask_c, live_c, nC, Kc):
+        self.agg, self.to_diag, self.to_off = agg, to_diag, to_off
+        self.cols_c, self.mask_c, self.live_c = cols_c, mask_c, live_c
+        self.nC, self.Kc = nC, Kc
+
+    def galerkin(self, A: ELLMatrix) -> ELLMatrix:
+        nC, Kc = self.nC, self.Kc
+        off_flat = jnp.where(A.mask, A.off, 0.0).reshape(-1)
+        diag_c = jax.ops.segment_sum(
+            A.diag, self.agg, num_segments=nC + 1
+        )[:nC]
+        diag_c = diag_c + jax.ops.segment_sum(
+            off_flat, self.to_diag, num_segments=nC + 1
+        )[:nC]
+        off_c = jax.ops.segment_sum(
+            off_flat, self.to_off, num_segments=nC * Kc + 1
+        )[: nC * Kc].reshape(nC, Kc)
+        diag_c = jnp.where(self.live_c, diag_c, 1.0)
+        return ELLMatrix(
+            diag=diag_c, off=off_c, cols=self.cols_c, mask=self.mask_c
+        )
+
+    def restrict(self, r):
+        return jax.ops.segment_sum(r, self.agg, num_segments=self.nC + 1)[
+            : self.nC
+        ]
+
+    def prolong(self, xc):
+        # extra zero row: trash/padded fine rows read 0, not a clamped
+        # out-of-bounds neighbor value
+        return jnp.concatenate([xc, jnp.zeros((1,), xc.dtype)])[self.agg]
 
 
 class AMG(LinearSolver):
@@ -697,10 +806,17 @@ class AMG(LinearSolver):
         merging (AMG.h:53-103, LinearSystemMerger.h:22-37): each shard
         runs a LOCAL V-cycle on its owned block (couplings into halo
         columns dropped — additive Schwarz), used as a preconditioner
-        inside a global psum-reduced Krylov iteration.  Requires all
-        shards to share the condensed grid structure (true for regular
-        partitions of structured meshes); returns False otherwise and
-        callers fall back to Jacobi preconditioning.
+        inside a global psum-reduced Krylov iteration.  Two hierarchies:
+
+          * structured: when every shard presents the same condensed
+            tensor-product grid, gather-free index-pairing levels
+            (fastest; regular partitions of structured meshes);
+          * general: per-shard GREEDY graph-aggregation hierarchies,
+            padded to uniform static shapes and stacked (S, ...) like the
+            condensation tables — works on ANY mesh / partition, matching
+            the reference's "AMG at any np" (AMG.h:53-103).
+
+        Returns False only when no coarsening is possible at all.
 
         The per-shard condensation index tables differ by shard, so they
         are stored as stacked (S, L) arrays selected by axis_index at
@@ -714,6 +830,65 @@ class AMG(LinearSolver):
                          drop_beyond=n_owned)
             for d in range(S)
         ]
+        if self.structured and self._setup_dist_structured(
+            cols_S, mask_S, n_owned, plans
+        ):
+            return True
+        return self._setup_dist_general(cols_S, mask_S, n_owned, plans)
+
+    def _setup_dist_general(self, cols_S, mask_S, n_owned, plans) -> bool:
+        """General distributed hierarchy: per-shard greedy graph
+        aggregation, ragged hierarchies padded with identity levels and
+        stacked to uniform shapes (see _StackedGraphLevel)."""
+        S = cols_S.shape[0]
+        per = []
+        for d in range(S):
+            cols, mask = np.asarray(cols_S[d]), plans[d].mask2
+            n = cols.shape[0]
+            levels_d = []
+            while n > self.coarse_size and len(levels_d) < self.max_levels:
+                lev = _Level(cols, mask)
+                if lev.nC >= n:
+                    break
+                levels_d.append(lev)
+                cols, mask, n = lev.cols_c_np, lev.mask_c_np, lev.nC
+            per.append([levels_d, cols, mask, n])
+        L = max(len(p[0]) for p in per)
+        if L == 0:
+            self._dist_setup = None
+            return False
+        for p in per:
+            levels_d, cols, mask, n = p
+            while len(levels_d) < L:
+                lev = _Level(cols, mask, agg=np.arange(n, dtype=np.int64))
+                levels_d.append(lev)
+                cols, mask, n = lev.cols_c_np, lev.mask_c_np, lev.nC
+        stacked = []
+        n_pad, K_pad = cols_S.shape[1], cols_S.shape[2]
+        for l in range(L):
+            slev = _StackedGraphLevel(
+                [per[d][0][l] for d in range(S)], n_pad, K_pad
+            )
+            stacked.append(slev)
+            n_pad, K_pad = slev.nC, slev.Kc
+        er, e_val = _pad_stack(
+            [p.elim_rows if p.ok else [] for p in plans], 0)
+        es, _ = _pad_stack([p.elim_slot if p.ok else [] for p in plans], -1)
+        ep, _ = _pad_stack([p.elim_part if p.ok else [] for p in plans], 0)
+        ir, in_val = _pad_stack([p.in_rows if p.ok else [] for p in plans], 0)
+        ik, _ = _pad_stack([p.in_slots if p.ok else [] for p in plans], 0)
+        ie, _ = _pad_stack([p.in_elim if p.ok else [] for p in plans], 0)
+        self._dist_setup = {
+            "kind": "general",
+            "arrays": tuple(np.asarray(a) for a in
+                            (er, es, ep, ir, ik, ie, e_val, in_val)),
+            "mask2": np.stack([p.mask2 for p in plans]),
+            "levels": stacked,
+        }
+        return True
+
+    def _setup_dist_structured(self, cols_S, mask_S, n_owned, plans) -> bool:
+        S = cols_S.shape[0]
         # uniformity: after condensation every shard must present a grid
         # block of the SAME dimensions with fully dead tails (ghosts
         # eliminated, halos dropped).  Slot ORDER may differ per shard
@@ -780,6 +955,8 @@ class AMG(LinearSolver):
         ds = getattr(self, "_dist_setup", None)
         if ds is None:
             return lambda r: A.diag_solve(r)
+        if ds.get("kind") == "general":
+            return self._precond_dist_general(A, ds)
         idx = jax.lax.axis_index(A.axis_name)
         arrs = tuple(jnp.asarray(a)[idx] for a in ds["arrays"])
         diag2, offv, fold_b, recover = _local_condense(A, arrs)
@@ -800,6 +977,39 @@ class AMG(LinearSolver):
         dense = (tail.to_dense() if isinstance(tail, DIAMatrix)
                  else _dense_from_ell(tail, tail.diag.shape[0]))
         inv = dense_inverse(dense)
+        n_owned = A.n_owned if A.n_owned is not None else A.n
+        owned = jnp.arange(A.n) < n_owned
+
+        def M(r):
+            r2 = fold_b(r)
+            z = self._cycle0(levels, mats, [inv], r2)
+            z = recover(z, r)
+            return jnp.where(owned if z.ndim == 1 else owned[:, None], z, 0.0)
+
+        return M
+
+    def _precond_dist_general(self, A: ELLMatrix, ds):
+        """Shard-local graph-AMG V-cycle preconditioner (general meshes).
+
+        Selects this shard's condensation tables and stacked level index
+        arrays by axis_index, condenses the local block, drops halo
+        couplings (additive Schwarz), runs the greedy-aggregation cycle
+        with a dense coarse solve — all with shard-uniform static shapes
+        so the whole thing lives inside one shard_map'd jit."""
+        idx = jax.lax.axis_index(A.axis_name)
+        arrs = tuple(jnp.asarray(a)[idx] for a in ds["arrays"])
+        diag2, offv, fold_b, recover = _local_condense(A, arrs)
+        mask2 = jnp.asarray(ds["mask2"])[idx]
+        A2 = ELLMatrix(
+            diag=diag2, off=jnp.where(mask2, offv, 0.0),
+            cols=A.cols, mask=mask2,
+        )
+        levels = [slev.select(idx) for slev in ds["levels"]]
+        mats = [A2]
+        for lev in levels:
+            mats.append(lev.galerkin(mats[-1]))
+        tail = mats[-1]
+        inv = dense_inverse(_dense_from_ell(tail, tail.diag.shape[0]))
         n_owned = A.n_owned if A.n_owned is not None else A.n
         owned = jnp.arange(A.n) < n_owned
 

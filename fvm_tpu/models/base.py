@@ -23,6 +23,22 @@ from ..core.options import BoundaryCondition, ModelOptions
 from ..exceptions import ConfigError
 
 
+def zero_float_tangent(tree):
+    """Zero tangent pytree: float leaves get zeros, everything else the
+    symbolic float0 tangent jax.jvp expects for non-differentiable leaves."""
+    import jax.dtypes
+
+    def z(x):
+        x = jnp.asarray(x) if not hasattr(x, "dtype") else x
+        if jnp.issubdtype(x.dtype, jnp.floating) or jnp.issubdtype(
+            x.dtype, jnp.complexfloating
+        ):
+            return jnp.zeros_like(x)
+        return np.zeros(np.shape(x), jax.dtypes.float0)
+
+    return jax.tree.map(z, tree)
+
+
 class Model:
     name = "Model"
 
@@ -235,6 +251,62 @@ class Model:
             return m(mesh, *args)
 
         return jax.jit(wrapped)
+
+    # --- sensitivity plumbing (reference: atypes/tangent_double — every
+    # model is instantiated with the Tangent atype, models.cpp:10-74;
+    # here the tangent inputs are pytrees fed to jax.jvp) ---------------
+
+    def _pad_cell_tangent(self, ref, v):
+        """Resolve a user tangent (scalar, (n_interior,), or full-shape
+        array) to ``ref``'s shape, ghost-extending interior arrays."""
+        from ..core import bcs as bck
+
+        if self._dist:
+            v_ = np.asarray(v)
+            if v_.shape == tuple(ref.shape):
+                return jnp.asarray(v_, ref.dtype)
+            if v_.ndim == 0:
+                return jnp.full(ref.shape, float(v_), ref.dtype)
+            return self._scatter_host_cells(v_, ref.dtype, extend_ghosts=True)
+        v = jnp.asarray(v, ref.dtype)
+        if v.shape == ref.shape:
+            return v
+        if v.ndim == 0:
+            return jnp.full(ref.shape, v, ref.dtype)
+        out = jnp.zeros(ref.shape, ref.dtype).at[: v.shape[0]].set(v)
+        return bck.extend_to_ghosts(self.mesh, out)
+
+    def _map_param_tangents(self, t: dict) -> dict:
+        """Hook: translate derived/VC-level tangent keys (e.g. Young's
+        modulus) into tangents of ``self.params`` entries.  Default:
+        identity."""
+        return t
+
+    def _tangent_inputs(self, param_tangents, bc_tangents, bcvals):
+        """Build ((p_base, b_base), (p_tan, b_tan)) sub-dicts holding ONLY
+        the perturbed entries; jvp runs over these with the rest of
+        params/bcvals closed over (avoids float0 tangents for the int/bool
+        leaves)."""
+        t = self._map_param_tangents(dict(param_tangents or {}))
+        p_base, p_tan = {}, {}
+        for k, v in t.items():
+            if k not in self.params:
+                raise ConfigError(
+                    f"{self.name}.solve_tangent: unknown parameter {k!r} "
+                    f"(have {sorted(self.params)})"
+                )
+            p_base[k] = self.params[k]
+            p_tan[k] = self._pad_cell_tangent(self.params[k], v)
+        b_base, b_tan = {}, {}
+        for k, v in (bc_tangents or {}).items():
+            if k not in bcvals:
+                raise ConfigError(
+                    f"{self.name}.solve_tangent: unknown BC entry {k!r}"
+                )
+            ref = bcvals[k]
+            b_base[k] = ref
+            b_tan[k] = jnp.broadcast_to(jnp.asarray(v, ref.dtype), ref.shape)
+        return (p_base, b_base), (p_tan, b_tan)
 
     def _wrap_step(self, step):
         """jit (and shard_map when distributed) a

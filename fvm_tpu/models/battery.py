@@ -150,11 +150,26 @@ class BatteryModel(Model):
         self.state = {"c": c0, "phi": per_material("initialPotential")}
         if self.options["transient"]:
             self.state["c_N1"] = c0
+        def scal(key):
+            # scalar kinetic constants live in params so solve_tangent can
+            # jvp wrt them (reference: Tangent atype recompiles models.cpp
+            # with tangent scalars); dist shards a (S,) broadcast copy
+            x = jnp.asarray(float(self.vc[key]), dtype)
+            if self._dist:
+                x = jnp.broadcast_to(x, (mesh.n_shards,))
+            return x
+
         self.params = {
             "sigma": per_material("conductivity"),
             "D": per_material("diffusivity"),
             "U0": per_material("openCircuitVoltage"),
             "mat": jnp.asarray(mat),
+            "i0": scal("exchangeCurrentDensity"),
+            "alphaA": scal("alphaAnodic"),
+            "alphaC": scal("alphaCathodic"),
+            "T": scal("temperature"),
+            "kReact": scal("rateConstant"),
+            "csMax": scal("csMax"),
         }
 
         # interface faces: interior faces whose two cells differ in material
@@ -198,10 +213,10 @@ class BatteryModel(Model):
         Positive = current from electrode into electrolyte through the face
         in owner->neighbor direction.
         """
-        T = float(self.vc["temperature"])
-        i0 = float(self.vc["exchangeCurrentDensity"])
-        aa = float(self.vc["alphaAnodic"])
-        ac = float(self.vc["alphaCathodic"])
+        T = params["T"]
+        i0 = params["i0"]
+        aa = params["alphaA"]
+        ac = params["alphaC"]
         fRT = FARADAY / (RGAS * T)
         po = mesh.take_owner(phi)
         pn = mesh.take_nbr(phi)
@@ -247,7 +262,7 @@ class BatteryModel(Model):
             i = i - (i - bv(eta)) / gp
         return i
 
-    def _bv_shell(self, ce, cs, eta):
+    def _bv_shell(self, params, ce, cs, eta):
         """Concentration-dependent Butler-Volmer current density at a
         double-shell interface (per area, positive = current leaving the
         electrode bulk into the interface).
@@ -257,11 +272,11 @@ class BatteryModel(Model):
         eta = phi_s - phi_e - U0.  Derivatives come from jax.jvp through
         this function (the reference hand-codes dIdCS/dIdCE/dIdPhi).
         """
-        T = float(self.vc["temperature"])
-        aa = float(self.vc["alphaAnodic"])
-        ac = float(self.vc["alphaCathodic"])
-        k = float(self.vc["rateConstant"])
-        csMax = float(self.vc["csMax"])
+        T = params["T"]
+        aa = params["alphaA"]
+        ac = params["alphaC"]
+        k = params["kReact"]
+        csMax = params["csMax"]
         Ca = aa * FARADAY / (RGAS * T)
         Cc = ac * FARADAY / (RGAS * T)
         eps = 1e-12 * csMax
@@ -295,7 +310,7 @@ class BatteryModel(Model):
             vmask = mesh.face_area_mag[fL] > 0
             amag = mesh.face_area_mag[fL]
             eta = phi[gr] - phi[gl] - params["U0"][gr]
-            i_bv = self._bv_shell(c[gl], c[gr], eta)
+            i_bv = self._bv_shell(params, c[gl], c[gr], eta)
             rp = rp.at[gl].set(jnp.where(vmask, fphi.F[fL] + fphi.F[fR], 0.0))
             rp = rp.at[gr].set(jnp.where(vmask, fphi.F[fR] - i_bv * amag, 0.0))
             if coupled:
@@ -403,14 +418,55 @@ class BatteryModel(Model):
             return (Ac, Ap), r
         return (Ac, Ap), rp
 
+    def _newton_op(self, mesh, params, state, bcvals, u, Ac, Ap):
+        """Exact-Newton operator at u with the block-diag (Ac, Ap)
+        surrogate (shared by the primal step and solve_tangent)."""
+        coupled = self.options["transient"]
+        # sync at residual entry: jvp tangents (Krylov vectors)
+        # exchange halos through the linear all_to_all
+        Rfn = lambda uu: self._system(
+            mesh, params, state, bcvals, maybe_sync(mesh, uu)
+        )[1]
+        n_own = mesh.n_owned_cells
+        owned = jnp.arange(mesh.n_cells) < n_own
+
+        class PairOp:
+            """Exact Newton operator; block-diag (Ac, Ap) surrogate."""
+
+            def mv(self, v):
+                y = -jax.jvp(Rfn, (u,), (v,))[1]
+                if n_own < mesh.n_cells:
+                    m = owned if y.ndim == 1 else owned[:, None]
+                    y = jnp.where(m, y, 0.0)
+                return y
+
+            def dot(self, a, b):
+                return Ap.psum(jnp.sum(a * b))
+
+            def norm(self, x):
+                return jnp.sqrt(Ap.psum(jnp.sum(x * x)))
+
+            def psum(self, v):
+                return Ap.psum(v)
+
+            def diag_solve(self, rr):
+                if coupled:
+                    return jnp.stack(
+                        [rr[:, 0] / Ac.diag, rr[:, 1] / Ap.diag], axis=1
+                    )
+                return rr / Ap.diag
+
+            def jacobi_step(self, x, b, omega=1.0):
+                return x + omega * self.diag_solve(b - self.mv(x))
+
+        return PairOp()
+
     def _build_step(self):
         solver = self.options["linearSolver"]
 
         coupled = self.options["transient"]
 
         def step(mesh, params, state, bcvals):
-            from ..ops.halo import maybe_sync
-
             if coupled:
                 u = jnp.stack([state["c"], state["phi"]], axis=1)
             else:
@@ -421,45 +477,8 @@ class BatteryModel(Model):
             u = maybe_sync(mesh, u)
             (Ac, Ap), r = self._system(mesh, params, state, bcvals, u)
             rnorm = Ap.norm(r)
-
-            # sync at residual entry: jvp tangents (Krylov vectors)
-            # exchange halos through the linear all_to_all
-            Rfn = lambda uu: self._system(
-                mesh, params, state, bcvals, maybe_sync(mesh, uu)
-            )[1]
-            n_own = mesh.n_owned_cells
-            owned = jnp.arange(mesh.n_cells) < n_own
-
-            class PairOp:
-                """Exact Newton operator; block-diag (Ac, Ap) surrogate."""
-
-                def mv(self, v):
-                    y = -jax.jvp(Rfn, (u,), (v,))[1]
-                    if n_own < mesh.n_cells:
-                        m = owned if y.ndim == 1 else owned[:, None]
-                        y = jnp.where(m, y, 0.0)
-                    return y
-
-                def dot(self, a, b):
-                    return Ap.psum(jnp.sum(a * b))
-
-                def norm(self, x):
-                    return jnp.sqrt(Ap.psum(jnp.sum(x * x)))
-
-                def psum(self, v):
-                    return Ap.psum(v)
-
-                def diag_solve(self, rr):
-                    if coupled:
-                        return jnp.stack(
-                            [rr[:, 0] / Ac.diag, rr[:, 1] / Ap.diag], axis=1
-                        )
-                    return rr / Ap.diag
-
-                def jacobi_step(self, x, b, omega=1.0):
-                    return x + omega * self.diag_solve(b - self.mv(x))
-
-            du, _ = solver.solve_fn(PairOp(), r, jnp.zeros_like(r))
+            op = self._newton_op(mesh, params, state, bcvals, u, Ac, Ap)
+            du, _ = solver.solve_fn(op, r, jnp.zeros_like(r))
             u2 = u + du
             if coupled:
                 return (
@@ -469,6 +488,54 @@ class BatteryModel(Model):
             return dict(state, phi=u2), {"rnorm": rnorm}
 
         return step
+
+    # --- sensitivities (reference: Tangent atype on BatteryModel) ---------
+
+    def solve_tangent(self, param_tangents=None, bc_tangents=None):
+        """Forward sensitivity of the converged unknowns via one
+        exact-Jacobian tangent solve (J du = dR/dp . dp, J = -dR/du from
+        the same jvp Newton operator as the primal step).
+
+        ``param_tangents`` accepts any float params key: per-cell fields
+        'sigma' / 'D' / 'U0' (scalar, (n_interior,), or full-shape) and
+        the kinetic scalars 'i0' / 'alphaA' / 'alphaC' / 'T' / 'kReact' /
+        'csMax'; ``bc_tangents`` is keyed 'group:entry' (e.g.
+        'right:specifiedCurrent').  Steady mode returns d(phi) at fixed c
+        (the steady species subsystem is singular); transient mode returns
+        (n_interior, 2) = (dc, dphi) for the current time step."""
+        if not self._initialized:
+            raise ConfigError("call init() + advance() before solve_tangent")
+        mesh = self.mesh
+        bcvals = self._resolve_bcvals()
+        solver = self.options["linearSolver"]
+        coupled = self.options["transient"]
+        base, tans = self._tangent_inputs(param_tangents, bc_tangents, bcvals)
+
+        def tangent_fn(lmesh, params_all, lstate, lbcvals, base, tans):
+            if coupled:
+                u = jnp.stack([lstate["c"], lstate["phi"]], axis=1)
+            else:
+                u = lstate["phi"]
+            u = maybe_sync(lmesh, u)
+
+            def r_of(p_sub, b_sub):
+                return self._system(
+                    lmesh, dict(params_all, **p_sub), lstate,
+                    dict(lbcvals, **b_sub), u,
+                )[1]
+
+            _, dr = jax.jvp(r_of, base, tans)
+            (Ac, Ap), _ = self._system(lmesh, params_all, lstate, lbcvals, u)
+            op = self._newton_op(lmesh, params_all, lstate, lbcvals, u, Ac, Ap)
+            du, _ = solver.solve_fn(op, dr, jnp.zeros_like(dr))
+            return du
+
+        if self._dist:
+            mapped = self._smap_cells(tangent_fn)
+            du = mapped(mesh, self.params, self.state, bcvals, base, tans)
+            return self.partition.gather_cells(du)
+        du = tangent_fn(mesh, self.params, self.state, bcvals, base, tans)
+        return np.asarray(du[: mesh.n_interior_cells])
 
     # ------------------------------------------------------------------
 
@@ -557,7 +624,7 @@ class BatteryModel(Model):
                 gr = mesh.ghost_cells_of_group(gRg)
                 amag_i = mesh.face_area_mag[fL]
                 eta_i = phi[gr] - phi[gl] - params["U0"][gr]
-                i_sh = self._bv_shell(c[gl], c[gr], eta_i)
+                i_sh = self._bv_shell(params, c[gl], c[gr], eta_i)
                 q_rxn = jnp.abs(i_sh * eta_i) * amag_i
                 qc = qc.at[mesh.face_cell0[fL]].add(0.5 * q_rxn)
                 qc = qc.at[mesh.face_cell0[fR]].add(0.5 * q_rxn)

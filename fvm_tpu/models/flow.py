@@ -213,10 +213,9 @@ class FlowModel(Model):
                         )
                         if not ok:
                             raise ConfigError(
-                                "FlowModel: distributed AMG needs all "
-                                "shards to share the condensed grid "
-                                "structure (regular partitions of "
-                                "structured meshes)"
+                                "FlowModel: distributed AMG setup failed "
+                                "(no coarsening possible on this "
+                                "partition)"
                             )
                     else:
                         ss.setup_structure(*mesh.host_cf())
@@ -324,7 +323,7 @@ class FlowModel(Model):
 
     # ------------------------------------------------------------------
 
-    def _build_step(self):
+    def _build_step(self, implicit=False):
         opts = self.options
         urf_v = float(opts["momentumURF"])
         urf_p = float(opts["pressureURF"])
@@ -332,6 +331,14 @@ class FlowModel(Model):
         n_corr = int(opts.get("nPressureCorrectors", 1))
         mom_solver = opts["momentumLinearSolver"]
         pres_solver = opts["pressureLinearSolver"]
+        # implicit=True swaps in lax.custom_linear_solve-wrapped solves so
+        # the WHOLE step is jax.jvp-differentiable (solve_tangent's
+        # fixed-point tangent iteration); the primal path keeps the plain
+        # while_loop Krylov solves
+        msolve = mom_solver.solve_fn_implicit if implicit else mom_solver.solve_fn
+        psolve = (
+            pres_solver.solve_fn_implicit if implicit else pres_solver.solve_fn
+        )
 
         def step(mesh, params, state, bcvals):
             dim = mesh.dim
@@ -400,7 +407,7 @@ class FlowModel(Model):
             Aur = A.replace(
                 diag=jnp.where(interior_cells, A.diag / urf_v, A.diag)
             )
-            dV, mom_stats = mom_solver.solve_fn(Aur, r, jnp.zeros_like(r))
+            dV, mom_stats = msolve(Aur, r, jnp.zeros_like(r))
             V = V + dV
             aP = Aur.diag
 
@@ -476,9 +483,7 @@ class FlowModel(Model):
                     Ap = Ap.replace(
                         diag=Ap.diag * (1.0 + 1e6 * params["pin_mask"])
                     )
-                pc, pres_stats = pres_solver.solve_fn(
-                    Ap, rp, jnp.zeros_like(rp)
-                )
+                pc, pres_stats = psolve(Ap, rp, jnp.zeros_like(rp))
                 if not self._has_pressure_bc:
                     # subtract a consistent global level
                     num = gsum(
@@ -719,6 +724,123 @@ class FlowModel(Model):
             return new_state, {"mom_norm": mom_norm, "cont_norm": cont_norm}
 
         return step
+
+    # --- sensitivities (reference: FlowModel built with the Tangent atype,
+    # models.cpp:10-74 — recompile-free here: iterate the jvp of the SIMPLE
+    # step map at the converged fixed point) ------------------------------
+
+    def _tangent_state(self, param_tangents, bc_tangents, niter):
+        """Tangent of the converged SIMPLE fixed point.
+
+        At convergence s* = G(s*, p).  Differentiating: ds solves
+        (I - dG/ds) ds = dG/dp . dp, obtained by iterating the LINEAR
+        fixed point ds <- jvp(G)(ds, dp) — which contracts at the same
+        rate as SIMPLE itself (the reference's Tangent atype carries
+        tangents through the identical iteration history).  Each
+        iteration jvps through a step whose Krylov solves are wrapped in
+        lax.custom_linear_solve, so the tangent linear systems are solved
+        with the same solvers instead of differentiating while_loops.
+        Returns the FULL tangent state pytree (stacked per shard when
+        distributed)."""
+        bcvals = self._resolve_bcvals()
+        base, tans = self._tangent_inputs(param_tangents, bc_tangents, bcvals)
+        step_t = self._build_step(implicit=True)
+        time_keys = [k for k in self.state if k.endswith(("_N1", "_N2"))]
+
+        def tangent_fn(lmesh, params_all, lstate, lbcvals, base, tans):
+            def G(s, p_sub, b_sub):
+                new_s, _ = step_t(
+                    lmesh, dict(params_all, **p_sub), s, dict(lbcvals, **b_sub)
+                )
+                # time levels are frozen inputs for the current step
+                return dict(new_s, **{k: s[k] for k in time_keys})
+
+            ds0 = jax.tree.map(jnp.zeros_like, lstate)
+
+            def body(ds, _):
+                _, ds2 = jax.jvp(
+                    G, (lstate, base[0], base[1]), (ds, tans[0], tans[1])
+                )
+                return ds2, None
+
+            ds, _ = jax.lax.scan(body, ds0, None, length=niter)
+            return ds
+
+        if self._dist:
+            mapped = self._smap_cells(tangent_fn)
+            return mapped(self.mesh, self.params, self.state, bcvals, base, tans)
+        return jax.jit(tangent_fn)(
+            self.mesh, self.params, self.state, bcvals, base, tans
+        )
+
+    def solve_tangent(
+        self, param_tangents=None, bc_tangents=None, niter: int = 50
+    ) -> dict:
+        """Forward sensitivity d(V, p)/d(params, BCs) . direction at the
+        converged state (reference: Tangent atype on FlowModel).
+
+        ``param_tangents`` accepts 'mu' / 'rho' (scalar, (n_interior,), or
+        full-shape); ``bc_tangents`` is keyed 'group:entry' (e.g.
+        'lid:specifiedXVelocity').  ``niter`` tangent fixed-point
+        iterations (use ~ the SIMPLE iteration count to convergence).
+        Returns {'velocity': (n_interior, dim), 'pressure': (n_interior,)}
+        host arrays."""
+        if not self._initialized:
+            raise ConfigError("call init() + advance() before solve_tangent")
+        ds = self._tangent_state(param_tangents, bc_tangents, niter)
+        if self._dist:
+            return {
+                "velocity": self.partition.gather_cells(ds["velocity"]),
+                "pressure": self.partition.gather_cells(ds["pressure"]),
+            }
+        n = self.mesh.n_interior_cells
+        return {
+            "velocity": np.asarray(ds["velocity"][:n]),
+            "pressure": np.asarray(ds["pressure"][:n]),
+        }
+
+    def solve_tangent_force(
+        self, group_name, param_tangents=None, bc_tangents=None,
+        niter: int = 50,
+    ) -> np.ndarray:
+        """d(boundary force)/d(params, BCs) . direction on a boundary
+        group: chain rule of getMomentumFluxIntegral through the state
+        tangent from solve_tangent (reference pattern:
+        getMomentumFluxIntegral on a Tangent-atype model)."""
+        mesh = self.mesh
+        g = (
+            mesh.group_by_name(group_name)
+            if isinstance(group_name, str)
+            else group_name
+        )
+        ds = self._tangent_state(param_tangents, bc_tangents, niter)
+        bcvals = self._resolve_bcvals()
+        base, tans = self._tangent_inputs(param_tangents, bc_tangents, bcvals)
+        mu0 = self.params["mu"]
+        dmu = tans[0].get("mu", jnp.zeros_like(mu0))
+
+        def face_force(m, V, p, mu, grad_coeff=None):
+            mu_f = disc.harmonic_face_gamma(m, mu)
+            gradV = (
+                gradient(m, grad_coeff, V) if grad_coeff is not None else None
+            )
+            dflux = disc.diffusion_flux(m, V, mu_f, gradV)
+            p_f = assembly.cells_to_faces_distance_weighted(m, p)
+            return dflux.F + p_f[:, None] * m.face_area
+
+        def force_of(V, p, mu):
+            args = (V, p, mu)
+            if "grad_coeff" in self.params:
+                args = args + (self.params["grad_coeff"],)
+            F = self._map_mesh(face_force, *args)
+            return self._sum_group(g, F)
+
+        _, dF = jax.jvp(
+            force_of,
+            (self.state["velocity"], self.state["pressure"], mu0),
+            (ds["velocity"], ds["pressure"], dmu),
+        )
+        return np.asarray(dF)
 
     def advanceCoupled(self, niter: int = 1) -> ResidualHistory:
         """Fully coupled pressure-velocity advance (reference

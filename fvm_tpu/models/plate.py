@@ -95,6 +95,7 @@ class PlateModel(Model):
         E = self._cell_field(self.vc, "ym", extend_ghosts=True)
         nu = self._cell_field(self.vc, "nu", extend_ghosts=True)
         h = self._cell_field(self.vc, "thickness", extend_ghosts=True)
+        self._E, self._h = E, h  # kept for solve_tangent chain rule
         kappa = float(self.options["shearCorrection"])
         D = E * h**3 / (12.0 * (1.0 - nu * nu))
         G = E / (2.0 * (1.0 + nu))
@@ -289,6 +290,72 @@ class PlateModel(Model):
             return dict(state, u=u + du), {"rnorm": rnorm}
 
         return step
+
+    # --- sensitivities (reference: models.cpp builds PlateModel with the
+    # Tangent atype; the MEMS UQ drivers sweep ym/thickness) --------------
+
+    def _map_param_tangents(self, t):
+        if not ({"ym", "thickness"} & set(t)) and "nu_vc" not in t:
+            return t
+        E, h, nu = self._E, self._h, self.params["nu"]
+        kappa = float(self.options["shearCorrection"])
+        dE = self._pad_cell_tangent(E, t.pop("ym", 0.0))
+        dh = self._pad_cell_tangent(h, t.pop("thickness", 0.0))
+        dnu = self._pad_cell_tangent(nu, t.pop("nu_vc", 0.0))
+
+        def props(E, nu, h):
+            D = E * h**3 / (12.0 * (1.0 - nu * nu))
+            S = kappa * E / (2.0 * (1.0 + nu)) * h
+            return {"D": D, "S": S, "nu": nu}
+
+        _, d = jax.jvp(props, (E, nu, h), (dE, dnu, dh))
+        for k, v in d.items():
+            if k in t:
+                v = v + self._pad_cell_tangent(self.params[k], t[k])
+            t[k] = v
+        return t
+
+    def solve_tangent(self, param_tangents=None, bc_tangents=None) -> np.ndarray:
+        """Forward sensitivity d(u) . (dparams, dBCs) at the converged
+        state via one exact-Jacobian tangent solve (same JFNK operator as
+        the primal step; reference: Tangent atype, models.cpp:10-74).
+
+        ``param_tangents`` accepts params keys ('D', 'S', 'q', ...) or
+        VC-level 'ym' / 'thickness' / 'nu_vc' (chain rule through
+        D = E h^3/12(1-nu^2), S = kappa G h).  Returns d(u) on interior
+        cells, (n_interior, 3) = (dbeta_x, dbeta_y, dw)."""
+        if not self._initialized:
+            raise ConfigError("call init() + advance() before solve_tangent")
+        mesh = self.mesh
+        bcvals = self._resolve_bcvals()
+        solver = self.options["linearSolver"]
+        base, tans = self._tangent_inputs(param_tangents, bc_tangents, bcvals)
+
+        def tangent_fn(lmesh, params_all, lstate, lbcvals, base, tans):
+            u = maybe_sync(lmesh, lstate["u"])
+            lstate = dict(lstate, u=u)
+
+            def r_of(p_sub, b_sub):
+                return self._system(
+                    lmesh, dict(params_all, **p_sub), lstate,
+                    dict(lbcvals, **b_sub), u,
+                )[1]
+
+            _, dr = jax.jvp(r_of, base, tans)
+            A, _ = self._system(lmesh, params_all, lstate, lbcvals, u)
+            Rfn = lambda uu: self._system(
+                lmesh, params_all, lstate, lbcvals, maybe_sync(lmesh, uu)
+            )[1]
+            op = MatrixFreeOperator(newton_operator(Rfn, u), A)
+            du, _ = solver.solve_fn(op, dr, jnp.zeros_like(dr))
+            return du
+
+        if self._dist:
+            mapped = self._smap_cells(tangent_fn)
+            du = mapped(mesh, self.params, self.state, bcvals, base, tans)
+            return self.partition.gather_cells(du)
+        du = tangent_fn(mesh, self.params, self.state, bcvals, base, tans)
+        return np.asarray(du[: mesh.n_interior_cells])
 
     # ------------------------------------------------------------------
 

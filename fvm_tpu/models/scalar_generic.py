@@ -27,6 +27,50 @@ from ..exceptions import ConfigError
 from .base import Model, ResidualHistory
 
 
+class PCExpansion:
+    """Polynomial-chaos expansion result (reference: fvmbase/PC.h:61 —
+    the intrusive PC<ORDER,DIM> atype's _data coefficients, here obtained
+    by non-intrusive spectral projection).
+
+    ``coefficients`` maps multi-index tuples alpha -> (n_interior,)
+    coefficient fields in the ORTHONORMAL probabilists' Hermite basis,
+    so mean = c_0 and variance = sum_{alpha != 0} c_alpha^2 (the same
+    stdDev() the reference reads off its PC arithmetic)."""
+
+    def __init__(self, coefficients: dict, ndim: int):
+        self.coefficients = coefficients
+        self.ndim = ndim
+
+    def mean(self) -> np.ndarray:
+        return self.coefficients[(0,) * self.ndim]
+
+    def variance(self) -> np.ndarray:
+        z = (0,) * self.ndim
+        return sum(
+            c**2 for a, c in self.coefficients.items() if a != z
+        )
+
+    def std(self) -> np.ndarray:
+        return np.sqrt(self.variance())
+
+    def eval(self, xi) -> np.ndarray:
+        """Evaluate the surrogate at a sample point xi (ndim,)."""
+        from math import factorial
+
+        xi = np.atleast_1d(np.asarray(xi, np.float64))
+        out = 0.0
+        for a, c in self.coefficients.items():
+            psi = 1.0
+            for i, k in enumerate(a):
+                hc = np.zeros(k + 1)
+                hc[k] = 1.0
+                psi *= np.polynomial.hermite_e.hermeval(
+                    xi[i], hc
+                ) / np.sqrt(factorial(k))
+            out = out + psi * c
+        return out
+
+
 class GenericScalarModel(Model):
     """Scalar transport: d(rho phi)/dt + div(mdot phi) = div(D grad phi) + S.
 
@@ -369,6 +413,73 @@ class GenericScalarModel(Model):
             return st[self.var][: mesh.n_interior_cells]
 
         return np.asarray(solve_one(samples))
+
+    def solve_pc(
+        self,
+        param_key: str,
+        mean,
+        directions,
+        order: int = 2,
+        niter: int = 20,
+        quad_points: int | None = None,
+    ) -> "PCExpansion":
+        """Non-intrusive polynomial-chaos expansion (the role of the
+        reference's intrusive PC<ORDER,DIM> atype, fvmbase/PC.h:61).
+
+        The uncertain parameter is  p(xi) = mean + sum_i xi_i * dir_i
+        with xi_i independent standard normals.  Solutions at tensor
+        Gauss-Hermite nodes (vmapped through ``solve_mc``) are projected
+        onto the orthonormal probabilists' Hermite basis up to total
+        degree ``order``; mean/variance come from the coefficients
+        (variance = sum of squared non-constant coefficients), matching
+        what the reference extracts from its PC arithmetic.
+
+        ``mean``: scalar or (n_interior,) field; ``directions``: sequence
+        of scalars/fields (one per random dimension).  Returns a
+        ``PCExpansion``."""
+        import itertools
+        from math import factorial
+
+        dirs = [np.asarray(d, dtype=np.float64) for d in directions]
+        ndim = len(dirs)
+        q = int(quad_points or (order + 1))
+        nodes, weights = np.polynomial.hermite_e.hermegauss(q)
+        weights = weights / weights.sum()  # normalize N(0,1) quadrature
+
+        n_int = (
+            self.partition.mesh.n_interior_cells
+            if self._dist
+            else self.mesh.n_interior_cells
+        )
+        mean_f = np.broadcast_to(np.asarray(mean, np.float64), (n_int,))
+        dir_f = [np.broadcast_to(d, (n_int,)) for d in dirs]
+
+        grids = list(itertools.product(range(q), repeat=ndim))
+        xi = np.array([[nodes[i] for i in g] for g in grids])  # (Q, ndim)
+        W = np.array([np.prod([weights[i] for i in g]) for g in grids])
+        samples = mean_f[None, :] + xi @ np.stack(dir_f)  # (Q, n_int)
+        sols = self.solve_mc(param_key, samples, niter=niter)  # (Q, n_int)
+
+        # orthonormal probabilists' Hermite: he_k(x)/sqrt(k!)
+        def he(k, x):
+            c = np.zeros(k + 1)
+            c[k] = 1.0
+            return np.polynomial.hermite_e.hermeval(x, c) / np.sqrt(
+                factorial(k)
+            )
+
+        alphas = [
+            a
+            for a in itertools.product(range(order + 1), repeat=ndim)
+            if sum(a) <= order
+        ]
+        coeffs = {}
+        for a in alphas:
+            psi = np.prod(
+                [he(k, xi[:, i]) for i, k in enumerate(a)], axis=0
+            )  # (Q,)
+            coeffs[a] = (W * psi) @ sols
+        return PCExpansion(coeffs, ndim)
 
     def getFluxIntegral(self, group_name) -> float:
         """Diffusive flux leaving the domain through a boundary group

@@ -131,6 +131,7 @@ class StructureModel(Model):
 
         E = self._cell_field(self.vc, "youngsModulus", extend_ghosts=True)
         nu = self._cell_field(self.vc, "poissonsRatio", extend_ghosts=True)
+        self._E, self._nu = E, nu  # kept for solve_tangent chain rule
         mu = E / (2.0 * (1.0 + nu))
         lam = E * nu / ((1.0 + nu) * (1.0 - 2.0 * nu))
         body_keys = ("bodyForceX", "bodyForceY", "bodyForceZ")[:dim]
@@ -346,6 +347,75 @@ class StructureModel(Model):
             return state, {"rnorm": rnorm}
 
         return step
+
+    # --- sensitivities (reference: models.cpp:10-74 builds StructureModel
+    # with the Tangent atype; Simulator_Cantilever_UQ.py drives it) -------
+
+    def _map_param_tangents(self, t):
+        if not ({"youngsModulus", "poissonsRatio"} & set(t)):
+            return t
+        E, nu = self._E, self._nu
+        dE = self._pad_cell_tangent(E, t.pop("youngsModulus", 0.0))
+        dnu = self._pad_cell_tangent(nu, t.pop("poissonsRatio", 0.0))
+
+        def props(E, nu):
+            return {
+                "mu": E / (2.0 * (1.0 + nu)),
+                "lam": E * nu / ((1.0 + nu) * (1.0 - 2.0 * nu)),
+            }
+
+        _, d = jax.jvp(props, (E, nu), (dE, dnu))
+        for k, v in d.items():
+            if k in t:
+                v = v + self._pad_cell_tangent(self.params[k], t[k])
+            t[k] = v
+        return t
+
+    def solve_tangent(self, param_tangents=None, bc_tangents=None) -> np.ndarray:
+        """Forward sensitivity d(deformation) . (dparams, dBCs) at the
+        converged state (reference: every model instantiated with the
+        Tangent atype, models.cpp:10-74, atypes/tangent_double/atype.h:10).
+
+        At convergence R(w*, p) = 0, so J dw = dR/dp . dp with
+        J = -dR/dw — solved with the SAME exact-jvp matrix-free operator
+        and preconditioner as the primal JFNK step (the derivative is
+        exact, not one Picard sweep).  ``param_tangents`` accepts params
+        keys ('mu', 'lam', 'body') or VC-level 'youngsModulus' /
+        'poissonsRatio' (chain rule); ``bc_tangents`` is keyed
+        'group:entry' (e.g. 'right:specifiedYTraction').  Returns
+        d(deformation) on interior cells, (n_interior, dim)."""
+        if not self._initialized:
+            raise ConfigError("call init() + advance() before solve_tangent")
+        mesh = self.mesh
+        bcvals = self._resolve_bcvals()
+        solver = self.options["linearSolver"]
+        base, tans = self._tangent_inputs(param_tangents, bc_tangents, bcvals)
+
+        def tangent_fn(lmesh, params_all, lstate, lbcvals, base, tans):
+            w = maybe_sync(lmesh, lstate["deformation"])
+            lstate = dict(lstate, deformation=w)
+
+            def r_of(p_sub, b_sub):
+                return self._system(
+                    lmesh, dict(params_all, **p_sub), lstate,
+                    dict(lbcvals, **b_sub), w,
+                )[1]
+
+            _, dr = jax.jvp(r_of, base, tans)
+            A, _ = self._system(lmesh, params_all, lstate, lbcvals, w)
+            Rfn = lambda ww: self._system(
+                lmesh, params_all, lstate, lbcvals, maybe_sync(lmesh, ww)
+            )[1]
+            op = MatrixFreeOperator(newton_operator(Rfn, w), A)
+            dw, _ = solver.solve_fn(op, dr, jnp.zeros_like(dr))
+            return dw
+
+        if self._dist:
+            mapped = self._smap_cells(tangent_fn)
+            dw = mapped(mesh, self.params, self.state, bcvals, base, tans)
+            return self.partition.gather_cells(dw)
+        dw = tangent_fn(mesh, self.params, self.state, bcvals, base, tans)
+        return np.asarray(dw[: mesh.n_interior_cells])
 
     # ------------------------------------------------------------------
 

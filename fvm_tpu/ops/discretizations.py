@@ -30,8 +30,13 @@ def harmonic_face_gamma(mesh: DeviceMesh, gamma_cell: jnp.ndarray) -> jnp.ndarra
     # distance weights: fraction of the O->N segment on each side of the
     # face (w = 1 - face_wo, the precomputed owner weight)
     w = 1.0 - mesh.face_wo
-    denom = (1.0 - w) / jnp.maximum(go, 1e-300) + w / jnp.maximum(gn, 1e-300)
-    return 1.0 / denom
+    # AD-safe harmonic mean go*gn / ((1-w)*gn + w*go): the double-where
+    # keeps jvp tangents finite when a gamma is exactly zero (e.g. lam=0
+    # for nu=0 elasticity) — a reciprocal-of-clamp formulation overflows
+    # 1/denom^2 in the tangent and poisons solve_tangent with NaNs
+    den = (1.0 - w) * gn + w * go
+    safe = den > jnp.finfo(den.dtype).tiny
+    return jnp.where(safe, go * gn / jnp.where(safe, den, 1.0), 0.0)
 
 
 def diffusion_flux(

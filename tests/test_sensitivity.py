@@ -128,3 +128,48 @@ def test_solve_tangent_dist_matches_analytic():
     sols = m.solve_mc("D", np.array([1.0, 2.0, 4.0]), niter=8)
     for Dv, sol in zip([1.0, 2.0, 4.0], sols):
         np.testing.assert_allclose(sol, 1.0 + q * x / Dv, atol=1e-7)
+
+
+def test_solve_pc_hermite_projection():
+    """Non-intrusive polynomial chaos (the role of fvmbase/PC.h:61):
+    for D = 2 + 0.3 xi the PCE mean is exact at the quadrature level and
+    the coefficient variance converges to the quadrature variance."""
+    q = 3.0
+    m, dm = make_flux_driven(2.0, q)
+    x = np.asarray(dm.cell_centroid)[: dm.n_interior_cells, 0]
+    pc = m.solve_pc("D", 2.0, [0.3], order=4, quad_points=8, niter=8)
+    nodes, weights = np.polynomial.hermite_e.hermegauss(8)
+    weights = weights / weights.sum()
+    exact = 1.0 + q * x[None, :] / (2.0 + 0.3 * nodes[:, None])
+    emean = weights @ exact
+    evar = weights @ (exact - emean) ** 2
+    np.testing.assert_allclose(pc.mean(), emean, atol=1e-12)
+    np.testing.assert_allclose(pc.variance(), evar, rtol=2e-4, atol=1e-12)
+    # the order-4 surrogate reproduces the solution at a fresh xi
+    s = pc.eval([0.5])
+    np.testing.assert_allclose(s, 1.0 + q * x / 2.15, rtol=2e-3)
+
+
+def test_solve_pc_two_dims():
+    """2-D PCE (independent xi_1, xi_2 on disjoint regions): total-degree
+    basis mean matches tensor-quadrature of the analytic solution."""
+    q = 3.0
+    m, dm = make_flux_driven(2.0, q)
+    n = dm.n_interior_cells
+    x = np.asarray(dm.cell_centroid)[:n, 0]
+    left = (x < 0.5).astype(float)
+    right = 1.0 - left
+    pc = m.solve_pc(
+        "D", 2.0, [0.2 * left, 0.2 * right], order=2, quad_points=4, niter=8
+    )
+    assert pc.mean().shape == (n,)
+    assert (pc.variance() > 0).all()
+    # each cell sees exactly one random dim: var(phi) on the right half
+    # cells depends only on xi_2 -> the (0,k) coefficients carry it
+    z = pc.coefficients[(1, 0)]
+    z2 = pc.coefficients[(0, 1)]
+    # left-half sensitivity lives in xi_1 ... 1/D factors only on the
+    # right-half segment of the flux path; both must be finite and the
+    # cross term (1,1) small
+    cross = pc.coefficients[(1, 1)]
+    assert np.abs(cross).max() < 0.05 * max(np.abs(z).max(), np.abs(z2).max())

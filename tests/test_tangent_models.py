@@ -1,0 +1,285 @@
+"""Model-wide forward sensitivities (solve_tangent) on the flagship
+models: Flow, Structure, Plate, Battery.
+
+The reference instantiates EVERY model with the Tangent atype
+(reference: src/fvm/src/modules/fvmbase/models.cpp:10-74,
+atypes/tangent_double/atype.h:10) and drives UQ from it
+(scripts/Simulator_Cantilever_UQ.py).  Here the same derivatives come
+from jax.jvp: JFNK models solve one exact tangent system; the SIMPLE
+flow model iterates the jvp of its step map at the converged fixed
+point.  Every test is verified against central finite differences or a
+closed-form derivative.
+"""
+
+import numpy as np
+import pytest
+import jax
+
+import fvm_tpu as fvm
+from fvm_tpu.mesh.generate import quad_2d
+from fvm_tpu.models.flow import FlowModel
+from fvm_tpu.models.structure import StructureModel
+from fvm_tpu.models.plate import PlateModel
+from fvm_tpu.models.battery import BatteryModel
+from fvm_tpu.parallel import Partition
+
+
+# ---------------------------------------------------------------- structure
+
+def _make_structure(E=100.0, nu=0.0, sigma=5.0):
+    dm = fvm.mesh.build_device_mesh(quad_2d(10, 4))
+    m = StructureModel(dm)
+    m.options["verbose"] = False
+    m.vc["youngsModulus"] = E
+    m.vc["poissonsRatio"] = nu
+    m.bc["left"].bc_type = "Symmetry"
+    m.bc["right"].bc_type = "SpecifiedTraction"
+    m.bc["right"]["specifiedXTraction"] = sigma
+    m.bc["bottom"].bc_type = "Symmetry"
+    m.bc["top"].bc_type = "ZeroTraction"
+    m.init()
+    m.advance(10)
+    return m
+
+
+def test_structure_tangent_youngs_analytic():
+    """Uniaxial patch: u_x = sigma x / E exactly, so
+    d(u_x)/dE . 1 = -sigma x / E^2 (chain rule through mu, lam)."""
+    E, sigma = 100.0, 5.0
+    m = _make_structure(E, 0.0, sigma)
+    dm = m.mesh
+    x = np.asarray(dm.cell_centroid)[: dm.n_interior_cells, 0]
+    dw = m.solve_tangent({"youngsModulus": 1.0})
+    np.testing.assert_allclose(dw[:, 0], -sigma * x / E**2, atol=1e-9)
+    np.testing.assert_allclose(dw[:, 1], 0.0, atol=1e-9)
+
+
+def test_structure_tangent_bc_traction():
+    """d(u_x)/d(traction) = x / E exactly on the uniaxial patch."""
+    E = 100.0
+    m = _make_structure(E, 0.0, 5.0)
+    dm = m.mesh
+    x = np.asarray(dm.cell_centroid)[: dm.n_interior_cells, 0]
+    dw = m.solve_tangent(bc_tangents={"right:specifiedXTraction": 1.0})
+    np.testing.assert_allclose(dw[:, 0], x / E, atol=1e-8)
+
+
+def test_structure_tangent_poisson_fd():
+    """d(u)/d(nu) at nu=0.3 plane strain vs central finite differences."""
+    E, nu = 200.0, 0.3
+    m = _make_structure(E, nu, 4.0)
+    dnu = m.solve_tangent({"poissonsRatio": 1.0})
+    eps = 1e-6
+    fp = _make_structure(E, nu + eps, 4.0).getDeformation()
+    fm = _make_structure(E, nu - eps, 4.0).getDeformation()
+    fd = (fp - fm) / (2 * eps)
+    np.testing.assert_allclose(dnu, fd, rtol=5e-5, atol=1e-10)
+
+
+def test_structure_tangent_dist_matches_single():
+    """Per-shard exact tangent solve under shard_map (psum Krylov)."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    E, sigma = 100.0, 5.0
+    single = _make_structure(E, 0.3, sigma)
+    dw1 = single.solve_tangent({"youngsModulus": 1.0})
+
+    part = Partition(quad_2d(10, 4), 4)
+    m = StructureModel(part.sharded_mesh, partition=part)
+    m.options["verbose"] = False
+    m.vc["youngsModulus"] = E
+    m.vc["poissonsRatio"] = 0.3
+    m.bc["left"].bc_type = "Symmetry"
+    m.bc["right"].bc_type = "SpecifiedTraction"
+    m.bc["right"]["specifiedXTraction"] = sigma
+    m.bc["bottom"].bc_type = "Symmetry"
+    m.bc["top"].bc_type = "ZeroTraction"
+    m.init()
+    m.advance(10)
+    dwN = m.solve_tangent({"youngsModulus": 1.0})
+    np.testing.assert_allclose(dwN, dw1, atol=1e-9)
+
+
+# ------------------------------------------------------------------- plate
+
+def _make_plate(E=1e9, h=0.02, q=100.0):
+    dm = fvm.mesh.build_device_mesh(quad_2d(30, 4, lx=1.0, ly=0.2))
+    m = PlateModel(dm)
+    m.options["verbose"] = False
+    m.vc["ym"] = E
+    m.vc["nu"] = 0.0
+    m.vc["thickness"] = h
+    m.vc["pressure"] = q
+    m.bc["left"].bc_type = "Clamped"
+    m.bc["right"].bc_type = "Free"
+    m.bc["bottom"].bc_type = "Symmetry"
+    m.bc["top"].bc_type = "Symmetry"
+    m.init()
+    m.advance(8)
+    return m
+
+
+def test_plate_tangent_ym_and_load_analytic():
+    """The plate solve is linear in q and w ~ 1/E (nu fixed):
+    dw/dE = -w/E and dw/dq = w/q, both exact identities."""
+    E, q = 1e9, 100.0
+    m = _make_plate(E=E, q=q)
+    w = m.getDeflection()
+    du = m.solve_tangent({"ym": 1.0})
+    np.testing.assert_allclose(du[:, 2], -w / E, rtol=1e-8, atol=1e-22)
+    duq = m.solve_tangent({"q": 1.0})
+    np.testing.assert_allclose(duq[:, 2], w / q, rtol=1e-8, atol=1e-12)
+
+
+def test_plate_tangent_thickness_fd():
+    """d(w)/d(h) (chain rule through D = Eh^3/12 and S = kappa G h)
+    vs central finite differences."""
+    h = 0.02
+    m = _make_plate(h=h)
+    du = m.solve_tangent({"thickness": 1.0})
+    eps = h * 1e-5
+    fp = _make_plate(h=h + eps).getDeflection()
+    fm = _make_plate(h=h - eps).getDeflection()
+    fd = (fp - fm) / (2 * eps)
+    np.testing.assert_allclose(du[:, 2], fd, rtol=1e-5, atol=1e-12)
+
+
+# ----------------------------------------------------------------- battery
+
+def _build_cell(i0=10.0):
+    dm = fvm.mesh.build_device_mesh(quad_2d(30, 2))
+    m = BatteryModel(dm)
+    m.options["verbose"] = False
+    x = np.asarray(dm.cell_centroid)[: dm.n_interior_cells, 0]
+    mat = np.where(x < 1 / 3, 0, np.where(x < 2 / 3, 1, 2)).astype(np.int32)
+    m.set_material_regions(mat)
+    m.vc["exchangeCurrentDensity"] = i0
+    m.bc["left"].bc_type = "SpecifiedPotential"
+    m.bc["left"]["specifiedPotential"] = 0.0
+    m.bc["right"].bc_type = "SpecifiedPotential"
+    m.bc["right"]["specifiedPotential"] = 3.75
+    m.bc["bottom"].bc_type = "Symmetry"
+    m.bc["top"].bc_type = "Symmetry"
+    m.init()
+    m.advance(25)
+    return m
+
+
+def test_battery_tangent_i0_fd():
+    """d(phi)/d(i0) through the Butler-Volmer closure vs central FD
+    (the reference hand-codes these derivatives in
+    BatteryPCLinearizeInterface_BV.h; here jax.jvp supplies them)."""
+    m = _build_cell()
+    dphi = m.solve_tangent({"i0": 1.0})
+    eps = 1e-3
+    fd = (
+        _build_cell(10.0 + eps).getPotential()
+        - _build_cell(10.0 - eps).getPotential()
+    ) / (2 * eps)
+    np.testing.assert_allclose(dphi, fd, rtol=1e-4, atol=1e-10)
+
+
+def test_battery_tangent_sigma_fd():
+    """d(phi)/d(conductivity) (uniform direction) vs central FD."""
+    m = _build_cell()
+    dphi = m.solve_tangent({"sigma": 1.0})
+
+    def solve(ds):
+        dm = fvm.mesh.build_device_mesh(quad_2d(30, 2))
+        mm = BatteryModel(dm)
+        mm.options["verbose"] = False
+        x = np.asarray(dm.cell_centroid)[: dm.n_interior_cells, 0]
+        mat = np.where(x < 1 / 3, 0, np.where(x < 2 / 3, 1, 2)).astype(
+            np.int32
+        )
+        mm.set_material_regions(mat)
+        mm.bc["left"].bc_type = "SpecifiedPotential"
+        mm.bc["left"]["specifiedPotential"] = 0.0
+        mm.bc["right"].bc_type = "SpecifiedPotential"
+        mm.bc["right"]["specifiedPotential"] = 3.75
+        mm.bc["bottom"].bc_type = "Symmetry"
+        mm.bc["top"].bc_type = "Symmetry"
+        mm.init()
+        mm.params["sigma"] = mm.params["sigma"] + ds
+        mm.advance(25)
+        return mm.getPotential()
+
+    eps = 1e-3
+    fd = (solve(eps) - solve(-eps)) / (2 * eps)
+    np.testing.assert_allclose(dphi, fd, rtol=1e-4, atol=1e-12)
+
+
+# -------------------------------------------------------------------- flow
+
+def _make_cavity(visc=0.05, lid=1.0, nit=200, part=None):
+    if part is None:
+        m = FlowModel(fvm.mesh.build_device_mesh(quad_2d(16, 16)))
+    else:
+        m = FlowModel(part.sharded_mesh, partition=part)
+    m.options["verbose"] = False
+    m.vc["viscosity"] = visc
+    for side in ("left", "right", "bottom", "top"):
+        m.bc[side].bc_type = "NoSlipWall"
+    m.bc["top"]["specifiedXVelocity"] = lid
+    m.init()
+    m.advance(nit)
+    return m
+
+
+def test_flow_tangent_viscosity_fd():
+    """d(V)/d(mu) on the Re=20 cavity: tangent fixed-point iteration of
+    the jvp'd SIMPLE step vs central finite differences."""
+    mu = 0.05
+    m = _make_cavity(mu)
+    ds = m.solve_tangent({"mu": 1.0}, niter=120)
+    eps = 1e-4
+    fp = _make_cavity(mu + eps)
+    fm = _make_cavity(mu - eps)
+    fdV = (fp.getVelocity() - fm.getVelocity()) / (2 * eps)
+    scale = np.abs(fdV).max()
+    assert np.abs(ds["velocity"] - fdV).max() < 6e-3 * scale
+    fdp = (fp.getPressure() - fm.getPressure()) / (2 * eps)
+    assert np.abs(ds["pressure"] - fdp).max() < 2e-2 * np.abs(fdp).max()
+
+
+def test_flow_tangent_lid_velocity_fd():
+    """d(V)/d(lid velocity) via bc_tangents vs central FD."""
+    m = _make_cavity()
+    ds = m.solve_tangent(
+        bc_tangents={"top:specifiedXVelocity": 1.0}, niter=120
+    )
+    eps = 1e-4
+    fp = _make_cavity(lid=1.0 + eps)
+    fm = _make_cavity(lid=1.0 - eps)
+    fdV = (fp.getVelocity() - fm.getVelocity()) / (2 * eps)
+    assert np.abs(ds["velocity"] - fdV).max() < 5e-3 * np.abs(fdV).max()
+
+
+def test_flow_tangent_force_fd():
+    """d(lid force)/d(mu): chain rule of getMomentumFluxIntegral through
+    the state tangent, vs central FD of the force itself."""
+    mu = 0.05
+    m = _make_cavity(mu)
+    dF = m.solve_tangent_force("top", {"mu": 1.0}, niter=120)
+    eps = 1e-4
+    fp = _make_cavity(mu + eps)
+    fm = _make_cavity(mu - eps)
+    fdF = (
+        fp.getMomentumFluxIntegral("top") - fm.getMomentumFluxIntegral("top")
+    ) / (2 * eps)
+    np.testing.assert_allclose(dF, fdF, rtol=5e-3, atol=1e-10)
+
+
+def test_flow_tangent_dist_matches_single():
+    """Distributed tangent (shard_map + psum'd implicit Krylov inside the
+    jvp'd step) matches the single-device tangent."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    m1 = _make_cavity(nit=120)
+    ds1 = m1.solve_tangent({"mu": 1.0}, niter=80)
+
+    part = Partition(quad_2d(16, 16), 4)
+    mN = _make_cavity(nit=120, part=part)
+    dsN = mN.solve_tangent({"mu": 1.0}, niter=80)
+    scale = np.abs(ds1["velocity"]).max()
+    assert np.abs(dsN["velocity"] - ds1["velocity"]).max() < 5e-3 * scale
