@@ -63,10 +63,24 @@ def main():
     print(f"d(w_tip)/dE = {dtip_dE:.6e}  ->  linearized std = {lin_std:.4e}")
     print(f"  (exact-identity check -w/E: {-w0 / E_mean:.6e})")
 
-    # 2. Monte-Carlo over E (small sample; the reference sweeps the same way)
+    # 2. Monte-Carlo over E (small sample; the reference sweeps the same
+    # way).  Reuse the one jitted model: scaling E scales mu/lam, so each
+    # sample is a params update + re-solve — no re-init/recompile.
+    import jax.numpy as jnp
+
     rng = np.random.default_rng(0)
     samples = rng.normal(E_mean, E_std, size=8)
-    tips = np.array([tip_deflection(build(E)) for E in samples])
+    mu0, lam0 = m.params["mu"], m.params["lam"]
+
+    def resolve(E):
+        s = E / E_mean
+        m.params = dict(m.params, mu=s * mu0, lam=s * lam0)
+        m.state = dict(m.state, deformation=jnp.zeros_like(m.state["deformation"]))
+        m._initial_norm = None
+        m.advance(15)
+        return tip_deflection(m)
+
+    tips = np.array([resolve(E) for E in samples])
     print(
         f"MC (n=8): mean = {tips.mean():.6e}  std = {tips.std(ddof=1):.4e}"
     )

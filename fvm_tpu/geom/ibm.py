@@ -152,17 +152,31 @@ class IBManager:
             np.linalg.norm(cc[ib] - wall_pt, axis=1), 1e-12
         )
         fluid_cells = np.nonzero(t == IBType.FLUID)[0]
-        if len(fluid_cells):
+        if len(fluid_cells) and n_ib:
+            # one batched kd-tree query for the whole IB band (the
+            # reference loops per IB cell, IBManager.h:83; a python loop
+            # here is hostile at large IB counts)
             tree = KSearchTree(cc[fluid_cells])
-            for i, c in enumerate(ib):
-                kk = min(k, len(fluid_cells))
-                d, j = tree.query_batch(cc[c][None, :], kk)
-                j = np.atleast_1d(np.asarray(j).reshape(-1))[:kk]
-                d = np.atleast_1d(np.asarray(d).reshape(-1))[:kk]
-                fluid_idx[i, :kk] = fluid_cells[j]
-                fluid_w[i, :kk] = 1.0 / np.maximum(d, 1e-12)
+            kk = min(k, len(fluid_cells))
+            d, j = tree.query_batch(cc[ib], kk)
+            d = np.asarray(d).reshape(n_ib, kk)
+            j = np.asarray(j).reshape(n_ib, kk)
+            fluid_idx[:, :kk] = fluid_cells[j]
+            fluid_w[:, :kk] = 1.0 / np.maximum(d, 1e-12)
         self.wall_point = wall_pt
         return ib, fluid_idx, fluid_w, wall_w
+
+    def ib_faces(self) -> np.ndarray:
+        """Faces separating the (fluid | IB) region from SOLID cells
+        (reference: IBManager.h:82 createIBFaces) — the integration
+        surface for IB force/flux integrals."""
+        mesh = self.mesh
+        t = self.ib_type
+        owner = mesh.face_cells[: mesh.n_interior_faces, 0]
+        nbr = mesh.face_cells[: mesh.n_interior_faces, 1]
+        so = t[owner] == IBType.SOLID
+        sn = t[nbr] == IBType.SOLID
+        return np.nonzero(so ^ sn)[0]
 
     def dirichlet_mask(self, include_ib: bool = True) -> np.ndarray:
         """Boolean per-cell mask of cells to pin to the body value

@@ -36,7 +36,9 @@ from .quadrature import Quadrature
 
 
 class KineticBC(BoundaryCondition):
-    _allowed_types = ("DiffuseWall", "FarField", "SpecularWall", "Symmetry")
+    _allowed_types = (
+        "DiffuseWall", "FarField", "SpecularWall", "Symmetry", "Periodic",
+    )
     _defaults = {
         "specifiedTemperature": 1.0,
         "specifiedXVelocity": 0.0,
@@ -303,17 +305,39 @@ class KineticModel(Model):
         # stored in params (not closed over) so shard_map shards them
         self.params["dO"] = jnp.maximum(mdot, 0.0)
         self.params["dN"] = jnp.minimum(mdot, 0.0)
-        # specular mirror permutations per axis (cartesian tensor grid)
-        self._mirror = self._build_mirrors()
-        # dominant outward-normal axis per boundary group, computed on the
-        # host from the concrete (possibly stacked) face areas: inside
-        # shard_map the mesh arrays are traced and argmax would fail
+        # periodic partners: ghost f copies the partner owner cell
+        for g, bc in self._group_bcs():
+            if bc.bc_type == "Periodic":
+                self.params[f"periodic_src:{g[1]}"] = self._periodic_group_src(g)
+
+        # specular/symmetry reflection tables (reference:
+        # KineticBoundaryConditions.h works at ANY wall orientation): the
+        # reflected ordinate c - 2(c.n)n is redistributed onto the
+        # ordinate set host-side (quadrature.reflection_tables); exact
+        # mirror permutation on axis-aligned tensor-grid walls.  Stored
+        # in params so shard_map shards the per-face tables.
+        from .quadrature import reflection_tables
+
         fa = np.asarray(mesh.face_area)
-        self._mirror_axis = {}
-        for g, _bc in self._group_bcs():
+        for g, bc in self._group_bcs():
+            if bc.bc_type not in ("SpecularWall", "Symmetry"):
+                continue
             sl = mesh.group_faces(g)
-            ga = np.abs(fa[..., sl, :]).sum(axis=tuple(range(fa.ndim - 1)))
-            self._mirror_axis[g[1]] = int(np.argmax(ga + 1e-30))
+            fa_g = fa[..., sl, :]
+
+            def tables(fa2d):
+                n3 = np.zeros((fa2d.shape[0], 3))
+                n3[:, : mesh.dim] = fa2d
+                return reflection_tables(q.c, n3, weights=q.w)
+
+            if fa_g.ndim == 3:  # stacked dist (S, L, d)
+                pairs = [tables(fa_g[d_]) for d_ in range(fa_g.shape[0])]
+                idx = np.stack([p[0] for p in pairs])
+                wgt = np.stack([p[1] for p in pairs])
+            else:
+                idx, wgt = tables(fa_g)
+            self.params[f"refl_idx:{g[1]}"] = jnp.asarray(idx)
+            self.params[f"refl_w:{g[1]}"] = jnp.asarray(wgt, dtype)
         if self._dist:
             self.state = self.partition.device_put(self.state)
             self.params = self.partition.device_put(self.params)
@@ -324,22 +348,6 @@ class KineticModel(Model):
         self._step = self._wrap_step(self._build_step())
         self._initial_norm = None
         self._initialized = True
-
-    def _build_mirrors(self):
-        q = self.quadrature
-        perms = []
-        for axis in range(3):
-            c_m = q.c.copy()
-            c_m[:, axis] = -c_m[:, axis]
-            # find index of each mirrored ordinate
-            order = np.lexsort(q.c.T[::-1])
-            lut = {tuple(np.round(q.c[i], 12)): i for i in order}
-            perm = np.array(
-                [lut[tuple(np.round(c_m[i], 12))] for i in range(q.N)],
-                dtype=np.int32,
-            )
-            perms.append(jnp.asarray(perm))
-        return perms
 
     # ------------------------------------------------------------------
 
@@ -387,7 +395,7 @@ class KineticModel(Model):
             * jnp.exp(-0.5 * quad)
         )
 
-    def _refresh_ghosts(self, mesh, f, bcvals):
+    def _refresh_ghosts(self, mesh, params, f, bcvals):
         q = self.quadrature
         c = jnp.asarray(q.c, f.dtype)
         w = jnp.asarray(q.w, f.dtype)
@@ -442,11 +450,24 @@ class KineticModel(Model):
                 )
                 finf = q.maxwellian(rho_inf, u_inf, T_inf)
                 f = f.at[gc].set(jnp.where(incoming, finf, fo))
+            elif t == "Periodic":
+                # ghost distribution = periodic partner owner's f
+                # (reference: Mesh.h PeriodicFacePairs ghost mapping)
+                src = params[f"periodic_src:{g[1]}"]
+                f = f.at[gc].set(f[src])
             elif t in ("SpecularWall", "Symmetry"):
-                # axis-aligned mirror along the group's dominant normal
-                # axis (precomputed host-side in init)
-                perm = self._mirror[self._mirror_axis[g[1]]]
-                f = f.at[gc].set(fo[:, perm])
+                # general half-space reflection: redistribute f at the
+                # reflected ordinates — the tables are column-scaled
+                # FLUX-EXACT (quadrature.reflection_tables), so the wall
+                # passes zero net mass flux for any f; exact mirror
+                # permutation on axis-aligned walls
+                idx = params[f"refl_idx:{g[1]}"]
+                wgt = params[f"refl_w:{g[1]}"]
+                L = idx.shape[0]
+                fg = jnp.sum(
+                    wgt * fo[jnp.arange(L)[:, None, None], idx], axis=2
+                )
+                f = f.at[gc].set(jnp.where(incoming, fg, fo))
         return f
 
     # ------------------------------------------------------------------
@@ -475,7 +496,7 @@ class KineticModel(Model):
             from ..ops.halo import maybe_sync
 
             f = maybe_sync(mesh, state["f"])
-            f = self._refresh_ghosts(mesh, f, bcvals)
+            f = self._refresh_ghosts(mesh, params, f, bcvals)
             feq = self._equilibrium(f)
             V = mesh.cell_volume[:, None]
             tau = params["tau"][:, None]
@@ -509,7 +530,7 @@ class KineticModel(Model):
                 # a true Newton method — the role of the reference's
                 # point-coupled COMET solve (esbgkbase/COMETModel.h:51).
                 def R(fv):
-                    fg = self._refresh_ghosts(mesh, fv, bcvals)
+                    fg = self._refresh_ghosts(mesh, params, fv, bcvals)
                     feq_v = self._equilibrium(fv)
                     bv = V / tau * feq_v
                     if opts["transient"]:

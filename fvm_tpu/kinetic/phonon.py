@@ -209,26 +209,32 @@ class PhononModel(Model):
             "dO": jnp.maximum(mdot, 0.0),
             "dN": jnp.minimum(mdot, 0.0),
         }
-        # mirror permutations for specular reflection
-        self._mirror = []
-        for axis in range(3):
-            s_m = self.s.copy()
-            s_m[:, axis] = -s_m[:, axis]
-            perm = np.array(
-                [
-                    int(np.argmin(((self.s - s_m[i]) ** 2).sum(axis=1)))
-                    for i in range(self.D)
-                ],
-                dtype=np.int32,
-            )
-            self._mirror.append(jnp.asarray(perm))
-        # dominant outward-normal axis per group, host-side (see esbgk)
+        # specular reflection tables for arbitrary wall orientations
+        # (reference: KineticBoundaryConditions.h; see esbgk) — the
+        # reflected direction is redistributed onto the spherical
+        # ordinate set, exact nearest-match on axis-aligned walls
+        from .quadrature import reflection_tables
+
         fa = np.asarray(mesh.face_area)
-        self._mirror_axis = {}
-        for g, _bc in self._group_bcs():
+        for g, bc in self._group_bcs():
+            if bc.bc_type != "Symmetry":
+                continue
             sl = mesh.group_faces(g)
-            ga = np.abs(fa[..., sl, :]).sum(axis=tuple(range(fa.ndim - 1)))
-            self._mirror_axis[g[1]] = int(np.argmax(ga + 1e-30))
+            fa_g = fa[..., sl, :]
+
+            def tables(fa2d):
+                n3 = np.zeros((fa2d.shape[0], 3))
+                n3[:, : mesh.dim] = fa2d
+                return reflection_tables(self.s, n3, weights=self.w)
+
+            if fa_g.ndim == 3:
+                pairs = [tables(fa_g[d_]) for d_ in range(fa_g.shape[0])]
+                idx = np.stack([p[0] for p in pairs])
+                wgt = np.stack([p[1] for p in pairs])
+            else:
+                idx, wgt = tables(fa_g)
+            self.params[f"refl_idx:{g[1]}"] = jnp.asarray(idx)
+            self.params[f"refl_w:{g[1]}"] = jnp.asarray(wgt, dtype)
         if self._dist:
             self.state = self.partition.device_put(self.state)
             self.params = self.partition.device_put(self.params)
@@ -240,7 +246,7 @@ class PhononModel(Model):
         self._initial_norm = None
         self._initialized = True
 
-    def _refresh_ghosts(self, mesh, e, bcvals):
+    def _refresh_ghosts(self, mesh, params, e, bcvals):
         s3 = jnp.asarray(self.s, e.dtype)
         e = bck.extend_to_ghosts(mesh, e)
         for g, bc in self._group_bcs():
@@ -275,10 +281,17 @@ class PhononModel(Model):
                 in_unit = jnp.sum(jnp.where(incoming, wB * sn, 0.0), axis=1)
                 e_refl = out_flux / jnp.maximum(-in_unit, 1e-300)
                 e = e.at[gc].set(jnp.where(incoming, e_refl[:, None], eo))
-            else:  # Symmetry: specular
-                perm = self._mirror[self._mirror_axis[g[1]]]
-                permB = (perm[:, None] * B + jnp.arange(B)[None, :]).reshape(-1)
-                e = e.at[gc].set(eo[:, permB])
+            else:  # Symmetry: specular (general orientation)
+                idx = params[f"refl_idx:{g[1]}"]  # (L, D, k)
+                wgt = params[f"refl_w:{g[1]}"]
+                L = idx.shape[0]
+                eoB = eo.reshape(L, self.D, B)
+                eg = jnp.einsum(
+                    "fnk,fnkb->fnb",
+                    wgt,
+                    eoB[jnp.arange(L)[:, None, None], idx],
+                )
+                e = e.at[gc].set(eg.reshape(L, self.D * B))
         return e
 
     def _build_step(self):
@@ -297,7 +310,7 @@ class PhononModel(Model):
             from ..ops.halo import maybe_sync
 
             e = maybe_sync(mesh, state["e"])
-            e = self._refresh_ghosts(mesh, e, bcvals)
+            e = self._refresh_ghosts(mesh, params, e, bcvals)
             # equilibrium: all bands relax toward the COMMON lattice
             # temperature (energy-conserving across bands)
             T = self.temperature(e)
@@ -344,7 +357,7 @@ class PhononModel(Model):
                 kappa = jnp.where(alive[:, None], V / tau, 0.0)
 
                 def R(ev):
-                    eg = self._refresh_ghosts(mesh, ev, bcvals)
+                    eg = self._refresh_ghosts(mesh, params, ev, bcvals)
                     Tv = self.temperature(ev)
                     e0v = jnp.tile(
                         self._e0_of_T(Tv)[:, None, :], (1, self.D, 1)

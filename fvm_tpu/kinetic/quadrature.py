@@ -92,3 +92,151 @@ class Quadrature:
         mom = jnp.einsum("...n,n,nd->...d", f, w, c)
         e = 0.5 * jnp.einsum("...n,n,n->...", f, w, jnp.sum(c * c, axis=1))
         return rho, mom, e
+
+
+def reflection_tables(points, normals, k: int | None = None,
+                      tol: float = 1e-9, weights=None):
+    """Specular-reflection redistribution tables for arbitrary wall
+    orientations (reference: esbgkbase/KineticBoundaryConditions.h +
+    KineticModel.h:275-310 — the reference snaps each reflected ordinate
+    to its NEAREST neighbor; here the reflected ordinate
+    c_r = c - 2 (c.n) n is interpolated over the ``k`` nearest ordinates,
+    exact whenever c_r lands on an ordinate, so axis-aligned tensor grids
+    recover the mirror permutation bitwise).
+
+    With ``weights`` (the quadrature weights), the operator is made
+    FLUX-EXACT by column scaling: each outgoing ordinate j's wall flux
+    w_j (c_j.n) is redistributed to incoming ordinates with total flux
+    preserved, so the discrete wall passes ZERO net mass flux for ANY
+    distribution — not just the one used to renormalize (a stale-ghost
+    renormalization leaks mass through the inner sweeps; measured ~50%
+    drain over 60 outer iterations on a 30-degree wall without this).
+    The scaling is exactly 1 on exact-mirror tables.
+
+    Returns (idx (L, N, k) int32, w (L, N, k) float64); faces share
+    tables through their (rounded) unique normals.
+    """
+    import numpy as np
+    from ..geom.search import KSearchTree
+
+    # conservative (weighted) mode needs a richer stencil: the Sinkhorn
+    # transport plan is infeasible on 4-NN support at some angles
+    # (measured 3.7x row amplification at 30 degrees); 12-NN balances to
+    # row sums within ~10% of 1 at every tested angle
+    if k is None:
+        k = 12 if weights is not None else 4
+    pts = np.asarray(points, dtype=np.float64)
+    nrm = np.asarray(normals, dtype=np.float64)
+    N = len(pts)
+    mag = np.linalg.norm(nrm, axis=1)
+    safe = np.where(mag[:, None] > 1e-300, nrm / np.maximum(mag, 1e-300)[:, None],
+                    np.eye(1, pts.shape[1], 0))
+    key = np.round(safe, 9)
+    uniq, inv = np.unique(key, axis=0, return_inverse=True)
+    tree = KSearchTree(pts)
+    qw = None if weights is None else np.asarray(weights, dtype=np.float64)
+
+    def knn_rows(nh, k_try):
+        cn = pts @ nh
+        cr = pts - 2.0 * cn[:, None] * nh[None, :]
+        d, j = tree.query_batch(cr, min(k_try, N))
+        d = np.asarray(d).reshape(N, -1)
+        j = np.asarray(j).reshape(N, -1)
+        w = 1.0 / np.maximum(d, 1e-12)
+        w = w / w.sum(axis=1, keepdims=True)
+        exact = d[:, 0] < tol
+        w[exact] = 0.0
+        w[exact, 0] = 1.0
+        return cn, j, w
+
+    def balanced(nh, k_try):
+        """Flux-stochastic balancing: the flux-weighted operator
+        M_ij = w_i |c_i.n| R_ij must have column sums equal to the source
+        fluxes w_j (c_j.n)_+ (=> zero net wall mass flux for ANY f) AND
+        row sums equal to the receiver fluxes (=> row sums of R stay ~1:
+        no amplitude amplification — a column-only scaling was measured
+        to amplify some incoming ordinates 4x and destabilize the
+        ghost-update fixed point).  Both marginals match by quadrature
+        symmetry, so a short Sinkhorn iteration balances them; ending on
+        the column step keeps conservation exact.  Returns
+        (idx, weights, max flux-weighted row-sum excess)."""
+        cn, j, w = knn_rows(nh, k_try)
+        kw = j.shape[1]
+        incoming = cn < 0
+        recv_wt = np.where(incoming, qw * (-cn), 0.0)
+        src_flux = qw * np.maximum(cn, 0.0)
+        colsum = np.zeros(N)
+        np.add.at(colsum, j[incoming].ravel(),
+                  (recv_wt[:, None] * w)[incoming].ravel())
+        # sources with no incoming stencil reference (their flux would be
+        # absorbed): patch-couple to the incoming ordinate nearest their
+        # reflection
+        patches = [[] for _ in range(N)]
+        uncovered = (src_flux > 1e-300) & (colsum <= 1e-300)
+        if uncovered.any():
+            inc_idx = np.nonzero(incoming & (recv_wt > 1e-300))[0]
+            tree_in = KSearchTree(pts[inc_idx])
+            for jj in np.nonzero(uncovered)[0]:
+                crj = pts[jj] - 2.0 * (pts[jj] @ nh) * nh
+                _, ii = tree_in.query_batch(crj[None, :], 1)
+                istar = inc_idx[int(np.asarray(ii).reshape(-1)[0])]
+                patches[istar].append((jj, 1.0))
+        kp = max((len(p) for p in patches), default=0)
+        jj_full = np.concatenate(
+            [j, np.zeros((N, kp), dtype=j.dtype)], axis=1
+        )
+        M = np.concatenate([w, np.zeros((N, kp))], axis=1)
+        for i, plist in enumerate(patches):
+            for pn, (pj, pw) in enumerate(plist):
+                jj_full[i, kw + pn] = pj
+                M[i, kw + pn] = pw
+        M = recv_wt[:, None] * M
+        M[~incoming] = 0.0
+        live_row = recv_wt > 1e-300
+        for _ in range(60):
+            rowsum = M.sum(axis=1)
+            M[live_row] *= (
+                recv_wt[live_row] / np.maximum(rowsum[live_row], 1e-300)
+            )[:, None]
+            colsum = np.zeros(N)
+            np.add.at(colsum, jj_full.ravel(), M.ravel())
+            beta = np.where(
+                colsum > 1e-300,
+                src_flux / np.maximum(colsum, 1e-300), 0.0,
+            )
+            M = M * beta[jj_full]
+        w2 = np.where(
+            live_row[:, None], M / np.maximum(recv_wt, 1e-300)[:, None],
+            np.concatenate([w, np.zeros((N, kp))], axis=1),
+        )
+        excess = float(np.abs(w2[live_row].sum(axis=1) - 1.0).max()) if \
+            live_row.any() else 0.0
+        return jj_full, w2, excess
+
+    per_normal = []
+    for nh in uniq:
+        nh = nh / max(np.linalg.norm(nh), 1e-300)
+        if qw is None:
+            cn, j, w = knn_rows(nh, k)
+            per_normal.append((j, w))
+            continue
+        # the Sinkhorn plan can be infeasible on a too-sparse support
+        # (non-monotone in k); widen the stencil until rows balance
+        best = None
+        k_try = k
+        while True:
+            jj_full, w2, excess = balanced(nh, k_try)
+            if best is None or excess < best[2]:
+                best = (jj_full, w2, excess)
+            if excess < 0.3 or k_try >= min(4 * max(k, 16), N):
+                break
+            k_try *= 2
+        per_normal.append(best[:2])
+    kmax = max(jj.shape[1] for (jj, _) in per_normal)
+    idx_u = np.zeros((len(uniq), N, kmax), dtype=np.int32)
+    w_u = np.zeros((len(uniq), N, kmax), dtype=np.float64)
+    for ui, (j, w) in enumerate(per_normal):
+        kw = j.shape[1]
+        idx_u[ui, :, :kw] = j
+        w_u[ui, :, :kw] = w
+    return idx_u[inv], w_u[inv]

@@ -252,6 +252,146 @@ class Model:
 
         return jax.jit(wrapped)
 
+    # --- immersed-boundary plumbing (reference: IBManager consumers +
+    # GenericIBDiscretization.h) ----------------------------------------
+
+    def _set_immersed_boundary(
+        self, mask, value, stencil=None, implicit=True
+    ) -> None:
+        """Shared IBM parameter setup.
+
+        ``mask``: per-cell bool (global interior ordering when dist);
+        ``value``: scalar or per-cell body value ((n,) or (n, m));
+        ``stencil``: IBManager.interpolation_stencil() output — with
+        ``implicit=True`` (default) the interpolation rows go into the
+        matrix through appended ELL slots (ib_stencil_rows_implicit,
+        matching GenericIBDiscretization.h); implicit=False keeps the
+        lagged pinned-row variant.  Call AFTER init()."""
+        if not self._initialized:
+            # init() rebuilds self.params and would silently wipe the masks
+            raise ConfigError("call init() before set_immersed_boundary()")
+        mesh = self.mesh
+        dtype = mesh.cell_volume.dtype
+        self._ib_ext = getattr(self, "_ib_ext", None)
+        if self._dist:
+            if stencil is not None:
+                raise ConfigError(
+                    "distributed IBM: interpolation stencils are not "
+                    "supported yet; pass mask/value only (pinned rows)"
+                )
+            hm = self.partition.mesh
+            m = np.zeros(hm.n_cells, bool)
+            marr = np.asarray(mask, dtype=bool)
+            m[: len(marr)] = marr
+            self.params["ib_mask"] = jnp.asarray(
+                self.partition.scatter_cells(m)
+            )
+            v = np.asarray(value, dtype=np.float64)
+            if v.ndim == 0:
+                v = np.full(hm.n_cells, float(v))
+            else:
+                vv = np.zeros((hm.n_cells,) + v.shape[1:])
+                vv[: len(v)] = v
+                v = vv
+            self.params["ib_value"] = jnp.asarray(
+                self.partition.scatter_cells(v), dtype
+            )
+            return
+        nc = mesh.n_cells
+        m = np.zeros(nc, dtype=bool)
+        marr = np.asarray(mask, dtype=bool)
+        m[: len(marr)] = marr  # device mesh may append a padding cell
+        self.params["ib_mask"] = jnp.asarray(m)
+        v = jnp.asarray(value, dtype)
+        if v.ndim == 0:
+            v = jnp.full(nc, v, dtype)
+        elif v.shape[0] != nc:
+            vv = np.zeros((nc,) + tuple(v.shape[1:]))
+            vv[: v.shape[0]] = np.asarray(v)
+            v = jnp.asarray(vv, dtype)
+        self.params["ib_value"] = v
+        if stencil is None:
+            return
+        ib_cells, fluid_idx, fluid_w, wall_w = stencil
+        ib_np = np.asarray(ib_cells, dtype=np.int32)
+        fi_np = np.asarray(fluid_idx, dtype=np.int32)
+        fw_np = np.asarray(fluid_w, dtype=np.float64)
+        self.params["ibs_cells"] = jnp.asarray(ib_np)
+        self.params["ibs_fluid"] = jnp.asarray(fi_np)
+        self.params["ibs_fw"] = jnp.asarray(fw_np, dtype)
+        self.params["ibs_ww"] = jnp.asarray(wall_w, dtype)
+        if not implicit:
+            self._ib_ext = None
+            return
+        # widened static structure: k appended ELL slots carrying the
+        # stencil's fluid-cell couplings on IB rows
+        from ..ops.dia import DIAInfo
+
+        cols_np, mask_np = mesh.host_cf()
+        K = cols_np.shape[1]
+        k = fi_np.shape[1]
+        cols_ext = np.concatenate(
+            [cols_np, np.tile(np.arange(nc, dtype=cols_np.dtype)[:, None],
+                              (1, k))], axis=1
+        )
+        mask_ext = np.concatenate(
+            [np.asarray(mask_np), np.zeros((nc, k), dtype=bool)], axis=1
+        )
+        cols_ext[ib_np, K:] = fi_np
+        mask_ext[ib_np, K:] = fw_np > 0
+        dia_ext = DIAInfo.build(cols_ext, mask_ext)
+        self._ib_ext = (jnp.asarray(cols_ext), jnp.asarray(mask_ext), dia_ext)
+        # AMG hierarchies must match the widened pattern
+        from ..linear import AMG
+
+        for key in ("linearSolver", "pressureLinearSolver",
+                    "momentumLinearSolver"):
+            s = self.options.get(key)
+            for ss in (s, getattr(s, "preconditioner", None)):
+                if isinstance(ss, AMG):
+                    ss._levels_cache.clear()
+                    ss.setup_structure(cols_ext, mask_ext)
+
+    def _apply_ib(self, mesh, params, A, r, phi):
+        """Apply immersed-boundary rows (stencil band + solid pinning)."""
+        from ..ops import assembly
+
+        if "ibs_cells" in params:
+            ib = params["ibs_cells"]
+            w_f = params["ibs_fw"]
+            w_w = params["ibs_ww"]
+            val = params["ib_value"]
+            if getattr(self, "_ib_ext", None) is not None:
+                A, r = assembly.ib_stencil_rows_implicit(
+                    A, r, ib, params["ibs_fluid"], w_f, w_w, val, phi,
+                    *self._ib_ext,
+                )
+            else:
+                # lagged pinned rows (explicit in the outer iteration)
+                if phi.ndim == 1:
+                    num = w_w * val[ib] + jnp.sum(
+                        w_f * phi[params["ibs_fluid"]], axis=1
+                    )
+                    vals = num / (w_w + jnp.sum(w_f, axis=1))
+                    full_vals = jnp.zeros(mesh.n_cells, phi.dtype).at[ib].set(
+                        vals
+                    )
+                else:
+                    num = w_w[:, None] * val[ib] + jnp.einsum(
+                        "ik,ikm->im", w_f, phi[params["ibs_fluid"]]
+                    )
+                    vals = num / (w_w + jnp.sum(w_f, axis=1))[:, None]
+                    full_vals = jnp.zeros(phi.shape, phi.dtype).at[ib].set(
+                        vals
+                    )
+                band = jnp.zeros(mesh.n_cells, bool).at[ib].set(True)
+                A, r = assembly.dirichlet_cells(A, r, band, full_vals, phi)
+        if "ib_mask" in params:
+            A, r = assembly.dirichlet_cells(
+                A, r, params["ib_mask"], params["ib_value"], phi
+            )
+        return A, r
+
     # --- sensitivity plumbing (reference: atypes/tangent_double — every
     # model is instantiated with the Tangent atype, models.cpp:10-74;
     # here the tangent inputs are pytrees fed to jax.jvp) ---------------

@@ -239,35 +239,18 @@ class ElectricModel(Model):
                     c = {"type": "flux", "flux_fn": _mk()}
                 cfg[nm] = c
             A, r = ifc.apply_model_interfaces(mesh, cfg, A, r, phi, flux, eps_f)
-        if "ib_mask" in params:
-            A, r = assembly.dirichlet_cells(
-                A, r, params["ib_mask"], params["ib_value"], phi
-            )
+        A, r = self._apply_ib(mesh, params, A, r, phi)
         A, r = assembly.identity_unowned_rows(mesh, A, r)
         return A, r
 
-    def set_immersed_boundary(self, mask, value) -> None:
+    def set_immersed_boundary(self, mask, value, stencil=None,
+                              implicit=True) -> None:
         """Pin masked cells to an electrode potential (the reference's
-        IBM electrostatics pipeline, src/fvm/test/IBM_PARALLEL)."""
-        import numpy as _np
-
-        if not self._initialized:
-            # init() rebuilds self.params and would silently wipe the masks
-            raise ConfigError("call init() before set_immersed_boundary()")
-        dtype = self.mesh.cell_volume.dtype
-        nc = self.mesh.n_cells
-        m = _np.zeros(nc, dtype=bool)
-        marr = _np.asarray(mask, dtype=bool)
-        m[: len(marr)] = marr  # device mesh may append a padding cell
-        self.params["ib_mask"] = jnp.asarray(m)
-        v = jnp.asarray(value, dtype)
-        if v.ndim == 0:
-            v = jnp.full(nc, v, dtype)
-        elif v.shape[0] != nc:
-            vv = _np.zeros(nc)
-            vv[: v.shape[0]] = _np.asarray(v)
-            v = jnp.asarray(vv, dtype)
-        self.params["ib_value"] = v
+        IBM electrostatics pipeline, src/fvm/test/IBM_PARALLEL).  With
+        ``stencil`` the IB band carries the interpolation rows implicitly
+        (GenericIBDiscretization.h); distributed models support the
+        mask/value (pinned) path."""
+        self._set_immersed_boundary(mask, value, stencil, implicit)
 
     def _linearize_charge(self, mesh, params, state, bcvals, E_field):
         c = maybe_sync(mesh, state["charge"])

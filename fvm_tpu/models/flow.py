@@ -403,6 +403,10 @@ class FlowModel(Model):
                 r_cell = r_cell + r2
             A, r = assembly.assemble(mesh, flux, r_cell=r_cell, diag_cell=diag_cell)
             A, r = identity_ghost_rows(A, r)
+            if "ib_mask" in params:
+                # immersed body: pin solid/IB-band cells to the body
+                # velocity (reference IBM flow pipeline, IBMSetup.py)
+                A, r = self._apply_ib(mesh, params, A, r, V)
             mom_norm = A.norm(r)
             Aur = A.replace(
                 diag=jnp.where(interior_cells, A.diag / urf_v, A.diag)
@@ -447,6 +451,13 @@ class FlowModel(Model):
                     sl = mesh.group_faces(g)
                     pres_face = pres_face.at[sl].set(True)
             Df_cont = jnp.where(bnd & ~pres_face, 0.0, Df_corr)
+            # immersed body: the Df coupling into solid cells STAYS — their
+            # pc rows are pinned to 0 below, so every enclosed fluid region
+            # sees a pressure reference through the body surface (zeroing
+            # Df instead leaves sealed regions with a constant-pc nullspace
+            # and the correction drifts unboundedly); the spurious
+            # correction flux through the wall is O(pc) and vanishes at
+            # convergence
 
             # ---- pressure-correction loop: 1 = SIMPLE/SIMPLEC; >=2 =
             # PISO-style transient splitting (Issa; "Complete PISO and
@@ -474,9 +485,16 @@ class FlowModel(Model):
                 bmdot = self._boundary_mass_flux(mesh, params, state2, bcvals)
                 mdot = jnp.where(bnd, bmdot, mdot_int)
 
+                if "ib_solid_face" in params:
+                    mdot = jnp.where(params["ib_solid_face"], 0.0, mdot)
                 cont_flux = FaceFlux(F=mdot, dF_dO=Df_cont, dF_dN=-Df_cont)
                 Ap, rp = assembly.assemble(mesh, cont_flux)
                 Ap, rp = identity_ghost_rows(Ap, rp)
+                if "ib_solid_mask" in params:
+                    Ap, rp = assembly.dirichlet_cells(
+                        Ap, rp, params["ib_solid_mask"], 0.0,
+                        jnp.zeros_like(p),
+                    )
                 if cont_norm is None:
                     cont_norm = Ap.norm(rp)
                 if not self._has_pressure_bc:
@@ -502,6 +520,8 @@ class FlowModel(Model):
                     mesh.take_nbr(pc_s) - mesh.take_owner(pc_s)
                 )
                 mdot = jnp.where(bnd & ~pres_face, mdot, mdot + dmdot)
+                if "ib_solid_face" in params:
+                    mdot = jnp.where(params["ib_solid_face"], 0.0, mdot)
 
             new_state = dict(state)
             new_state["velocity"] = V
@@ -967,6 +987,92 @@ class FlowModel(Model):
         )
         rp = rp.at[gh].set(0.0)
         write_matrix_market(prefix + ".mtx", Ap, rp)
+
+    def set_immersed_boundary(self, mask, velocity, solid_mask=None) -> None:
+        """Immersed moving body in the flow (reference: IBM flow pipeline,
+        scripts/IBMSetup.py + GenericIBDiscretization.h).
+
+        ``mask``: cells pinned to the body velocity (solid + IB band,
+        IBManager.dirichlet_mask()); ``velocity``: (dim,) or (n, dim)
+        body velocity; ``solid_mask``: strictly-solid cells — their
+        pressure rows decouple and faces touching them carry no
+        correction flux (the body surface is the ``ib_faces`` integration
+        surface for getIBForceIntegral)."""
+        mesh = self.mesh
+        dim = mesh.dim
+        n_int = (
+            self.partition.mesh.n_interior_cells
+            if self._dist
+            else mesh.n_interior_cells
+        )
+        v = np.asarray(velocity, dtype=np.float64)
+        v = np.broadcast_to(v, (n_int, dim)).copy()
+        self._set_immersed_boundary(mask, v)
+        if solid_mask is None:
+            return
+        dtype = mesh.cell_volume.dtype
+        if self._dist:
+            hm = self.partition.mesh
+            sm_g = np.zeros(hm.n_cells, bool)
+            smarr = np.asarray(solid_mask, bool)
+            sm_g[: len(smarr)] = smarr
+            sm = np.asarray(self.partition.scatter_cells(sm_g))
+            owner = np.asarray(mesh.face_cell0)
+            nbr = np.asarray(mesh.face_cell1)
+            so = np.take_along_axis(sm, owner, axis=1)
+            sn = np.take_along_axis(sm, nbr, axis=1)
+        else:
+            sm = np.zeros(mesh.n_cells, bool)
+            smarr = np.asarray(solid_mask, bool)
+            sm[: len(smarr)] = smarr
+            so = sm[np.asarray(mesh.face_cell0)]
+            sn = sm[np.asarray(mesh.face_cell1)]
+        is_int = np.arange(mesh.n_faces) < mesh.n_interior_faces
+        self.params["ib_solid_mask"] = jnp.asarray(sm)
+        self.params["ib_solid_face"] = jnp.asarray((so | sn) & is_int)
+        # orientation for the force integral: +A (owner->nbr) points INTO
+        # the solid when the neighbor is solid
+        sign = np.where(sn & ~so, 1.0, np.where(so & ~sn, -1.0, 0.0))
+        sign = np.where(is_int, sign, 0.0)
+        if self._dist:
+            # count each seam-duplicated face exactly once: on the shard
+            # that owns the face's owner cell
+            owner_owned = np.asarray(mesh.face_cell0) < mesh.n_owned_cells
+            sign = np.where(owner_owned, sign, 0.0)
+        self.params["ib_face_sign"] = jnp.asarray(sign, dtype)
+
+    def getIBForceIntegral(self) -> np.ndarray:
+        """Force exerted by the fluid on the immersed body: pressure +
+        viscous momentum flux through the IB faces (reference:
+        IBManager.h:82 createIBFaces; the FSI drivers integrate the same
+        surface, scripts/IBMSetup.py)."""
+        if "ib_face_sign" not in self.params:
+            raise ConfigError("call set_immersed_boundary(solid_mask=...) first")
+        sign = self.params["ib_face_sign"]
+
+        def face_force(m, V, p, mu, sgn, grad_coeff=None):
+            mu_f = disc.harmonic_face_gamma(m, mu)
+            gradV = (
+                gradient(m, grad_coeff, V) if grad_coeff is not None else None
+            )
+            dflux = disc.diffusion_flux(m, V, mu_f, gradV)
+            p_f = assembly.cells_to_faces_distance_weighted(m, p)
+            F = dflux.F + p_f[:, None] * m.face_area
+            # where-mask, not multiply: padded/dead dist cells carry NaN
+            # and 0 * NaN would poison the sum
+            contrib = jnp.where(sgn[:, None] != 0.0, sgn[:, None] * F, 0.0)
+            return jnp.sum(contrib, axis=0)
+
+        args = (
+            self.state["velocity"], self.state["pressure"],
+            self.params["mu"], sign,
+        )
+        if "grad_coeff" in self.params:
+            args = args + (self.params["grad_coeff"],)
+        F = self._map_mesh(face_force, *args)
+        if self._dist:
+            return np.asarray(jnp.sum(F, axis=0))
+        return np.asarray(F)
 
     def getMassFluxIntegral(self, group_name) -> float:
         mesh = self.mesh

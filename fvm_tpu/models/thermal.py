@@ -261,22 +261,8 @@ class ThermalModel(Model):
             else:
                 raise ConfigError(f"ThermalModel: unhandled bc_type {t!r}")
 
-        # immersed-boundary pinning (solid/IB cells at body temperature)
-        if "ibs_cells" in params:
-            # IB band: pin to the stencil interpolation of wall + fluid
-            ib = params["ibs_cells"]
-            w_f = params["ibs_fw"]
-            w_w = params["ibs_ww"]
-            Tw = params["ib_value"][ib]
-            num = w_w * Tw + jnp.sum(w_f * T[params["ibs_fluid"]], axis=1)
-            vals = num / (w_w + jnp.sum(w_f, axis=1))
-            full_vals = jnp.zeros(mesh.n_cells, T.dtype).at[ib].set(vals)
-            ib_band = jnp.zeros(mesh.n_cells, bool).at[ib].set(True)
-            A, r = assembly.dirichlet_cells(A, r, ib_band, full_vals, T)
-        if "ib_mask" in params:
-            A, r = assembly.dirichlet_cells(
-                A, r, params["ib_mask"], params["ib_value"], T
-            )
+        # immersed-boundary rows (implicit stencil band + solid pinning)
+        A, r = self._apply_ib(mesh, params, A, r, T)
 
         # halo rows are owned remotely: identity here
         A, r = ifc.apply_model_interfaces(
@@ -348,46 +334,19 @@ class ThermalModel(Model):
 
     # ------------------------------------------------------------------
 
-    def set_immersed_boundary(self, mask, value, stencil=None) -> None:
+    def set_immersed_boundary(self, mask, value, stencil=None,
+                              implicit=True) -> None:
         """Pin masked cells (IBManager.dirichlet_mask()) to a temperature.
 
         With ``stencil`` (IBManager.interpolation_stencil()), pass
         mask=dirichlet_mask(include_ib=False): solid cells pin to the body
-        value while IB-band cells pin to the inverse-distance interpolation
-        of the wall value and surrounding fluid cells, re-evaluated every
-        outer iteration (reference: IBM pipeline +
-        GenericIBDiscretization.h interpolation stencils)."""
-        import jax.numpy as jnp
-
-        import numpy as _np
-
-        if not self._initialized:
-            # init() rebuilds self.params and would silently wipe the masks
-            raise ConfigError("call init() before set_immersed_boundary()")
-        dtype = self.mesh.cell_volume.dtype
-        nc = self.mesh.n_cells
-        m = _np.zeros(nc, dtype=bool)
-        marr = _np.asarray(mask, dtype=bool)
-        m[: len(marr)] = marr  # device mesh may append a padding cell
-        self.params["ib_mask"] = jnp.asarray(m)
-        v = jnp.asarray(value, dtype)
-        if v.ndim == 0:
-            v = jnp.full(nc, v, dtype)
-        elif v.shape[0] != nc:
-            vv = _np.zeros(nc)
-            vv[: v.shape[0]] = _np.asarray(v)
-            v = jnp.asarray(vv, dtype)
-        self.params["ib_value"] = v
-        if stencil is not None:
-            ib_cells, fluid_idx, fluid_w, wall_w = stencil
-            self.params["ibs_cells"] = jnp.asarray(
-                _np.asarray(ib_cells, dtype=_np.int32)
-            )
-            self.params["ibs_fluid"] = jnp.asarray(
-                _np.asarray(fluid_idx, dtype=_np.int32)
-            )
-            self.params["ibs_fw"] = jnp.asarray(fluid_w, dtype)
-            self.params["ibs_ww"] = jnp.asarray(wall_w, dtype)
+        value while IB-band cells carry the interpolation of wall value
+        and surrounding fluid cells — IMPLICITLY in the matrix through
+        appended ELL slots by default (reference:
+        GenericIBDiscretization.h stencil rows), or lagged per outer
+        iteration with implicit=False.  Distributed models support the
+        mask/value (pinned) path."""
+        self._set_immersed_boundary(mask, value, stencil, implicit)
 
     def getHeatFluxIntegral(self, group_name) -> float:
         """Net heat flow INTO the domain through a boundary group.

@@ -145,9 +145,61 @@ def dirichlet_cells(A: ELLMatrix, r, mask, value, phi):
     s = jnp.where(jnp.abs(A.diag) > 0, jnp.abs(A.diag), 1.0)
     diag = jnp.where(mask, s, A.diag)
     off = jnp.where(mask[:, None], 0.0, A.off)
-    resid = s * (value - phi)
     if r.ndim == 1:
-        r = jnp.where(mask, resid, r)
+        r = jnp.where(mask, s * (value - phi), r)
+    elif jnp.ndim(value) == 2:
+        # vector unknowns with a vector pin value (e.g. body velocity)
+        r = jnp.where(mask[:, None], s[:, None] * (value - phi), r)
     else:
-        r = jnp.where(mask[:, None], resid[:, None], r)
+        r = jnp.where(mask[:, None], (s * (value - phi))[:, None], r)
     return A.replace(diag=diag, off=off), r
+
+
+def ib_stencil_rows_implicit(
+    A: ELLMatrix, r, ib_cells, fluid_idx, fw, ww, value, phi,
+    cols_ext, mask_ext, dia_ext=None,
+):
+    """IMPLICIT immersed-boundary interpolation rows.
+
+    The IB-band equation  phi_IB = (ww*phi_wall + sum_j fw_j*phi_fj) / W
+    goes INTO the matrix: the stencil's fluid-cell couplings occupy
+    ``k`` appended ELL slots (``cols_ext``/``mask_ext`` are the widened
+    static structure built at set_immersed_boundary time), so the Newton/
+    Picard update solves the IB band and the fluid simultaneously — the
+    reference's GenericIBDiscretization.h formulation, replacing the
+    lagged pinned-row variant (first-order in the outer iteration).
+
+    ``phi``/``value``: (n,) or (n, m).  Returns the widened (A, r).
+    """
+    n, K = A.off.shape
+    k = fluid_idx.shape[1]
+    s_full = jnp.where(jnp.abs(A.diag) > 0, jnp.abs(A.diag), 1.0)
+    band = jnp.zeros(n, bool).at[ib_cells].set(True)
+    s = s_full[ib_cells]
+    W = ww + jnp.sum(fw, axis=1)
+    if phi.ndim == 1:
+        interp = (ww * value[ib_cells]
+                  + jnp.sum(fw * phi[fluid_idx], axis=1)) / W
+        resid = s * (interp - phi[ib_cells])
+        r = r.at[ib_cells].set(resid)
+    else:
+        interp = (ww[:, None] * value[ib_cells]
+                  + jnp.einsum("ik,ikm->im", fw, phi[fluid_idx])) / W[:, None]
+        resid = s[:, None] * (interp - phi[ib_cells])
+        r = r.at[ib_cells].set(resid)
+    diag = jnp.where(band, s_full, A.diag)
+    off0 = jnp.where(band[:, None], 0.0, A.off)
+    off_ext = jnp.zeros((n, k), A.off.dtype).at[ib_cells].set(
+        -s[:, None] * fw / W[:, None]
+    )
+    A2 = A.replace(
+        diag=diag,
+        off=jnp.concatenate([off0, off_ext], axis=1),
+        cols=cols_ext,
+        mask=mask_ext,
+        dia=dia_ext,
+        dia_coef=None,
+        dia_fb_vals=None,
+        dia_pk=None,
+    )
+    return A2, r

@@ -208,3 +208,197 @@ def test_cell_mark_particles():
     T = m.getTemperature()
     np.testing.assert_allclose(T[mask[: dm.n_interior_cells]], 380.0, rtol=1e-8)
     assert T.min() > 299.9
+
+
+def _circle_ibm(n=24, r=0.15):
+    from fvm_tpu.geom.ibm import IBManager
+
+    mesh = quad_2d(n, n)
+    ibm = IBManager(mesh)
+    th = np.linspace(0, 2 * np.pi, 33)[:-1]
+    verts = np.stack([0.5 + r * np.cos(th), 0.5 + r * np.sin(th)], 1)
+    elems = np.stack([np.arange(32), (np.arange(32) + 1) % 32], 1)
+    ibm.update(verts, elems)
+    return mesh, ibm
+
+
+def test_ib_implicit_one_outer_iteration():
+    """IMPLICIT stencil rows (appended ELL slots, reference
+    GenericIBDiscretization.h): the linear thermal IB problem converges
+    in ONE outer iteration, where the lagged pinned-row variant needs
+    many — and both reach the same fixed point."""
+    mesh, ibm = _circle_ibm()
+    st = ibm.interpolation_stencil()
+    Tbody = 350.0
+
+    def solve(implicit, niter):
+        dm = fvm.mesh.build_device_mesh(quad_2d(24, 24))
+        m = ThermalModel(dm)
+        m.options["verbose"] = False
+        for s_ in ("left", "right", "bottom", "top"):
+            m.bc[s_].bc_type = "SpecifiedTemperature"
+            m.bc[s_]["specifiedTemperature"] = 300.0
+        m.init()
+        m.set_immersed_boundary(
+            ibm.dirichlet_mask(include_ib=False), Tbody, stencil=st,
+            implicit=implicit,
+        )
+        hist = m.advance(niter)
+        return m.getTemperature(), hist
+
+    T_imp, h_imp = solve(True, 2)
+    # implicit: iteration 2's residual is already at round-off
+    assert h_imp[-1][1] < 1e-8 * h_imp[0][1]
+    T_lag, h_lag = solve(False, 2)
+    assert h_lag[-1][1] > 1e-6 * h_lag[0][1]  # lagged is NOT done in 2
+    T_lag80, _ = solve(False, 80)
+    np.testing.assert_allclose(T_imp, T_lag80, atol=1e-5)
+
+
+def test_ib_electric_implicit_stencil():
+    """Electrostatics IB with implicit stencil rows: the interpolation
+    constraint holds at convergence and the potential is monotone
+    between the electrode and the grounded walls."""
+    from fvm_tpu.models.electric import ElectricModel
+
+    mesh, ibm = _circle_ibm()
+    st = ibm.interpolation_stencil()
+    dm = fvm.mesh.build_device_mesh(quad_2d(24, 24))
+    m = ElectricModel(dm)
+    m.options["verbose"] = False
+    for s_ in ("left", "right", "bottom", "top"):
+        m.bc[s_].bc_type = "SpecifiedPotential"
+        m.bc[s_]["specifiedPotential"] = 0.0
+    m.init()
+    m.set_immersed_boundary(
+        ibm.dirichlet_mask(include_ib=False), 10.0, stencil=st
+    )
+    hist = m.advance(3)
+    assert hist[-1][1] < 1e-8 * hist[0][1]
+    phi = np.zeros(dm.n_cells)
+    phi[: dm.n_interior_cells] = m.getPotential()
+    ib, fluid_idx, fluid_w, wall_w = st
+    expect = (wall_w * 10.0 + (fluid_w * phi[fluid_idx]).sum(1)) / (
+        wall_w + fluid_w.sum(1)
+    )
+    np.testing.assert_allclose(phi[ib], expect, atol=1e-8)
+    from fvm_tpu.geom.ibm import IBType
+
+    solid = ibm.ib_type[: dm.n_interior_cells] == IBType.SOLID
+    np.testing.assert_allclose(m.getPotential()[solid], 10.0, atol=1e-8)
+
+
+def test_ib_electric_dist_matches_single():
+    """Partitioned IBM electrostatics (reference: IBM_PARALLEL/TESTS:1-10
+    runs the IBM case at np up to 100): pinned electrode disk at 8
+    shards reproduces the single-device solution."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from fvm_tpu.models.electric import ElectricModel
+    from fvm_tpu.parallel import Partition
+
+    mesh, ibm = _circle_ibm()
+    mask = ibm.dirichlet_mask(include_ib=True)[: mesh.n_interior_cells]
+
+    def solve(dist):
+        m0 = quad_2d(24, 24)
+        if dist:
+            part = Partition(m0, 8)
+            m = ElectricModel(part.sharded_mesh, partition=part)
+        else:
+            m = ElectricModel(fvm.mesh.build_device_mesh(m0))
+        m.options["verbose"] = False
+        for s_ in ("left", "right", "bottom", "top"):
+            m.bc[s_].bc_type = "SpecifiedPotential"
+            m.bc[s_]["specifiedPotential"] = 0.0
+        m.init()
+        m.set_immersed_boundary(mask, 10.0)
+        m.advance(3)
+        return (
+            m.partition.gather_cells(m.state["potential"])
+            if dist
+            else m.getPotential()
+        )
+
+    phi1 = solve(False)
+    phi8 = solve(True)
+    np.testing.assert_allclose(phi8, phi1, atol=1e-6)
+
+
+def test_ib_flow_block_force_balance():
+    """Immersed block in a lid-driven cavity: at steady state the sum of
+    (pressure + viscous) momentum flux over the domain boundary and over
+    the IB faces vanishes (all convective fluxes are zero on walls and
+    pinned IB faces), so the IB-face force integral (reference:
+    IBManager.h:82 createIBFaces + the FSI force integration) must equal
+    minus the boundary force sum — an exact discrete identity."""
+    from fvm_tpu.models.flow import FlowModel
+
+    n, mu = 20, 0.1
+    m0 = quad_2d(n, n)
+    dm = fvm.mesh.build_device_mesh(m0)
+    m = FlowModel(dm)
+    m.options["verbose"] = False
+    m.vc["viscosity"] = mu
+    for s_ in ("left", "right", "bottom", "top"):
+        m.bc[s_].bc_type = "NoSlipWall"
+    m.bc["top"]["specifiedXVelocity"] = 1.0
+    m.init()
+    cc = np.asarray(dm.cell_centroid)[: dm.n_interior_cells]
+    solid = (
+        (cc[:, 0] > 0.3) & (cc[:, 0] < 0.7)
+        & (cc[:, 1] > 0.4) & (cc[:, 1] < 0.6)
+    )
+    m.set_immersed_boundary(solid, [0.0, 0.0], solid_mask=solid)
+    hist = m.advance(400)
+    assert hist[-1][1] < 1e-5 * max(hist[0][1], 1e-30)
+    F_ib = m.getIBForceIntegral()
+    F_bdry = sum(
+        m.getMomentumFluxIntegral(g) for g in ("left", "right", "bottom", "top")
+    )
+    scale = np.abs(F_bdry).max()
+    np.testing.assert_allclose(F_ib, -F_bdry, atol=2e-2 * scale)
+
+
+def test_ib_flow_dist_force_matches_single():
+    """Partitioned flow IBM: pinned block + IB force integral at 8
+    shards reproduce the single-device run (faces deduplicated across
+    seams by owner-cell ownership)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from fvm_tpu.models.flow import FlowModel
+    from fvm_tpu.parallel import Partition
+
+    n, mu = 16, 0.1
+    m0 = quad_2d(n, n)
+    from fvm_tpu.mesh.metrics import compute_geometry
+
+    cc = compute_geometry(m0).cell_centroid[: m0.n_interior_cells]
+    solid = (
+        (cc[:, 0] > 0.3) & (cc[:, 0] < 0.7)
+        & (cc[:, 1] > 0.375) & (cc[:, 1] < 0.625)
+    )
+
+    def solve(dist):
+        if dist:
+            part = Partition(quad_2d(n, n), 8)
+            m = FlowModel(part.sharded_mesh, partition=part)
+        else:
+            m = FlowModel(fvm.mesh.build_device_mesh(quad_2d(n, n)))
+        m.options["verbose"] = False
+        m.vc["viscosity"] = mu
+        for s_ in ("left", "right", "bottom", "top"):
+            m.bc[s_].bc_type = "NoSlipWall"
+        m.bc["top"]["specifiedXVelocity"] = 1.0
+        m.init()
+        m.set_immersed_boundary(solid, [0.0, 0.0], solid_mask=solid)
+        m.advance(120)
+        return m.getVelocity() if not dist else None, m.getIBForceIntegral()
+
+    V1, F1 = solve(False)
+    _, F8 = solve(True)
+    np.testing.assert_allclose(F8, F1, atol=5e-4 * max(np.abs(F1).max(), 1e-12))

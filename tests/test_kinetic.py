@@ -206,3 +206,141 @@ def test_fourier_heat_transfer_knudsen_jumps():
     # pressure p = rho T near-uniform (no flow)
     p = rho_lo * T_lo
     assert np.ptp(p) / p.mean() < 0.01
+
+
+def test_reflection_tables_arbitrary_normal():
+    """quadrature.reflection_tables (reference:
+    KineticBoundaryConditions.h at any wall angle): applying the
+    redistribution to a drifting discrete Maxwellian approximates the
+    analytically reflected Maxwellian f(c; u - 2(u.n)n) for a SKEWED
+    normal, and is the exact mirror permutation for an axis normal."""
+    from fvm_tpu.kinetic.quadrature import reflection_tables
+
+    q = Quadrature(10, 10, 8)
+    rho, T = 1.0, 1.0
+    u = np.array([0.15, 0.1, 0.0])
+
+    def moments_of(fv):
+        r, m, e = q.moments(jnp.asarray(fv[None, :]))
+        return float(r[0]), np.asarray(m[0]) / float(r[0])
+
+    f = np.asarray(q.maxwellian(jnp.asarray([rho]), jnp.asarray(u[None]),
+                                jnp.asarray([T])))[0]
+
+    # axis-aligned: exact permutation
+    idx, w = reflection_tables(q.c, np.array([[0.0, 1.0, 0.0]]))
+    assert (np.sort(w[0], axis=1)[:, -1] == 1.0).all()  # single unit weight
+    f_r = (w[0] * f[idx[0]]).sum(axis=1)
+    _, u_r = moments_of(f_r)
+    np.testing.assert_allclose(u_r[:2], [0.15, -0.1], atol=1e-12)
+
+    # skewed 30-degree normal: interpolated redistribution
+    th = np.pi / 6
+    n = np.array([[np.sin(th), np.cos(th), 0.0]])
+    idx, w = reflection_tables(q.c, n)
+    f_r = (w[0] * f[idx[0]]).sum(axis=1)
+    r_r, u_r = moments_of(f_r)
+    u_exact = u - 2.0 * (u @ n[0]) * n[0]
+    assert abs(r_r - rho) < 0.02
+    np.testing.assert_allclose(u_r, u_exact, atol=0.02)
+
+    # conservative (flux-balanced) tables: ZERO net wall mass flux for an
+    # arbitrary positive distribution, and row sums near 1 (no
+    # amplification of the ghost-update fixed point)
+    idx, w = reflection_tables(q.c, n, weights=q.w)
+    cn = q.c @ n[0]
+    incoming = cn < 0
+    rng = np.random.default_rng(0)
+    fr = rng.uniform(0.5, 2.0, size=q.N)
+    fg = (w[0] * fr[idx[0]]).sum(axis=1)
+    flux = (q.w * cn * np.where(incoming, fg, fr)).sum()
+    out_flux = (q.w * cn * np.where(~incoming, fr, 0.0)).sum()
+    assert abs(flux) < 1e-9 * abs(out_flux)
+    rs = w[0][incoming].sum(axis=1)
+    assert rs.max() < 1.3 and rs.min() > 0.7
+
+
+def test_esbgk_specular_tilted_channel():
+    """Specular walls on a ROTATED channel (normals at 30 degrees to the
+    axes), far-field-anchored ends: a Maxwellian drifting TANGENTIALLY
+    to the walls keeps its wall-normal velocity at interpolation-error
+    level (< 0.025 vs drift 0.12) — the old axis-aligned mirror
+    corrupted skewed walls at O(drift).  The flux-balanced tables also
+    keep the density near the far-field value."""
+    th = np.pi / 6
+    R = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+    mesh = quad_2d(16, 8, lx=2.0, ly=1.0)
+    mesh.coords[:] = mesh.coords @ R.T
+    dm = fvm.mesh.build_device_mesh(mesh)
+    m = KineticModel(dm, Quadrature(8, 8, 4))
+    m.options["verbose"] = False
+    m.vc["relaxationTime"] = 0.5
+    u_t = R @ np.array([0.12, 0.0])  # bulk velocity along the channel
+    for s in ("top", "bottom"):
+        m.bc[s].bc_type = "SpecularWall"
+    for s in ("left", "right"):
+        m.bc[s].bc_type = "FarField"
+        m.bc[s]["specifiedDensity"] = 1.0
+        m.bc[s]["specifiedTemperature"] = 1.0
+        m.bc[s]["specifiedXVelocity"] = float(u_t[0])
+        m.bc[s]["specifiedYVelocity"] = float(u_t[1])
+    m.init()
+    q = m.quadrature
+    u3 = np.array([u_t[0], u_t[1], 0.0])
+    nc = dm.n_cells
+    f0 = q.maxwellian(
+        jnp.ones(nc), jnp.broadcast_to(jnp.asarray(u3), (nc, 3)),
+        jnp.ones(nc),
+    )
+    m.state["f"] = jnp.asarray(f0, m.state["f"].dtype)
+    m.advance(25)
+    rho, u, T = m.moments()
+    n_int = dm.n_interior_cells
+    u_num = np.asarray(u[:n_int, :2])
+    un = u_num @ (R @ np.array([0.0, 1.0]))
+    ut = u_num @ (R @ np.array([1.0, 0.0]))
+    assert np.abs(un).max() < 0.025
+    # momentum stays along the +tangent direction; density near far field
+    assert ut.mean() > 0.05
+    x_t = (np.asarray(dm.cell_centroid)[:n_int, :2] @ R)[:, 0]
+    mid = (x_t > 0.6) & (x_t < 1.4)
+    r = np.asarray(rho[:n_int])[mid]
+    assert r.min() > 0.85 and r.max() < 1.05
+
+
+def test_esbgk_couette_reference_configuration():
+    """The reference's ESBGK-tests/Couette case (Par_Couette.py:113-196:
+    ES-BGK fgamma=2, diffuse top wall at uwall=0.0297, stationary bottom,
+    T=1): in this near-continuum linear regime the velocity profile is
+    linear with equal wall slips, and the shear stress is uniform."""
+    uw = 0.0297
+    mesh = quad_2d(3, 24)
+    mesh.make_periodic("left", "right")
+    dm = fvm.mesh.build_device_mesh(mesh)
+    m = KineticModel(dm, Quadrature(8, 8, 4))
+    m.options["verbose"] = False
+    m.options["collisionModel"] = "ESBGK"
+    m.vc["relaxationTime"] = 0.2
+    m.bc["top"].bc_type = "DiffuseWall"
+    m.bc["top"]["specifiedXVelocity"] = uw
+    m.bc["top"]["specifiedTemperature"] = 1.0
+    m.bc["bottom"].bc_type = "DiffuseWall"
+    m.bc["bottom"]["specifiedTemperature"] = 1.0
+    m.bc["left"].bc_type = "Periodic"
+    m.bc["right"].bc_type = "Periodic"
+    m.init()
+    m.advance(60)
+    rho, u, T = m.moments()
+    n_int = dm.n_interior_cells
+    ux = np.asarray(u[:n_int, 0]).reshape(3, 24).mean(axis=0)
+    y = np.asarray(dm.cell_centroid)[:n_int, 1].reshape(3, 24)[0]
+    # linear profile through uw/2 at midheight, antisymmetric slip
+    mid = np.interp(0.5, y, ux)
+    assert mid == pytest.approx(uw / 2, rel=0.05)
+    fit = np.polyfit(y, ux, 1)
+    resid = ux - np.polyval(fit, y)
+    assert np.abs(resid).max() < 0.02 * uw  # linear to 2%
+    slip_bot = ux[0] - 0.0
+    slip_top = uw - ux[-1]
+    assert slip_top == pytest.approx(slip_bot, rel=1e-6)  # exact symmetry
+    assert 0.0 < slip_bot < 0.45 * uw
