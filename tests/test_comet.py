@@ -105,3 +105,48 @@ def test_phonon_comet_nongray():
 
     rs_s, _ = run("sweep", 12)
     assert all(r / rs_s[0] > 1e-6 for r in rs_s)
+
+
+def test_phonon_dsa_bounded_iterations_thick():
+    """Acoustically thick regime (optical thickness L/(vg tau) = 100):
+    with the diffusion-synthetic coarse correction (the role of the
+    reference's COMET multigrid, phononbase/COMETModel.h:1080
+    MakeCoarseModel + :2800-2985 cycle) a FIXED inner budget of 20
+    Krylov iterations converges the solve at every mesh size, where the
+    plain point-preconditioned solver needs an inner budget that grows
+    with resolution (stalls at nx=64).  The converged temperature is the
+    diffusion profile up to Knudsen-layer jumps."""
+    import fvm_tpu as fvm
+    from fvm_tpu.mesh.generate import quad_2d
+    from fvm_tpu.kinetic.phonon import PhononModel
+
+    def run(nx, dsa, inner=20):
+        dm = fvm.mesh.build_device_mesh(quad_2d(nx, 4))
+        m = PhononModel(dm, n_polar=4, n_azimuthal=8)
+        m.options["verbose"] = False
+        m.options["innerIterations"] = inner
+        m.options["innerTolerance"] = 1e-9
+        m.options["coarseAcceleration"] = dsa
+        m.vc["relaxationTime"] = 0.01  # thickness 100 at vg = L = 1
+        m.bc["left"].bc_type = "Isothermal"
+        m.bc["left"]["specifiedTemperature"] = 310.0
+        m.bc["right"].bc_type = "Isothermal"
+        m.bc["right"]["specifiedTemperature"] = 300.0
+        m.bc["top"].bc_type = "Symmetry"
+        m.bc["bottom"].bc_type = "Symmetry"
+        m.init()
+        hist = m.advance(6)
+        T = m.getTemperature()
+        x = np.asarray(dm.cell_centroid)[: dm.n_interior_cells, 0]
+        err = np.abs(T - (310.0 - 10.0 * x)).max()
+        return hist[-1][1] / hist[0][1], err
+
+    for nx in (32, 64):
+        ratio, err = run(nx, True)
+        assert ratio < 1e-7, f"DSA nx={nx}: {ratio}"
+        # diffusion profile up to the Kn=0.01 temperature jumps
+        assert err < 0.3, f"DSA nx={nx}: T err {err}"
+    # the unaccelerated solver cannot converge at nx=64 within the same
+    # fixed budget — the coarse correction is what bounds the iterations
+    ratio_plain, _ = run(64, False)
+    assert ratio_plain > 1e-5
