@@ -55,17 +55,27 @@ class ContactModel:
         if node_displacement is not None:
             centers = centers + np.asarray(node_displacement)
         dist, _ = self.tree.query_batch(centers, 1)
-        gap = np.maximum(dist, float(self.vc["minimumGap"]))
-
-        k_c = float(self.vc["contactStiffness"])
-        g_c = float(self.vc["contactGap"])
-        A_h = float(self.vc["hamakerConstant"])
-        pen = np.where(gap < g_c, k_c * (g_c - gap) ** 2 / g_c**2, 0.0)
-        vdw = -A_h / (6.0 * np.pi * gap**3)
-        mag = pen + vdw
+        mag = self.gap_force(dist)
 
         area = np.asarray(mesh.face_area)[sl]
         amag = np.asarray(mesh.face_area_mag)[sl]
         nhat = area / np.maximum(amag, 1e-300)[:, None]
         # repulsion pushes back along the inward normal
         return -mag[:, None] * nhat * amag[:, None]
+
+    def gap_force(self, gaps) -> np.ndarray:
+        """Per-sample contact force magnitude from the gap law (positive
+        = repulsion).  The cell-level entry point for plate/membrane
+        midsurface meshes where the gap to the counter-surface is known
+        directly (the MEMS-switch driver couples it this way,
+        reference: scripts/Simulator.py + ContactModel_impl.h:41)."""
+        gap = np.maximum(
+            np.asarray(gaps, dtype=float).reshape(-1),
+            float(self.vc["minimumGap"]),
+        )
+        k_c = float(self.vc["contactStiffness"])
+        g_c = float(self.vc["contactGap"])
+        A_h = float(self.vc["hamakerConstant"])
+        pen = np.where(gap < g_c, k_c * (g_c - gap) ** 2 / g_c**2, 0.0)
+        vdw = -A_h / (6.0 * np.pi * gap**3)
+        return pen + vdw
