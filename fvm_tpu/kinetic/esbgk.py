@@ -251,16 +251,23 @@ class KineticModel(Model):
         """``ordinate_shards``: shard the VELOCITY-ordinate axis of f over
         that many devices (mesh axis 'fvm_v') — the reference's N123
         direction batching (Field::syncLocalVectorFields) turned into the
-        natural tensor-parallel axis.  Mutually exclusive with spatial
-        partitioning for now (one mesh axis per model)."""
+        natural tensor-parallel axis.
+
+        COMBINED spatial x ordinate sharding: build the Partition with
+        ``ordinate_shards=P`` (2D device mesh) and leave this argument
+        None — the step is shard_map'd MANUALLY over the spatial axis
+        while GSPMD partitions the ordinate axis (the reference does
+        domain decomposition AND direction batching simultaneously,
+        Field.cpp:734-827)."""
         super().__init__(mesh, partition)
         self.vc = KineticVC()
         self.quadrature = quadrature or Quadrature(8, 8, 8)
         self.ordinate_shards = ordinate_shards
         if ordinate_shards and self._dist:
             raise ConfigError(
-                "KineticModel: ordinate_shards is incompatible with "
-                "spatial partitioning (choose one mesh axis)"
+                "KineticModel: pass ordinate_shards to the Partition for "
+                "combined spatial x ordinate sharding (2D device mesh), "
+                "not to the model"
             )
 
     def _make_options(self):
@@ -341,6 +348,10 @@ class KineticModel(Model):
         if self._dist:
             self.state = self.partition.device_put(self.state)
             self.params = self.partition.device_put(self.params)
+            if getattr(self.partition, "ordinate_shards", 1) > 1:
+                # combined mode: re-place the ordinate-batched arrays with
+                # the trailing axis split over the auto 'fvm_v' mesh axis
+                self._combined_ordinate_put(("f", "f_N1"), ("dO", "dN"))
         if self.ordinate_shards:
             self._shard_ordinates(
                 ("f", "f_N1"), ("dO", "dN"), self.ordinate_shards

@@ -150,8 +150,9 @@ class PhononModel(Model):
         self.ordinate_shards = ordinate_shards
         if ordinate_shards and self._dist:
             raise ConfigError(
-                "PhononModel: ordinate_shards is incompatible with "
-                "spatial partitioning (choose one mesh axis)"
+                "PhononModel: pass ordinate_shards to the Partition for "
+                "combined spatial x ordinate sharding (2D device mesh), "
+                "not to the model"
             )
 
     def _make_options(self):
@@ -281,6 +282,8 @@ class PhononModel(Model):
         if self._dist:
             self.state = self.partition.device_put(self.state)
             self.params = self.partition.device_put(self.params)
+            if getattr(self.partition, "ordinate_shards", 1) > 1:
+                self._combined_ordinate_put(("e", "e_N1"), ("dO", "dN"))
         if self.ordinate_shards:
             self._shard_ordinates(
                 ("e", "e_N1"), ("dO", "dN"), self.ordinate_shards

@@ -189,6 +189,35 @@ class Model:
             if k in self.params:
                 self.params[k] = put(self.params[k])
 
+    def _combined_ordinate_put(self, state_keys, param_keys):
+        """Combined spatial x ordinate sharding: re-place stacked
+        (S, ..., N) kinetic arrays so the leading shard axis maps to the
+        MANUAL spatial mesh axis and the trailing ordinate axis to the
+        AUTO ordinate axis (GSPMD partitions it inside the shard_map'd
+        step; reference: Field.cpp:734-827 syncLocalVectorFields)."""
+        part = self.partition
+        jmesh = part.jax_mesh
+        P_ = part.ordinate_shards
+        ax, vax = part.axis_name, part.ordinate_axis
+
+        def put(a):
+            if a.shape[-1] % P_:
+                raise ConfigError(
+                    f"ordinate count {a.shape[-1]} not divisible by "
+                    f"ordinate_shards={P_}"
+                )
+            spec = jax.sharding.PartitionSpec(
+                ax, *((None,) * (a.ndim - 2)), vax
+            )
+            return jax.device_put(a, jax.sharding.NamedSharding(jmesh, spec))
+
+        for k in state_keys:
+            if k in self.state:
+                self.state[k] = put(self.state[k])
+        for k in param_keys:
+            if k in self.params:
+                self.params[k] = put(self.params[k])
+
     def _map_mesh(self, fn, *args):
         """Apply ``fn(local_mesh, *args)`` — vmapped over the shard axis
         when distributed (post-processing paths; the stacked state already
@@ -474,12 +503,18 @@ class Model:
             new_state, aux = step(sq(mesh), sq(params), sq(state), sq(bcvals))
             return jax.tree.map(lambda a: a[None], new_state), aux
 
+        kw = {}
+        if len(jmesh.axis_names) > 1:
+            # hybrid manual/auto: manual over the spatial partition axis,
+            # the remaining (ordinate) axes stay auto for GSPMD
+            kw["axis_names"] = frozenset({axis})
         mapped = smap(
             local,
             mesh=jmesh,
             in_specs=(P(axis), P(axis), P(axis), P(axis)),
             out_specs=(P(axis), P()),
             check_vma=False,
+            **kw,
         )
         return jax.jit(mapped)
 

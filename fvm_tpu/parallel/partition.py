@@ -81,6 +81,8 @@ class Partition:
         dtype=None,
         parts: np.ndarray | None = None,
         halo_depth: int = 1,
+        ordinate_shards: int = 1,
+        ordinate_axis: str = "fvm_v",
     ):
         """``halo_depth=2`` adds the second ghost ring (remote neighbors
         of ring-1 halo cells) to the exchange tables — the reference's
@@ -483,13 +485,32 @@ class Partition:
         self._own_int = own_int
 
         devs = jax.devices()
-        if len(devs) < self.n_shards:
+        self.ordinate_shards = int(ordinate_shards)
+        self.ordinate_axis = ordinate_axis
+        need = self.n_shards * self.ordinate_shards
+        if len(devs) < need:
             raise MeshError(
-                f"partition: {self.n_shards} shards but only {len(devs)} devices"
+                f"partition: {need} devices needed "
+                f"({self.n_shards} spatial x {self.ordinate_shards} "
+                f"ordinate shards) but only {len(devs)} available"
             )
-        self.jax_mesh = jax.sharding.Mesh(
-            np.array(devs[: self.n_shards]), (axis_name,)
-        )
+        if self.ordinate_shards > 1:
+            # 2D device mesh (space x ordinates): the step is shard_map'd
+            # MANUALLY over the spatial axis while the ordinate axis stays
+            # AUTO — XLA's GSPMD partitions the trailing ordinate dims and
+            # inserts the moment psums / mirror permutes (SURVEY S5: the
+            # reference decomposes space under MPI AND batches directions,
+            # Field.cpp:734-827 syncLocalVectorFields)
+            self.jax_mesh = jax.sharding.Mesh(
+                np.array(devs[:need]).reshape(
+                    self.n_shards, self.ordinate_shards
+                ),
+                (axis_name, ordinate_axis),
+            )
+        else:
+            self.jax_mesh = jax.sharding.Mesh(
+                np.array(devs[: self.n_shards]), (axis_name,)
+            )
 
     # ------------------------------------------------------------------
 

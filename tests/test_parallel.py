@@ -809,3 +809,83 @@ def test_dist_amg_general_flow_default_tri():
     assert hist[-1][1] < hist[0][1]
     v = np.asarray(f.partition.gather_cells(f.state["velocity"]))
     assert np.isfinite(v).all() and np.abs(v).max() <= 1.2
+
+
+def test_combined_spatial_ordinate_sharding_esbgk():
+    """Spatial x ordinate COMBINED sharding (2x4 device mesh): the step
+    is shard_map'd manually over the spatial axis while GSPMD partitions
+    the velocity-ordinate axis (reference: domain decomposition under
+    MPI AND direction batching simultaneously, Field.cpp:734-827
+    syncLocalVectorFields).  Matches the single-device solve."""
+    from fvm_tpu.kinetic import KineticModel, Quadrature
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+
+    def couette(part=None):
+        if part is None:
+            m = KineticModel(
+                fvm.mesh.build_device_mesh(quad_2d(3, 16)),
+                Quadrature(6, 6, 4),
+            )
+        else:
+            m = KineticModel(
+                part.sharded_mesh, Quadrature(6, 6, 4), partition=part
+            )
+        m.options["verbose"] = False
+        m.vc["relaxationTime"] = 0.2
+        m.bc["top"].bc_type = "DiffuseWall"
+        m.bc["top"]["specifiedXVelocity"] = 0.3
+        m.bc["bottom"].bc_type = "DiffuseWall"
+        m.bc["bottom"]["specifiedXVelocity"] = -0.3
+        m.bc["left"].bc_type = "Symmetry"
+        m.bc["right"].bc_type = "Symmetry"
+        m.init()
+        m.advance(15)
+        rho, u, T = m.moments()
+        if part is not None:
+            return np.asarray(u)[:, 0]
+        return np.asarray(u[: m.mesh.n_interior_cells, 0])
+
+    u1 = couette()
+    part = Partition(quad_2d(3, 16), 2, ordinate_shards=4)
+    assert part.jax_mesh.axis_names == ("fvm_x", "fvm_v")
+    uN = couette(part)
+    np.testing.assert_allclose(uN, u1, atol=1e-6)
+
+
+def test_combined_spatial_ordinate_sharding_phonon():
+    """Combined 2x4 sharding for the phonon BTE (directions x bands on
+    the auto axis) matches single-device."""
+    from fvm_tpu.kinetic.phonon import PhononModel
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+
+    def run(part=None):
+        if part is None:
+            p = PhononModel(
+                fvm.mesh.build_device_mesh(quad_2d(16, 4)),
+                n_polar=4, n_azimuthal=8,
+            )
+        else:
+            p = PhononModel(
+                part.sharded_mesh, n_polar=4, n_azimuthal=8, partition=part
+            )
+        p.options["verbose"] = False
+        p.options["coarseAcceleration"] = False
+        p.vc["relaxationTime"] = 0.1
+        p.bc["left"].bc_type = "Isothermal"
+        p.bc["left"]["specifiedTemperature"] = 310.0
+        p.bc["right"].bc_type = "Isothermal"
+        p.bc["right"]["specifiedTemperature"] = 300.0
+        p.bc["top"].bc_type = "Symmetry"
+        p.bc["bottom"].bc_type = "Symmetry"
+        p.init()
+        p.advance(4)
+        return p.getTemperature()
+
+    T1 = run()
+    part = Partition(quad_2d(16, 4), 2, ordinate_shards=4)
+    TN = run(part)
+    np.testing.assert_allclose(TN, T1, atol=1e-6)
