@@ -67,6 +67,12 @@ def main():
         uv, up = (float(x) for x in urf_env.split(","))
         flow.options["momentumURF"] = uv
         flow.options["pressureURF"] = up
+    if os.environ.get("FVM_BENCH_ACCEL"):
+        # "anderson": windowed Anderson mixing of the SIMPLE outer fixed
+        # point (linear/anderson.py) — measured 7.5x fewer outer
+        # iterations to 1e-6 on the 64^2 cavity; the convergence-mode
+        # lever for BASELINE target #2
+        flow.options["acceleration"] = os.environ["FVM_BENCH_ACCEL"]
     if os.environ.get("FVM_BENCH_ALGO"):
         # "SIMPLEC": consistent correction coefficient, pressureURF ~ 1.
         # Wins ~1.6x outer iterations at moderate Re (viscosity 0.05

@@ -108,6 +108,16 @@ class FlowModelOptions(ModelOptions):
         "molecularWeight": 28.966,
         "continuityTolerance": 1e-4,
         "absoluteTolerance": 1e-50,
+        # Anderson acceleration of the SIMPLE outer fixed point
+        # (linear/anderson.py): "anderson" extrapolates (V, p, mdot) over
+        # the last andersonDepth outer iterates — attacks the ~0.989/outer
+        # asymptotic contraction at large meshes.  Starts after
+        # andersonDelay plain steps (the early transient is far from the
+        # asymptotic regime where the window helps).
+        "acceleration": None,
+        "andersonDepth": 4,
+        "andersonDamping": 1.0,
+        "andersonDelay": 5,
         "verbose": True,
     }
 
@@ -898,19 +908,55 @@ class FlowModel(Model):
 
     # ------------------------------------------------------------------
 
+    def _build_aa_apply(self):
+        from ..linear.anderson import Anderson
+
+        aa = Anderson(
+            depth=int(self.options.get("andersonDepth", 4)),
+            damping=float(self.options.get("andersonDamping", 1.0)),
+        )
+        keys = ("velocity", "pressure", "massFlux")
+
+        def apply(astate, old_state, new_state):
+            x_old = jnp.concatenate([old_state[k].ravel() for k in keys])
+            g_new = jnp.concatenate([new_state[k].ravel() for k in keys])
+            x_acc, astate = aa.mix(astate, x_old, g_new)
+            out = dict(new_state)
+            off = 0
+            for k in keys:
+                sz = new_state[k].size
+                out[k] = x_acc[off:off + sz].reshape(new_state[k].shape)
+                off += sz
+            return out, astate
+
+        n = sum(int(self.state[k].size) for k in keys)
+        dtype = self.state["pressure"].dtype
+        return jax.jit(apply), aa.init_state(n, dtype)
+
     def advance(self, niter: int = 1) -> ResidualHistory:
         if not self._initialized:
             raise ConfigError("call init() before advance()")
         opts = self.options
         hist = ResidualHistory()
         bcvals = self._resolve_bcvals()
+        accel = str(opts.get("acceleration") or "").lower() == "anderson"
+        if accel and getattr(self, "_aa_apply", None) is None:
+            self._aa_apply, self._aa_state = self._build_aa_apply()
+            self._aa_iter = 0
         # residualSync=False: keep residual norms as device scalars and skip
         # per-iteration convergence checks — every float() here is a host
         # round trip (~30 ms on the TPU tunnel), which would dominate a
         # ~100 ms step.  Callers own the final sync.
         sync = bool(opts.get("residualSync", True)) or bool(opts["verbose"])
         for it in range(niter):
+            prev_state = self.state if accel else None
             self.state, aux = self._step(self.mesh, self.params, self.state, bcvals)
+            if accel:
+                self._aa_iter += 1
+                if self._aa_iter > int(opts.get("andersonDelay", 5)):
+                    self.state, self._aa_state = self._aa_apply(
+                        self._aa_state, prev_state, self.state
+                    )
             if not sync:
                 hist.append((it, aux["mom_norm"], aux["cont_norm"]))
                 continue
