@@ -115,3 +115,54 @@ def setup_generated():
     m.init()
     m.advance(300)
     return m
+
+
+def test_contraction_sequence_vs_reference_golden(cav32):
+    """Pin the outer-iteration contraction against the reference's OWN
+    golden history (PARALLEL_CAVITY_AMG/proc1/GOLDEN/convergence.dat —
+    the file ptest.py:83-93 regresses at 1e-8 against its own runs),
+    recorded in the SAME norm (per-component x-momentum L1,
+    options residualNorm="L1").
+
+    The first few iterations differ structurally (explicit ghost refresh
+    vs implicit GenericBCS rows changes the transient); what the
+    discretization DOES determine is the asymptotic contraction, and it
+    matches to a fraction of a percent:
+      golden 10->30 geo-mean ratio 0.93820, ours 0.93564;
+      golden 30->99 geo-mean ratio 0.96637, ours 0.96588;
+      total 100-iteration contraction 2.67e-3 vs ours 2.74e-3."""
+    golden_path = (
+        "/root/reference/src/fvm/test/PARALLEL_CAVITY_AMG/proc1/GOLDEN/"
+        "convergence.dat"
+    )
+    if not os.path.exists(golden_path):
+        pytest.skip("reference golden not available")
+    import re
+
+    gold = []
+    with open(golden_path) as f:
+        for line in f:
+            m = re.search(r"flow\.velocity : \[ ([0-9.eE+-]+)", line)
+            if m:
+                gold.append(float(m.group(1)))
+    g = np.asarray(gold)
+    assert g[0] == pytest.approx(6.4, abs=1e-9)
+
+    from fvm_tpu.io.fluent import read_fluent_mesh
+
+    dm = fvm.mesh.build_device_mesh(read_fluent_mesh(CAS))
+    m = setup_cavity(dm)
+    m.options["residualNorm"] = "L1"
+    m._step = m._wrap_step(m._build_step())
+    hist = m.advance(100)
+    ours = np.asarray([h[1] for h in hist])
+    # golden line 0 reproduced exactly (same norm, same discretization)
+    assert ours[0] == pytest.approx(6.4, rel=1e-10)
+    # asymptotic contraction rates match the golden
+    r_mid = (ours[30] / ours[10]) ** (1 / 20)
+    g_mid = (g[30] / g[10]) ** (1 / 20)
+    assert r_mid == pytest.approx(g_mid, rel=0.02)
+    r_tail = (ours[99] / ours[30]) ** (1 / 69)
+    g_tail = (g[99] / g[30]) ** (1 / 69)
+    assert r_tail == pytest.approx(g_tail, rel=0.01)
+    assert ours[99] / ours[0] == pytest.approx(g[99] / g[0], rel=0.10)
