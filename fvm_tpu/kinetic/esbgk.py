@@ -74,6 +74,14 @@ class KineticModelOptions(ModelOptions):
         # inverse (reference: esbgkbase/COMETModel.h:51).  "sweep": the
         # Picard/segregated iteration (reference: KineticModel.h:3360).
         "solver": "COMET",
+        # temperature-mode diffusion synthetic acceleration for thick
+        # regimes (see kinetic/dsa.py); single-device COMET only.
+        # Default OFF: unlike the phonon (rank-1) case, the esbgk
+        # equilibrium has 5 slow modes and the T-only correction is
+        # measured to help strongly in thick heat transfer (8e-3 -> 3e-4
+        # at nx=48/inner=60) but can destabilize small inner budgets —
+        # enable explicitly for acoustically thick problems
+        "coarseAcceleration": False,
         "verbose": True,
     }
 
@@ -503,6 +511,42 @@ class KineticModel(Model):
         inner_tol = float(opts["innerTolerance"])
         comet = str(opts["solver"]).upper() == "COMET"
 
+        # ---- DSA coarse machinery (constant, built once; see kinetic/dsa)
+        # Near-continuum (thick) regimes leave the smooth TEMPERATURE mode
+        # unaccelerated by the point Woodbury preconditioner: compose an
+        # AMG-cycled synthetic heat-diffusion correction on the
+        # equilibrium subspace, restriction wE = w (c^2/2 - 3T0/2) and
+        # prolongation dM/dT at the reference state — the esbgk analogue
+        # of the phonon DSA (reference coarse model, COMETModel.h:1080)
+        dsa = None
+        if comet and bool(opts.get("coarseAcceleration", True)) and \
+                not self._dist and not self.ordinate_shards:
+            from .dsa import build_scalar_diffusion_cycles
+
+            q0 = self.quadrature
+            mesh0 = self.mesh
+            dtype0 = mesh0.cell_volume.dtype
+            tau_int = np.asarray(self.params["tau"])[
+                : mesh0.n_interior_cells
+            ]
+            tau_ref = float(np.mean(tau_int)) if tau_int.size else 0.1
+            T0 = float(self.vc["initialTemperature"])
+            rho0 = float(self.vc["initialDensity"])
+            k_eff = 2.5 * rho0 * T0 * tau_ref  # BGK kappa = (5/2) p tau
+            M_T = build_scalar_diffusion_cycles(
+                self, k_eff, ("DiffuseWall", "FarField")
+            )
+            c2 = (np.asarray(q0.c) ** 2).sum(axis=1)
+            wE = jnp.asarray(
+                np.asarray(q0.w) * (c2 / 2.0 - 1.5 * T0), dtype0
+            )
+            M0 = rho0 / (2.0 * np.pi * T0) ** 1.5 * np.exp(-c2 / (2.0 * T0))
+            pcoef = jnp.asarray(
+                M0 * (c2 / (2.0 * T0**2) - 1.5 / T0), dtype0
+            )
+            alive_T = jnp.arange(mesh0.n_cells) < mesh0.n_interior_cells
+            dsa = (M_T, wE, pcoef, alive_T)
+
         def step(mesh, params, state, bcvals):
             from ..ops.halo import maybe_sync
 
@@ -570,6 +614,10 @@ class KineticModel(Model):
                     lowrank=(kappa, U, Vt),
                 )
                 precond = _WoodburyPrecond(op_lr)
+                if dsa is not None:
+                    from .dsa import DSAPrecond
+
+                    precond = DSAPrecond(precond, *dsa)
                 r0 = R(f)
             else:
                 op = op_plain

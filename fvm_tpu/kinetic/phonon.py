@@ -95,40 +95,6 @@ class PhononModelOptions(ModelOptions):
     }
 
 
-class _DSAPrecond:
-    """Woodbury point relaxation composed ADDITIVELY with a diffusion
-    coarse correction on the isotropic-equilibrium subspace:
-      z = M_wood(r) + P MT(R r)
-    with R = energy restriction (sum_d w_d over ordinates/bands) and
-    P dT = (C_b / 4 pi) dT (the equilibrium increment).  MT applies AMG
-    V-cycles on the synthetic operator -div(k_eff grad); plays the role
-    of the reference's COMET multigrid (phononbase/COMETModel.h:1080).
-    The multiplicative variant (correcting r - A z1) was measured to
-    break BiCGStab outright on some mesh sizes (indefinite composed
-    preconditioner); the additive form is robust and converges within
-    a bounded inner budget at every tested size/thickness."""
-
-    def __init__(self, wood, M_T, wE, pcoef, alive):
-        self.wood = wood
-        self.M_T = M_T
-        self.wE = wE
-        self.pcoef = pcoef
-        self.alive = alive
-
-    def precond_setup(self, op):
-        Mw = self.wood.precond_setup(op)
-        M_T, wE, pcoef, alive = self.M_T, self.wE, self.pcoef, self.alive
-
-        def M(r):
-            z1 = Mw(r)
-            rT = jnp.einsum("cn,n->c", r, wE)
-            dT = M_T(jnp.where(alive, rT, 0.0))
-            z2 = jnp.where(alive, dT, 0.0)[:, None] * pcoef[None, :]
-            return z1 + z2
-
-        return M
-
-
 class PhononModel(Model):
     name = "PhononModel"
 
@@ -356,68 +322,15 @@ class PhononModel(Model):
         dsa = None
         if comet and bool(opts.get("coarseAcceleration", True)) and \
                 not self._dist:
-            from ..ops import assembly as _asm
-            from ..ops.assembly import FaceFlux as _FF
-            from ..linear import AMG as _AMG
+            from .dsa import build_scalar_diffusion_cycles
 
             mesh0 = self.mesh
             dtype = mesh0.cell_volume.dtype
             Cb, vgb, taub = self._band_arrays()
             k_eff = float((Cb * vgb**2 * taub).sum() / 3.0)
-            iso_face = np.zeros(mesh0.n_faces, dtype=bool)
-            for g, bc in self._group_bcs():
-                if bc.bc_type == "Isothermal":
-                    iso_face[mesh0.group_faces(g)] = True
-            bnd = np.arange(mesh0.n_faces) >= mesh0.n_interior_faces
-            keep = jnp.asarray(~bnd | iso_face)
-            gamT = jnp.where(keep, k_eff * mesh0.face_e_over_d, 0.0)
-            A_T, _ = _asm.assemble(
-                mesh0,
-                _FF(F=jnp.zeros(mesh0.n_faces, dtype), dF_dO=gamT,
-                    dF_dN=-gamT),
+            M_T = build_scalar_diffusion_cycles(
+                self, k_eff, ("Isothermal",)
             )
-            gh = slice(mesh0.n_interior_cells, mesh0.n_cells)
-            A_T = A_T.replace(
-                diag=A_T.diag.at[gh].set(1.0), off=A_T.off.at[gh].set(0.0)
-            ).prepare()
-            amg_T = _AMG(coarse_size=32)
-            amg_T.setup_structure(*mesh0.host_cf())
-            # the AMG hierarchy is built on the CONDENSED pattern (the
-            # Krylov solvers condense at entry); cycling the uncondensed
-            # A_T against it diverges catastrophically — condense once and
-            # fold/recover each application (mirrors ELLMatrix.condense)
-            A2c, _b0, _rec0 = A_T.condense(
-                jnp.zeros(mesh0.n_cells, dtype)
-            )
-            M_T1 = amg_T.precond_setup(A2c)
-            plan = None if A_T.dia is None else A_T.dia.cond_plan
-            if plan is not None and plan.ok:
-                er, es, ep, ir, ik, ie = plan.as_device()
-                offv = jnp.where(A_T.mask, A_T.off, 0.0)
-                vE = jnp.where(
-                    es >= 0, offv[er, jnp.maximum(es, 0)], 0.0
-                )
-                dE = A_T.diag[er]
-                vIn = offv[ir, ik]
-
-                def _fold(b):
-                    bE = b[er]
-                    b2 = b.at[ir].add(-vIn / dE[ie] * bE[ie])
-                    return b2.at[er].set(0.0)
-
-                def _recover(x2, b):
-                    xE = (b[er] - vE * x2[ep]) / dE
-                    return x2.at[er].set(xE)
-            else:
-                _fold = lambda b: b
-                _recover = lambda x2, b: x2
-
-            def M_T(rT):
-                r2 = _fold(rT)
-                z = M_T1(r2)
-                z = z + M_T1(r2 - A2c.mv(z))
-                return _recover(z, rT)
-
             wE = jnp.repeat(jnp.asarray(self.w, dtype), B)
             pcoef = jnp.tile(
                 jnp.asarray(Cb, dtype)[None, :], (self.D, 1)
@@ -495,7 +408,9 @@ class PhononModel(Model):
                 )
                 precond = _WoodburyPrecond(op_lr)
                 if dsa is not None:
-                    precond = _DSAPrecond(precond, *dsa)
+                    from .dsa import DSAPrecond
+
+                    precond = DSAPrecond(precond, *dsa)
                 r0 = R(e)
             else:
                 op = op_plain

@@ -150,3 +150,38 @@ def test_phonon_dsa_bounded_iterations_thick():
     # fixed budget — the coarse correction is what bounds the iterations
     ratio_plain, _ = run(64, False)
     assert ratio_plain > 1e-5
+
+
+def test_esbgk_dsa_thick_heat_transfer():
+    """ES-BGK temperature-mode DSA (kinetic/dsa.py; the esbgk side of
+    the reference's COMET coarse model): at optical thickness 100 the
+    thick heat-transfer solve stalls without the coarse correction and
+    converges ~25x deeper with it at the same inner budget."""
+    import fvm_tpu as fvm
+    from fvm_tpu.mesh.generate import quad_2d
+    from fvm_tpu.kinetic import Quadrature, KineticModel
+
+    def run(dsa):
+        mesh = quad_2d(48, 3)
+        mesh.make_periodic("bottom", "top")
+        dm = fvm.mesh.build_device_mesh(mesh)
+        m = KineticModel(dm, Quadrature(8, 8, 4))
+        m.options["verbose"] = False
+        m.options["innerIterations"] = 60
+        m.options["innerTolerance"] = 1e-9
+        m.options["coarseAcceleration"] = dsa
+        m.vc["relaxationTime"] = 0.01
+        m.bc["left"].bc_type = "DiffuseWall"
+        m.bc["left"]["specifiedTemperature"] = 1.1
+        m.bc["right"].bc_type = "DiffuseWall"
+        m.bc["right"]["specifiedTemperature"] = 0.9
+        m.bc["bottom"].bc_type = "Periodic"
+        m.bc["top"].bc_type = "Periodic"
+        m.init()
+        h = m.advance(8)
+        return h[-1][1] / h[0][1]
+
+    rel_dsa = run(True)
+    rel_plain = run(False)
+    assert rel_dsa < 1e-3
+    assert rel_dsa < rel_plain / 5
