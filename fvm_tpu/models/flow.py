@@ -118,6 +118,11 @@ class FlowModelOptions(ModelOptions):
         "andersonDepth": 4,
         "andersonDamping": 1.0,
         "andersonDelay": 5,
+        # mix every K-th outer step (Anderson over the K-step composite
+        # map): the extrapolation coefficients scale like 1/(1 - rho^K),
+        # so larger K amplifies the loose inner-solve noise less — use
+        # K ~ 5-10 at large mesh sizes where rho -> 1
+        "andersonInterval": 1,
         "verbose": True,
     }
 
@@ -951,20 +956,31 @@ class FlowModel(Model):
         if accel and getattr(self, "_aa_apply", None) is None:
             self._aa_apply, self._aa_state = self._build_aa_apply()
             self._aa_iter = 0
+            self._aa_anchor = None
+        aa_delay = int(opts.get("andersonDelay", 5)) if accel else 0
+        aa_int = max(int(opts.get("andersonInterval", 1)), 1) if accel else 1
         # residualSync=False: keep residual norms as device scalars and skip
         # per-iteration convergence checks — every float() here is a host
         # round trip (~30 ms on the TPU tunnel), which would dominate a
         # ~100 ms step.  Callers own the final sync.
         sync = bool(opts.get("residualSync", True)) or bool(opts["verbose"])
         for it in range(niter):
-            prev_state = self.state if accel else None
             self.state, aux = self._step(self.mesh, self.params, self.state, bcvals)
             if accel:
                 self._aa_iter += 1
-                if self._aa_iter > int(opts.get("andersonDelay", 5)):
+                if self._aa_iter == aa_delay or (
+                    self._aa_anchor is None and self._aa_iter >= aa_delay
+                ):
+                    self._aa_anchor = self.state
+                elif self._aa_iter > aa_delay and (
+                    (self._aa_iter - aa_delay) % aa_int == 0
+                ):
+                    # anchor = state at the previous mix: Anderson acts on
+                    # the K-step composite fixed-point map
                     self.state, self._aa_state = self._aa_apply(
-                        self._aa_state, prev_state, self.state
+                        self._aa_state, self._aa_anchor, self.state
                     )
+                    self._aa_anchor = self.state
             if not sync:
                 hist.append((it, aux["mom_norm"], aux["cont_norm"]))
                 continue
