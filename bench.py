@@ -71,8 +71,17 @@ def main():
         # "anderson": windowed Anderson mixing of the SIMPLE outer fixed
         # point (linear/anderson.py) — measured 7.5x fewer outer
         # iterations to 1e-6 on the 64^2 cavity; the convergence-mode
-        # lever for BASELINE target #2
+        # lever for BASELINE target #2.  FVM_BENCH_ACCEL_INT mixes every
+        # K-th step (noise-robust at 1M); FVM_BENCH_PTOL tightens the
+        # pressure solve for acceleration-quality steps.
         flow.options["acceleration"] = os.environ["FVM_BENCH_ACCEL"]
+        if os.environ.get("FVM_BENCH_ACCEL_INT"):
+            flow.options["andersonInterval"] = int(
+                os.environ["FVM_BENCH_ACCEL_INT"]
+            )
+        flow.options["andersonDelay"] = int(
+            os.environ.get("FVM_BENCH_ACCEL_DELAY", "5")
+        )
     if os.environ.get("FVM_BENCH_ALGO"):
         # "SIMPLEC": consistent correction coefficient, pressureURF ~ 1.
         # Wins ~1.6x outer iterations at moderate Re (viscosity 0.05
@@ -86,8 +95,10 @@ def main():
     flow.bc["top"]["specifiedXVelocity"] = 1.0
     # AMG used directly as the pressure solver: each V-cycle contracts the
     # residual ~5-10x, so rtol 1e-3 needs ~3 cycles vs ~16 inside BiCGStab
+    ptol = float(os.environ.get("FVM_BENCH_PTOL", "1e-3"))
+    pit = int(os.environ.get("FVM_BENCH_PIT", "6"))
     flow.options["pressureLinearSolver"] = AMG(
-        coarse_size=256, relative_tolerance=1e-3, max_iterations=6,
+        coarse_size=256, relative_tolerance=ptol, max_iterations=pit,
         precision=amg_prec,
     )
     flow.options["momentumLinearSolver"] = BiCGStab(

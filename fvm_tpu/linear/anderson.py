@@ -68,16 +68,22 @@ class Anderson:
         valid = (jnp.arange(m) < n_hist).astype(f.dtype)
 
         # normal equations with Tikhonov regularization scaled to the
-        # Gram diagonal (keeps the solve well-posed when columns align)
-        G_ = dF @ dF.T  # (m, m)
-        G_ = G_ * valid[:, None] * valid[None, :]
-        scale = jnp.trace(G_) / jnp.maximum(n_hist.astype(f.dtype), 1.0)
+        # Gram diagonal (keeps the solve well-posed when columns align).
+        # The Gram reductions and the tiny solve run in f64 even for f32
+        # states: near convergence the difference columns suffer f32
+        # cancellation and a single-precision Gram turns the
+        # extrapolation into noise at large n.
+        hi = jnp.float64 if jax.config.read("jax_enable_x64") else f.dtype
+        validh = valid.astype(hi)
+        G_ = jnp.einsum("in,jn->ij", dF, dF, preferred_element_type=hi)
+        G_ = G_ * validh[:, None] * validh[None, :]
+        scale = jnp.trace(G_) / jnp.maximum(n_hist.astype(hi), 1.0)
         A = G_ + (self.reg * jnp.maximum(scale, 1e-30)
-                  + 1e-30) * jnp.eye(m, dtype=f.dtype)
+                  + 1e-30) * jnp.eye(m, dtype=hi)
         # dead history rows get identity equations (gamma_j = 0)
-        A = A + jnp.diag(1.0 - valid)
-        b = (dF @ f) * valid
-        gamma = gauss_solve(A, b)
+        A = A + jnp.diag(1.0 - validh)
+        b = jnp.einsum("in,n->i", dF, f, preferred_element_type=hi) * validh
+        gamma = gauss_solve(A, b).astype(f.dtype)
         x_acc = g_new - gamma @ dG
         if beta != 1.0:
             x_acc = x_acc - (1.0 - beta) * (f - gamma @ dF)
