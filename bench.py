@@ -49,64 +49,115 @@ def main():
 
     fvm.set_default_dtype(dtype)
 
-    t0 = time.time()
-    mesh = fvm.mesh.generate.quad_2d(n, n)
-    dmesh = fvm.mesh.build_device_mesh(mesh)
-    n_cells = mesh.n_interior_cells
-    print(f"# mesh: {n}x{n} = {n_cells} cells ({time.time()-t0:.1f}s)", file=sys.stderr)
-
-    flow = FlowModel(dmesh)
-    flow.options["verbose"] = False
-    urf_env = os.environ.get("FVM_BENCH_URF", "")
-    if urf_env:
-        # e.g. "0.9,0.5" — contracts ~2.5x faster per outer at 128^2
-        # (0.975 vs 0.990/outer) but DIVERGES at 1M (the SIMPLE
-        # stability window narrows with refinement); the default stays
-        # the reference-classic 0.7/0.3, which is stable at every size
-        # tested
-        uv, up = (float(x) for x in urf_env.split(","))
-        flow.options["momentumURF"] = uv
-        flow.options["pressureURF"] = up
-    if os.environ.get("FVM_BENCH_ACCEL"):
-        # "anderson": windowed Anderson mixing of the SIMPLE outer fixed
-        # point (linear/anderson.py) — measured 7.5x fewer outer
-        # iterations to 1e-6 on the 64^2 cavity; the convergence-mode
-        # lever for BASELINE target #2.  FVM_BENCH_ACCEL_INT mixes every
-        # K-th step (noise-robust at 1M); FVM_BENCH_PTOL tightens the
-        # pressure solve for acceleration-quality steps.
-        flow.options["acceleration"] = os.environ["FVM_BENCH_ACCEL"]
-        if os.environ.get("FVM_BENCH_ACCEL_INT"):
-            flow.options["andersonInterval"] = int(
-                os.environ["FVM_BENCH_ACCEL_INT"]
-            )
-        flow.options["andersonDelay"] = int(
-            os.environ.get("FVM_BENCH_ACCEL_DELAY", "5")
+    def build_flow(nn):
+        t0 = time.time()
+        mesh = fvm.mesh.generate.quad_2d(nn, nn)
+        dmesh = fvm.mesh.build_device_mesh(mesh)
+        print(
+            f"# mesh: {nn}x{nn} = {mesh.n_interior_cells} cells "
+            f"({time.time()-t0:.1f}s)",
+            file=sys.stderr,
         )
-    if os.environ.get("FVM_BENCH_ALGO"):
-        # "SIMPLEC": consistent correction coefficient, pressureURF ~ 1.
-        # Wins ~1.6x outer iterations at moderate Re (viscosity 0.05
-        # cavity: 138 vs 225 to 1e-12); at this bench's Re=100 the
-        # trajectories coincide (measured identical to 7 digits at 1M)
-        flow.options["algorithm"] = os.environ["FVM_BENCH_ALGO"]
-        flow.options["pressureURF"] = 1.0
-    flow.vc["viscosity"] = 0.01
-    for side in ("left", "right", "bottom", "top"):
-        flow.bc[side].bc_type = "NoSlipWall"
-    flow.bc["top"]["specifiedXVelocity"] = 1.0
-    # AMG used directly as the pressure solver: each V-cycle contracts the
-    # residual ~5-10x, so rtol 1e-3 needs ~3 cycles vs ~16 inside BiCGStab
-    ptol = float(os.environ.get("FVM_BENCH_PTOL", "1e-3"))
-    pit = int(os.environ.get("FVM_BENCH_PIT", "6"))
-    flow.options["pressureLinearSolver"] = AMG(
-        coarse_size=256, relative_tolerance=ptol, max_iterations=pit,
-        precision=amg_prec,
-    )
-    flow.options["momentumLinearSolver"] = BiCGStab(
-        relative_tolerance=1e-2, max_iterations=10
-    )
-    t0 = time.time()
-    flow.init()
-    print(f"# flow init (incl AMG setup): {time.time()-t0:.1f}s", file=sys.stderr)
+        flow = FlowModel(dmesh)
+        flow.options["verbose"] = False
+        urf_env = os.environ.get("FVM_BENCH_URF", "")
+        if urf_env:
+            # e.g. "0.9,0.5" — contracts ~2.5x faster per outer at 128^2
+            # (0.975 vs 0.990/outer) but DIVERGES at 1M (the SIMPLE
+            # stability window narrows with refinement); the default stays
+            # the reference-classic 0.7/0.3, which is stable at every size
+            # tested
+            uv, up = (float(x) for x in urf_env.split(","))
+            flow.options["momentumURF"] = uv
+            flow.options["pressureURF"] = up
+        if os.environ.get("FVM_BENCH_ACCEL"):
+            # "anderson": windowed Anderson mixing of the SIMPLE outer fixed
+            # point (linear/anderson.py) — measured 7.5x fewer outer
+            # iterations to 1e-6 on the 64^2 cavity; the convergence-mode
+            # lever for BASELINE target #2.  FVM_BENCH_ACCEL_INT mixes every
+            # K-th step (noise-robust at 1M); FVM_BENCH_PTOL tightens the
+            # pressure solve for acceleration-quality steps.
+            flow.options["acceleration"] = os.environ["FVM_BENCH_ACCEL"]
+            if os.environ.get("FVM_BENCH_ACCEL_INT"):
+                flow.options["andersonInterval"] = int(
+                    os.environ["FVM_BENCH_ACCEL_INT"]
+                )
+            flow.options["andersonDelay"] = int(
+                os.environ.get("FVM_BENCH_ACCEL_DELAY", "5")
+            )
+        if os.environ.get("FVM_BENCH_ALGO"):
+            # "SIMPLEC": consistent correction coefficient, pressureURF ~ 1.
+            # Wins ~1.6x outer iterations at moderate Re (viscosity 0.05
+            # cavity: 138 vs 225 to 1e-12); at this bench's Re=100 the
+            # trajectories coincide (measured identical to 7 digits at 1M)
+            flow.options["algorithm"] = os.environ["FVM_BENCH_ALGO"]
+            flow.options["pressureURF"] = 1.0
+        flow.vc["viscosity"] = 0.01
+        for side in ("left", "right", "bottom", "top"):
+            flow.bc[side].bc_type = "NoSlipWall"
+        flow.bc["top"]["specifiedXVelocity"] = 1.0
+        # AMG used directly as the pressure solver: each V-cycle contracts
+        # the residual ~5-10x, so rtol 1e-3 needs ~3 cycles vs ~16 inside
+        # BiCGStab
+        ptol = float(os.environ.get("FVM_BENCH_PTOL", "1e-3"))
+        pit = int(os.environ.get("FVM_BENCH_PIT", "6"))
+        flow.options["pressureLinearSolver"] = AMG(
+            coarse_size=256, relative_tolerance=ptol, max_iterations=pit,
+            precision=amg_prec,
+        )
+        flow.options["momentumLinearSolver"] = BiCGStab(
+            relative_tolerance=1e-2, max_iterations=10
+        )
+        t0 = time.time()
+        flow.init()
+        print(
+            f"# flow init (incl AMG setup): {time.time()-t0:.1f}s",
+            file=sys.stderr,
+        )
+        return flow
+
+    flow = build_flow(n)
+    dmesh = flow.mesh
+    n_cells = n * n
+
+    fmg_time = 0.0
+    if os.environ.get("FVM_BENCH_FMG"):
+        # mesh sequencing (models/fmg.py): converge the cavity on coarser
+        # levels first and prolong — skips the O(N) spin-up phase that
+        # dominates time-to-residual at 1M (see PARITY.md).  Levels are
+        # comma-separated edge sizes, e.g. FVM_BENCH_FMG=512.
+        from fvm_tpu.models.fmg import prolong_flow_state
+
+        fmg_tol = float(os.environ.get("FVM_BENCH_FMG_TOL", "1e-4"))
+        fmg_max = int(os.environ.get("FVM_BENCH_FMG_MAX", "8000"))
+        t_fmg = time.time()
+        prev = None
+        for ncoarse in (
+            int(x) for x in os.environ["FVM_BENCH_FMG"].split(",")
+        ):
+            fc_ = build_flow(ncoarse)
+            fc_.options["residualSync"] = False
+            if prev is not None:
+                prolong_flow_state(prev, fc_)
+            r0 = None
+            steps_c = 0
+            while steps_c < fmg_max:
+                h = fc_.advance(100)
+                steps_c += 100
+                rere = float(h[-1][1])
+                if r0 is None:
+                    r0 = float(h[0][1])
+                if rere / r0 < fmg_tol:
+                    break
+            print(
+                f"# fmg level {ncoarse}: {steps_c} outers, rel "
+                f"{rere / r0:.2e} ({time.time()-t_fmg:.1f}s)",
+                file=sys.stderr,
+            )
+            prev = fc_
+        prolong_flow_state(prev, flow)
+        fmg_time = time.time() - t_fmg
+        print(f"# fmg total: {fmg_time:.1f}s", file=sys.stderr)
 
     thermal = ThermalModel(dmesh)
     thermal.options["verbose"] = False
@@ -168,7 +219,10 @@ def main():
         target_rel = float(os.environ.get("FVM_BENCH_CONVERGE_TOL", "1e-6"))
         check = 50
         max_steps = int(os.environ.get("FVM_BENCH_CONVERGE_MAX", "4000"))
-        norm0 = resids[0]
+        # FMG runs warm-start far below the cold initial residual; for a
+        # comparable "relative to cold start" metric pass the cold run's
+        # recorded norm0 via FVM_BENCH_NORM0
+        norm0 = float(os.environ.get("FVM_BENCH_NORM0") or resids[0])
         t0 = time.time()
         steps = 0
         rel = 1.0
@@ -183,10 +237,10 @@ def main():
             )
             if rel < target_rel:
                 break
-        dt_conv = time.time() - t0
+        dt_conv = time.time() - t0 + fmg_time
         print(
-            f"# time-to-{target_rel:g}: {dt_conv:.1f}s ({steps} outer steps, "
-            f"rel {rel:.3e})",
+            f"# time-to-{target_rel:g}: {dt_conv:.1f}s incl. "
+            f"{fmg_time:.1f}s fmg ({steps} outer steps, rel {rel:.3e})",
             file=sys.stderr,
         )
 

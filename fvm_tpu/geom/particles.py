@@ -36,7 +36,7 @@ class ParticleTracker:
         dm = self.mesh
         v = np.asarray(cell_velocity, dtype=float)
         full = jnp.zeros((dm.n_cells,) + v.shape[1:], dm.cell_volume.dtype)
-        full = full.at[: v.shape[0]].set(jnp.asarray(v))
+        full = full.at[: v.shape[0]].set(jnp.asarray(v, full.dtype))
         full = bck.extend_to_ghosts(dm, full)
         coeff = getattr(self, "_grad_coeff", None)
         if coeff is None:

@@ -1,0 +1,120 @@
+"""Mesh-sequencing (full-multigrid style) warm start for flow solves.
+
+The SIMPLE outer iteration propagates long-wavelength information one
+stencil per step, so the lid-driven-cavity "spin-up" phase costs O(N)
+outer iterations on an N^2 mesh — measured ~6000 outers at 1024^2 just
+to reach a 1e-3 relative residual.  Classic mesh sequencing sidesteps
+it: converge the flow on a coarser mesh first (where outers are both
+cheaper and fewer), interpolate (prolong) the converged state onto the
+fine mesh, and let the fine solve start from a field that is already
+steady up to the coarse level's truncation error.
+
+The reference solver has no counterpart (its drivers always cold-start,
+e.g. testFlowParallel.py); this is a TPU-native convergence feature
+motivated by BASELINE.md target #2 (wall time to 1e-6 on 1M cells).
+
+Design notes (TPU):
+- The prolongation itself runs on the HOST (numpy + kd-tree): inverse-
+  distance interpolation from the k nearest coarse interior centroids
+  to every fine centroid.  Host-side is deliberate — a jitted gather
+  graph over 1M cells would cost a multi-minute remote compile on the
+  axon backend for a one-shot operation (see CLAUDE.md).
+- Only the interior mass flux needs a device-side init (it feeds the
+  first momentum convection); it is ONE small jit
+  (cells_to_faces + dot) on the fine mesh.  Boundary-face mass flux is
+  rebuilt from the BCs inside every step, so it needs no init.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..geom.search import KSearchTree
+
+
+def interp_cell_field(
+    coarse_mesh, fine_mesh, values, k: int = 4, grad: bool = False
+) -> np.ndarray:
+    """IDW-interpolate per-interior-cell values between meshes (host side).
+
+    values: (n_coarse_interior, m).  Returns (n_fine_cells_total, m) —
+    ghost/padded fine cells get the value of their nearest coarse
+    interior cells (ghosts are refreshed from BCs inside the step, so
+    this is only a safe fill).  grad=True adds the gradient-corrected
+    term u_i + G_i.(x - x_i) per neighbor (exact for linear fields,
+    second-order prolongation); the coarse LS gradient is one small jit
+    on the coarse mesh's shapes.
+    """
+    cc = np.asarray(coarse_mesh.host.cell_centroid, dtype=np.float64)
+    cc = cc[: coarse_mesh.n_interior_cells]
+    fc = np.asarray(fine_mesh.host.cell_centroid, dtype=np.float64)
+    v = np.asarray(values, dtype=np.float64)
+    if v.ndim == 1:
+        v = v[:, None]
+    kk = min(int(k), len(cc))
+    tree = KSearchTree(cc)
+    d, idx = tree.query_batch(fc, kk)
+    d = np.asarray(d).reshape(len(fc), kk)
+    idx = np.asarray(idx).reshape(len(fc), kk)
+    w = 1.0 / np.maximum(d, 1e-12)
+    w = w / w.sum(axis=1, keepdims=True)
+    vals = v[idx]  # (nf, k, m)
+    if grad:
+        from ..geom.particles import ParticleTracker
+
+        tr = ParticleTracker(coarse_mesh, k=kk)
+        G = tr._velocity_gradient(v)  # (n_int, m, dim)
+        dx = fc[:, None, :] - cc[idx]
+        vals = vals + np.einsum("pkmd,pkd->pkm", G[idx], dx)
+    return np.einsum("pk,pkm->pm", w, vals)
+
+
+def prolong_flow_state(coarse, fine, k: int = 4, grad: bool = True) -> None:
+    """Warm-start `fine` (an initialized FlowModel) from `coarse`'s state.
+
+    Interpolates velocity and pressure from the coarse model's interior
+    cells onto every fine cell and rebuilds a consistent interior face
+    mass flux from the interpolated velocity.  Both models must be
+    single-device (the distributed path would additionally need a
+    gather/scatter through the partition; cold starts are cheap there
+    because shards are small).
+    """
+    from ..core import bcs as bck
+    from ..ops import assembly
+
+    if getattr(fine, "partition", None) is not None or getattr(
+        coarse, "partition", None
+    ) is not None:
+        raise NotImplementedError("prolong_flow_state: single-device only")
+
+    vel = coarse.getVelocity()  # (n_int, dim) host numpy
+    p = coarse.getPressure()[:, None]
+    both = interp_cell_field(coarse.mesh, fine.mesh, np.concatenate(
+        [vel, p], axis=1), k=k, grad=grad)
+
+    mesh = fine.mesh
+    dtype = np.dtype(fine.state["pressure"].dtype)
+    V = jnp.asarray(both[:, : mesh.dim].astype(dtype))
+    pr = jnp.asarray(both[:, mesh.dim].astype(dtype))
+
+    # interior mass flux from the prolonged velocity (one small jit);
+    # ghost velocities are BC-refreshed inside the step, the owner-copy
+    # extension here only feeds near-boundary interior faces' averages
+    import jax
+
+    @jax.jit
+    def _mdot(V, rho):
+        Vg = bck.extend_to_ghosts(mesh, V)
+        Vf = assembly.cells_to_faces_distance_weighted(mesh, Vg)
+        rho_f = assembly.cells_to_faces_distance_weighted(mesh, rho)
+        return rho_f * jnp.einsum("fd,fd->f", Vf, mesh.face_area)
+
+    fine.state["velocity"] = V
+    fine.state["pressure"] = pr
+    fine.state["massFlux"] = _mdot(V, fine.params["rho"])
+    if "velocity_N1" in fine.state:
+        fine.state["velocity_N1"] = V
+    if "velocity_N2" in fine.state:
+        fine.state["velocity_N2"] = V

@@ -357,3 +357,34 @@ def test_anderson_accelerated_simple():
     assert rel_aa < 1e-6
     assert n_aa < n_plain / 3, (n_aa, n_plain)
     np.testing.assert_allclose(V_aa, V_plain, atol=5e-5)
+
+
+def test_fmg_mesh_sequencing_warm_start():
+    """Mesh-sequencing (FMG) warm start (models/fmg.py; no reference
+    counterpart — a TPU-side convergence feature for BASELINE target #2):
+    prolonging a converged coarse cavity onto a finer mesh leaves the fine
+    solve an order of magnitude closer to steady than a cold start after
+    the same number of outer iterations."""
+    from fvm_tpu.models.fmg import prolong_flow_state
+
+    def build(n):
+        m = make_flow(quad_2d(n, n))
+        m.vc["viscosity"] = 0.01
+        for s in ("left", "right", "bottom", "top"):
+            m.bc[s].bc_type = "NoSlipWall"
+        m.bc["top"]["specifiedXVelocity"] = 1.0
+        m.init()
+        return m
+
+    coarse = build(32)
+    coarse.advance(400)
+    warm = build(64)
+    prolong_flow_state(coarse, warm)
+    cold = build(64)
+    h_warm = warm.advance(80)
+    h_cold = cold.advance(80)
+    # same mesh, same outers: compare absolute momentum residuals
+    assert h_warm[-1][1] < 0.2 * h_cold[-1][1], (
+        h_warm[-1][1],
+        h_cold[-1][1],
+    )
