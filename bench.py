@@ -159,22 +159,26 @@ def main():
         fmg_time = time.time() - t_fmg
         print(f"# fmg total: {fmg_time:.1f}s", file=sys.stderr)
 
-    thermal = ThermalModel(dmesh)
-    thermal.options["verbose"] = False
-    thermal.options["convective"] = True
-    thermal.options["linearSolver"] = AMG(
-        coarse_size=256, relative_tolerance=1e-3, max_iterations=6,
-        precision=amg_prec,
-    )
-    thermal.bc["left"].bc_type = "SpecifiedTemperature"
-    thermal.bc["left"]["specifiedTemperature"] = 400.0
-    thermal.bc["right"].bc_type = "SpecifiedTemperature"
-    thermal.bc["right"]["specifiedTemperature"] = 300.0
-    thermal.bc["bottom"].bc_type = "Symmetry"
-    thermal.bc["top"].bc_type = "Symmetry"
-    t0 = time.time()
-    thermal.init()
-    print(f"# thermal init: {time.time()-t0:.1f}s", file=sys.stderr)
+    def build_thermal(dmesh_):
+        thermal = ThermalModel(dmesh_)
+        thermal.options["verbose"] = False
+        thermal.options["convective"] = True
+        thermal.options["linearSolver"] = AMG(
+            coarse_size=256, relative_tolerance=1e-3, max_iterations=6,
+            precision=amg_prec,
+        )
+        thermal.bc["left"].bc_type = "SpecifiedTemperature"
+        thermal.bc["left"]["specifiedTemperature"] = 400.0
+        thermal.bc["right"].bc_type = "SpecifiedTemperature"
+        thermal.bc["right"]["specifiedTemperature"] = 300.0
+        thermal.bc["bottom"].bc_type = "Symmetry"
+        thermal.bc["top"].bc_type = "Symmetry"
+        t0 = time.time()
+        thermal.init()
+        print(f"# thermal init: {time.time()-t0:.1f}s", file=sys.stderr)
+        return thermal
+
+    thermal = build_thermal(dmesh)
 
     # residual norms stay on device during the timed loop (a float() sync
     # costs ~30 ms through the TPU tunnel, comparable to a whole step);
@@ -223,9 +227,18 @@ def main():
         # comparable "relative to cold start" metric pass the cold run's
         # recorded norm0 via FVM_BENCH_NORM0
         norm0 = float(os.environ.get("FVM_BENCH_NORM0") or resids[0])
+        # FVM_BENCH_POLISH=float64: when the f32 phase stalls at its
+        # round-off floor (measured rel ~4e-5 at 1M; an f32 state cannot
+        # satisfy the discrete equations more tightly), promote the state
+        # onto a rebuilt f64 model pair (models/fmg.promote_state) and
+        # finish the last decades in f64 (~20x slower per step on TPU,
+        # but only ~1 decade remains).
+        polish = os.environ.get("FVM_BENCH_POLISH", "")
+        polish_at = float(os.environ.get("FVM_BENCH_POLISH_AT", "1e-4"))
         t0 = time.time()
         steps = 0
         rel = 1.0
+        prev_rel = None
         while steps < max_steps:
             for _ in range(check):
                 hists = outer_step()
@@ -237,6 +250,36 @@ def main():
             )
             if rel < target_rel:
                 break
+            # <10% improvement per 50 steps = contraction >0.998/outer,
+            # hopeless for the remaining decades -> declare a floor
+            stalled = prev_rel is not None and rel > 0.9 * prev_rel
+            prev_rel = rel
+            if polish and rel < polish_at and stalled:
+                from fvm_tpu.models.fmg import promote_state
+
+                print(
+                    f"# polish: f32 floor at rel {rel:.3e} after {steps} "
+                    f"steps; promoting to {polish}",
+                    file=sys.stderr,
+                )
+                t_p = time.time()
+                fvm.set_default_dtype(polish)
+                flow64 = build_flow(n)
+                thermal64 = build_thermal(flow64.mesh)
+                flow64.options["residualSync"] = False
+                thermal64.options["residualSync"] = False
+                promote_state(flow, flow64)
+                promote_state(thermal, thermal64)
+                flow, thermal = flow64, thermal64
+                polish = ""  # once
+                prev_rel = None
+                max_steps = steps + int(
+                    os.environ.get("FVM_BENCH_POLISH_MAX", "2000")
+                )
+                print(
+                    f"# polish setup: {time.time()-t_p:.1f}s",
+                    file=sys.stderr,
+                )
         dt_conv = time.time() - t0 + fmg_time
         print(
             f"# time-to-{target_rel:g}: {dt_conv:.1f}s incl. "

@@ -71,6 +71,28 @@ def interp_cell_field(
     return np.einsum("pk,pkm->pm", w, vals)
 
 
+def promote_state(src, dst) -> None:
+    """Copy model state between two models on the SAME mesh, casting to
+    the destination's dtypes — the f32 -> f64 promotion used for a final
+    residual-polish phase (an f32 SIMPLE fixed point floors at a
+    round-off-limited relative residual, measured ~4e-5 at 1M cells;
+    the last decades to 1e-6 need f64 state).  The round trip goes
+    through host numpy: device dtype conversions trigger remote
+    compiles on the axon backend (see CLAUDE.md), a host cast does not.
+    """
+    if src.mesh.host is not dst.mesh.host and (
+        src.mesh.n_cells != dst.mesh.n_cells
+        or src.mesh.n_faces != dst.mesh.n_faces
+    ):
+        raise ValueError("promote_state: meshes differ in shape")
+    for key, val in src.state.items():
+        if key not in dst.state or not hasattr(dst.state[key], "dtype"):
+            continue
+        tgt = dst.state[key]
+        host = np.asarray(val).astype(np.dtype(tgt.dtype))
+        dst.state[key] = jnp.asarray(host.reshape(tgt.shape))
+
+
 def prolong_flow_state(coarse, fine, k: int = 4, grad: bool = True) -> None:
     """Warm-start `fine` (an initialized FlowModel) from `coarse`'s state.
 
