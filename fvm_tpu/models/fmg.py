@@ -34,22 +34,20 @@ import jax.numpy as jnp
 from ..geom.search import KSearchTree
 
 
-def interp_cell_field(
-    coarse_mesh, fine_mesh, values, k: int = 4, grad: bool = False
+def interp_to_points(
+    coarse_mesh, points, values, k: int = 4, grad: bool = False
 ) -> np.ndarray:
-    """IDW-interpolate per-interior-cell values between meshes (host side).
+    """IDW-interpolate per-interior-cell values onto arbitrary points
+    (host side).
 
-    values: (n_coarse_interior, m).  Returns (n_fine_cells_total, m) —
-    ghost/padded fine cells get the value of their nearest coarse
-    interior cells (ghosts are refreshed from BCs inside the step, so
-    this is only a safe fill).  grad=True adds the gradient-corrected
-    term u_i + G_i.(x - x_i) per neighbor (exact for linear fields,
-    second-order prolongation); the coarse LS gradient is one small jit
-    on the coarse mesh's shapes.
+    values: (n_coarse_interior, m).  Returns (len(points), m).
+    grad=True adds the gradient-corrected term u_i + G_i.(x - x_i) per
+    neighbor (exact for linear fields, second-order prolongation); the
+    coarse LS gradient is one small jit on the coarse mesh's shapes.
     """
     cc = np.asarray(coarse_mesh.host.cell_centroid, dtype=np.float64)
     cc = cc[: coarse_mesh.n_interior_cells]
-    fc = np.asarray(fine_mesh.host.cell_centroid, dtype=np.float64)
+    fc = np.asarray(points, dtype=np.float64)
     v = np.asarray(values, dtype=np.float64)
     if v.ndim == 1:
         v = v[:, None]
@@ -69,6 +67,24 @@ def interp_cell_field(
         dx = fc[:, None, :] - cc[idx]
         vals = vals + np.einsum("pkmd,pkd->pkm", G[idx], dx)
     return np.einsum("pk,pkm->pm", w, vals)
+
+
+def interp_cell_field(
+    coarse_mesh, fine_mesh, values, k: int = 4, grad: bool = False
+) -> np.ndarray:
+    """IDW-interpolate per-interior-cell values between meshes (host side).
+
+    Returns (n_fine_cells_total, m) — ghost/padded fine cells get the
+    value of their nearest coarse interior cells (ghosts are refreshed
+    from BCs inside the step, so this is only a safe fill).
+    """
+    return interp_to_points(
+        coarse_mesh,
+        np.asarray(fine_mesh.host.cell_centroid, dtype=np.float64),
+        values,
+        k=k,
+        grad=grad,
+    )
 
 
 def promote_state(src, dst) -> None:
@@ -93,49 +109,98 @@ def promote_state(src, dst) -> None:
         dst.state[key] = jnp.asarray(host.reshape(tgt.shape))
 
 
+class _HostMeshShim:
+    """Minimal (host.cell_centroid, n_interior_cells) view used to feed
+    interp_to_points from a gathered distributed coarse model."""
+
+    def __init__(self, centroids, n_interior):
+        from types import SimpleNamespace
+
+        self.host = SimpleNamespace(cell_centroid=centroids)
+        self.n_interior_cells = int(n_interior)
+
+
 def prolong_flow_state(coarse, fine, k: int = 4, grad: bool = True) -> None:
     """Warm-start `fine` (an initialized FlowModel) from `coarse`'s state.
 
     Interpolates velocity and pressure from the coarse model's interior
     cells onto every fine cell and rebuilds a consistent interior face
-    mass flux from the interpolated velocity.  Both models must be
-    single-device (the distributed path would additionally need a
-    gather/scatter through the partition; cold starts are cheap there
-    because shards are small).
+    mass flux from the interpolated velocity.  Either model may be
+    distributed: a dist coarse is gathered to the host first (plain IDW —
+    the gradient correction needs a single-device coarse mesh), and a
+    dist fine scatters the interpolant through its Partition and rebuilds
+    the mass flux per shard under shard_map (the reference always
+    cold-starts, testFlowParallel.py; warm starts matter most at scale,
+    which is exactly the multi-chip case).
     """
     from ..core import bcs as bck
     from ..ops import assembly
 
-    if getattr(fine, "partition", None) is not None or getattr(
-        coarse, "partition", None
-    ) is not None:
-        raise NotImplementedError("prolong_flow_state: single-device only")
-
-    vel = coarse.getVelocity()  # (n_int, dim) host numpy
+    vel = coarse.getVelocity()  # (n_int, dim) host numpy (gathers if dist)
     p = coarse.getPressure()[:, None]
-    both = interp_cell_field(coarse.mesh, fine.mesh, np.concatenate(
-        [vel, p], axis=1), k=k, grad=grad)
+    both_src = np.concatenate([vel, p], axis=1)
+    if getattr(coarse, "partition", None) is not None:
+        cmesh = _HostMeshShim(
+            coarse.partition.geom.cell_centroid[
+                : coarse.partition.mesh.n_interior_cells
+            ],
+            coarse.partition.mesh.n_interior_cells,
+        )
+        grad = False  # LS-gradient correction needs a single-device mesh
+    else:
+        cmesh = coarse.mesh
 
-    mesh = fine.mesh
-    dtype = np.dtype(fine.state["pressure"].dtype)
-    V = jnp.asarray(both[:, : mesh.dim].astype(dtype))
-    pr = jnp.asarray(both[:, mesh.dim].astype(dtype))
-
-    # interior mass flux from the prolonged velocity (one small jit);
-    # ghost velocities are BC-refreshed inside the step, the owner-copy
-    # extension here only feeds near-boundary interior faces' averages
     import jax
 
-    @jax.jit
-    def _mdot(V, rho):
-        Vg = bck.extend_to_ghosts(mesh, V)
-        Vf = assembly.cells_to_faces_distance_weighted(mesh, Vg)
-        rho_f = assembly.cells_to_faces_distance_weighted(mesh, rho)
-        return rho_f * jnp.einsum("fd,fd->f", Vf, mesh.face_area)
+    part = getattr(fine, "partition", None)
+    if part is None:
+        mesh = fine.mesh
+        both = interp_to_points(
+            cmesh, np.asarray(mesh.host.cell_centroid, np.float64),
+            both_src, k=k, grad=grad,
+        )
+        dtype = np.dtype(fine.state["pressure"].dtype)
+        V = jnp.asarray(both[:, : mesh.dim].astype(dtype))
+        pr = jnp.asarray(both[:, mesh.dim].astype(dtype))
+
+        # interior mass flux from the prolonged velocity (one small jit);
+        # ghost velocities are BC-refreshed inside the step, the owner-
+        # copy extension only feeds near-boundary interior faces' averages
+        @jax.jit
+        def _mdot(V, rho):
+            Vg = bck.extend_to_ghosts(mesh, V)
+            Vf = assembly.cells_to_faces_distance_weighted(mesh, Vg)
+            rho_f = assembly.cells_to_faces_distance_weighted(mesh, rho)
+            return rho_f * jnp.einsum("fd,fd->f", Vf, mesh.face_area)
+
+        mdot = _mdot(V, fine.params["rho"])
+    else:
+        dim = part.mesh.dim
+        # wrapped global centroids: every cell any shard owns (interior +
+        # boundary ghosts + periodic partners at their wrapped positions)
+        pts = np.asarray(part._ccn_wrapped, dtype=np.float64)
+        both = interp_to_points(cmesh, pts, both_src, k=k, grad=grad)
+        dtype = np.dtype(fine.state["pressure"].dtype)
+        V = part.device_put(
+            part.scatter_cells(both[:, :dim].astype(dtype))
+        )
+        pr = part.device_put(
+            part.scatter_cells(both[:, dim].astype(dtype))
+        )
+
+        def _mdot_local(mesh, V, rho):
+            Vg = bck.extend_to_ghosts(mesh, V)
+            Vf = assembly.cells_to_faces_distance_weighted(mesh, Vg)
+            rho_f = assembly.cells_to_faces_distance_weighted(mesh, rho)
+            return rho_f * jnp.einsum("fd,fd->f", Vf, mesh.face_area)
+
+        mdot = fine._smap_cells(_mdot_local)(
+            fine.mesh, V, fine.params["rho"]
+        )
 
     fine.state["velocity"] = V
     fine.state["pressure"] = pr
-    fine.state["massFlux"] = _mdot(V, fine.params["rho"])
+    fine.state["massFlux"] = mdot
     if "velocity_N1" in fine.state:
         fine.state["velocity_N1"] = V
     if "velocity_N2" in fine.state:

@@ -889,3 +889,77 @@ def test_combined_spatial_ordinate_sharding_phonon():
     part = Partition(quad_2d(16, 4), 2, ordinate_shards=4)
     TN = run(part)
     np.testing.assert_allclose(TN, T1, atol=1e-6)
+
+
+def test_dist_fmg_warm_start_matches_single():
+    """Distributed FMG warm start (models/fmg.prolong_flow_state under a
+    Partition; no reference counterpart — testFlowParallel.py always
+    cold-starts): prolonging a converged single-device coarse cavity onto
+    a 4-shard fine model produces the same state as prolonging onto the
+    equivalent single-device fine model, and leaves the dist fine solve
+    far closer to steady than a cold start."""
+    from fvm_tpu.models.fmg import prolong_flow_state
+
+    def setup(m):
+        m.options["verbose"] = False
+        m.vc["viscosity"] = 0.01
+        for side in ("left", "right", "bottom", "top"):
+            m.bc[side].bc_type = "NoSlipWall"
+        m.bc["top"]["specifiedXVelocity"] = 1.0
+        m.init()
+
+    coarse = FlowModel(fvm.mesh.build_device_mesh(quad_2d(16, 16)))
+    setup(coarse)
+    coarse.advance(300)
+
+    fine_s = FlowModel(fvm.mesh.build_device_mesh(quad_2d(32, 32)))
+    setup(fine_s)
+    prolong_flow_state(coarse, fine_s)
+
+    part = Partition(quad_2d(32, 32), 4)
+    fine_d = FlowModel(part.sharded_mesh, partition=part)
+    setup(fine_d)
+    prolong_flow_state(coarse, fine_d)
+
+    np.testing.assert_allclose(
+        fine_d.getVelocity(), fine_s.getVelocity(), atol=1e-12
+    )
+    np.testing.assert_allclose(
+        fine_d.getPressure(), fine_s.getPressure(), atol=1e-12
+    )
+
+    cold = FlowModel(part.sharded_mesh, partition=part)
+    setup(cold)
+    h_warm = fine_d.advance(40)
+    h_cold = cold.advance(40)
+    assert h_warm[-1][1] < 0.2 * h_cold[-1][1], (h_warm[-1][1], h_cold[-1][1])
+
+
+def test_dist_fmg_from_dist_coarse():
+    """prolong_flow_state also accepts a DISTRIBUTED coarse model (gathered
+    host-side, plain IDW): the warm-started fine solve still beats a cold
+    start by a wide margin."""
+    from fvm_tpu.models.fmg import prolong_flow_state
+
+    def setup(m):
+        m.options["verbose"] = False
+        m.vc["viscosity"] = 0.01
+        for side in ("left", "right", "bottom", "top"):
+            m.bc[side].bc_type = "NoSlipWall"
+        m.bc["top"]["specifiedXVelocity"] = 1.0
+        m.init()
+
+    cpart = Partition(quad_2d(16, 16), 4)
+    coarse = FlowModel(cpart.sharded_mesh, partition=cpart)
+    setup(coarse)
+    coarse.advance(300)
+
+    part = Partition(quad_2d(32, 32), 4)
+    warm = FlowModel(part.sharded_mesh, partition=part)
+    setup(warm)
+    prolong_flow_state(coarse, warm)
+    cold = FlowModel(part.sharded_mesh, partition=part)
+    setup(cold)
+    h_warm = warm.advance(40)
+    h_cold = cold.advance(40)
+    assert h_warm[-1][1] < 0.2 * h_cold[-1][1], (h_warm[-1][1], h_cold[-1][1])
