@@ -49,7 +49,7 @@ def main():
 
     fvm.set_default_dtype(dtype)
 
-    def build_flow(nn):
+    def build_flow(nn, solver_kw=None):
         t0 = time.time()
         mesh = fvm.mesh.generate.quad_2d(nn, nn)
         dmesh = fvm.mesh.build_device_mesh(mesh)
@@ -58,6 +58,7 @@ def main():
             f"({time.time()-t0:.1f}s)",
             file=sys.stderr,
         )
+        solver_kw = solver_kw or {}
         flow = FlowModel(dmesh)
         flow.options["verbose"] = False
         urf_env = os.environ.get("FVM_BENCH_URF", "")
@@ -85,6 +86,8 @@ def main():
             flow.options["andersonDelay"] = int(
                 os.environ.get("FVM_BENCH_ACCEL_DELAY", "5")
             )
+        for opt, val in solver_kw.get("options", {}).items():
+            flow.options[opt] = val
         if os.environ.get("FVM_BENCH_ALGO"):
             # "SIMPLEC": consistent correction coefficient, pressureURF ~ 1.
             # Wins ~1.6x outer iterations at moderate Re (viscosity 0.05
@@ -99,14 +102,19 @@ def main():
         # AMG used directly as the pressure solver: each V-cycle contracts
         # the residual ~5-10x, so rtol 1e-3 needs ~3 cycles vs ~16 inside
         # BiCGStab
-        ptol = float(os.environ.get("FVM_BENCH_PTOL", "1e-3"))
-        pit = int(os.environ.get("FVM_BENCH_PIT", "6"))
+        ptol = solver_kw.get(
+            "ptol", float(os.environ.get("FVM_BENCH_PTOL", "1e-3"))
+        )
+        pit = solver_kw.get(
+            "pit", int(os.environ.get("FVM_BENCH_PIT", "6"))
+        )
         flow.options["pressureLinearSolver"] = AMG(
             coarse_size=256, relative_tolerance=ptol, max_iterations=pit,
             precision=amg_prec,
         )
         flow.options["momentumLinearSolver"] = BiCGStab(
-            relative_tolerance=1e-2, max_iterations=10
+            relative_tolerance=solver_kw.get("mtol", 1e-2),
+            max_iterations=solver_kw.get("mit", 10),
         )
         t0 = time.time()
         flow.init()
@@ -264,7 +272,39 @@ def main():
                 )
                 t_p = time.time()
                 fvm.set_default_dtype(polish)
-                flow64 = build_flow(n)
+                # polish-phase solver settings: the endgame contraction is
+                # Anderson-limited by INNER-solve noise (measured at 256^2:
+                # tail-rate 0.998 at ptol 1e-3 vs 0.987 with ptol 1e-6 +
+                # mtol 1e-4 + depth-8 every-step mixing); tight inner
+                # solves only pay off here, where the differences Anderson
+                # extrapolates are ~1e-5 relative
+                pkw = {
+                    "ptol": float(
+                        os.environ.get("FVM_BENCH_POLISH_PTOL", "1e-6")
+                    ),
+                    "pit": int(
+                        os.environ.get("FVM_BENCH_POLISH_PIT", "20")
+                    ),
+                    "mtol": float(
+                        os.environ.get("FVM_BENCH_POLISH_MTOL", "1e-4")
+                    ),
+                    "mit": int(
+                        os.environ.get("FVM_BENCH_POLISH_MIT", "30")
+                    ),
+                }
+                if os.environ.get("FVM_BENCH_ACCEL"):
+                    pkw["options"] = {
+                        "andersonInterval": int(
+                            os.environ.get("FVM_BENCH_POLISH_AA_INT", "1")
+                        ),
+                        "andersonDepth": int(
+                            os.environ.get("FVM_BENCH_POLISH_AA_DEPTH", "12")
+                        ),
+                        "andersonDelay": int(
+                            os.environ.get("FVM_BENCH_POLISH_AA_DELAY", "5")
+                        ),
+                    }
+                flow64 = build_flow(n, solver_kw=pkw)
                 thermal64 = build_thermal(flow64.mesh)
                 flow64.options["residualSync"] = False
                 thermal64.options["residualSync"] = False
