@@ -15,10 +15,19 @@ relaxation, solved matrix-free with BiCGStab over the combined system
 explicitly per outer iteration:
 
   * DiffuseWall: incoming ordinates get a wall Maxwellian scaled for zero
-    net mass flux (Maxwell accommodation);
+    net mass flux (full accommodation);
+  * RealWall: Maxwell accommodation blend alpha*diffuse +
+    (1-alpha)*specular (KineticBoundaryConditions.h:158);
   * FarField: incoming ordinates get the free-stream Maxwellian, outgoing
     extrapolate;
-  * SpecularWall / Symmetry: mirror-ordinate reflection (axis-aligned).
+  * SpecularWall / Symmetry: flux-exact reflected-ordinate
+    redistribution (any wall orientation);
+  * ZeroGradient: ghost copies the owner for every ordinate (:385);
+  * PressureInlet: incoming <- resting Maxwellian at (P/T, T) (:408);
+  * Inlet: incoming <- inlet Maxwellian scaled to a specified inward
+    mass flux + reflected outgoing (:522);
+  * PressureOutlet: subsonic characteristic outlet
+    (COMETBoundaryConditions.h:258).
 """
 
 from __future__ import annotations
@@ -38,6 +47,8 @@ from .quadrature import Quadrature
 class KineticBC(BoundaryCondition):
     _allowed_types = (
         "DiffuseWall", "FarField", "SpecularWall", "Symmetry", "Periodic",
+        "RealWall", "ZeroGradient", "PressureInlet", "PressureOutlet",
+        "Inlet",
     )
     _defaults = {
         "specifiedTemperature": 1.0,
@@ -45,6 +56,12 @@ class KineticBC(BoundaryCondition):
         "specifiedYVelocity": 0.0,
         "specifiedZVelocity": 0.0,
         "specifiedDensity": 1.0,
+        # RealWall (Maxwell accommodation): 1 = fully diffuse, 0 = specular
+        "accommodationCoefficient": 1.0,
+        # PressureInlet / PressureOutlet (reduced units, P = rho T)
+        "specifiedPressure": 1.0,
+        # Inlet: inward mass flux per unit area (positive into the domain)
+        "specifiedMassFlowRate": 0.0,
     }
 
 
@@ -64,6 +81,9 @@ class KineticModelOptions(ModelOptions):
         "timeStep": 0.05,
         "collisionModel": "BGK",  # or "ESBGK"
         "prandtl": 2.0 / 3.0,
+        # ratio of specific heats used by the PressureOutlet acoustic
+        # relation (reference: COMETBoundaryConditions.h SpHeatRatio)
+        "SpHeatRatio": 5.0 / 3.0,
         "relativeTolerance": 1e-7,
         "absoluteTolerance": 1e-14,
         "innerIterations": 60,
@@ -335,7 +355,12 @@ class KineticModel(Model):
 
         fa = np.asarray(mesh.face_area)
         for g, bc in self._group_bcs():
-            if bc.bc_type not in ("SpecularWall", "Symmetry"):
+            # RealWall blends a specular component; Inlet adds the
+            # reflected outgoing stream (KineticBoundaryConditions.h:158,
+            # :522 vecReflection) — both need the tables too
+            if bc.bc_type not in (
+                "SpecularWall", "Symmetry", "RealWall", "Inlet"
+            ):
                 continue
             sl = mesh.group_faces(g)
             fa_g = fa[..., sl, :]
@@ -487,6 +512,131 @@ class KineticModel(Model):
                     wgt * fo[jnp.arange(L)[:, None, None], idx], axis=2
                 )
                 f = f.at[gc].set(jnp.where(incoming, fg, fo))
+            elif t == "RealWall":
+                # Maxwell accommodation wall (reference:
+                # KineticBoundaryConditions.h:158 applyRealWallBC):
+                # incoming <- alpha * rho_w * M(u_w, T_w)
+                #             + (1-alpha) * reflected outgoing,
+                # rho_w scaled so the DIFFUSE part alone re-emits the full
+                # outgoing mass flux; the specular part is flux-exact by
+                # table construction, so mass is conserved at any alpha
+                # and any wall orientation.
+                Tw = bcvals[f"{g[1]}:specifiedTemperature"]
+                uw = jnp.stack(
+                    [
+                        bcvals[f"{g[1]}:specifiedXVelocity"],
+                        bcvals[f"{g[1]}:specifiedYVelocity"],
+                        bcvals[f"{g[1]}:specifiedZVelocity"],
+                    ],
+                    axis=1,
+                )
+                alpha = bcvals[f"{g[1]}:accommodationCoefficient"][:, None]
+                fw = q.maxwellian(jnp.ones(g[4], f.dtype), uw, Tw)
+                out_flux = jnp.sum(
+                    jnp.where(~incoming, fo * (w * 1.0) * cn, 0.0), axis=1
+                )
+                in_flux = jnp.sum(
+                    jnp.where(incoming, fw * (w * 1.0) * cn, 0.0), axis=1
+                )
+                rho_w = out_flux / jnp.maximum(-in_flux, 1e-300)
+                idx = params[f"refl_idx:{g[1]}"]
+                wgt = params[f"refl_w:{g[1]}"]
+                L = idx.shape[0]
+                frefl = jnp.sum(
+                    wgt * fo[jnp.arange(L)[:, None, None], idx], axis=2
+                )
+                fg = alpha * rho_w[:, None] * fw + (1.0 - alpha) * frefl
+                f = f.at[gc].set(jnp.where(incoming, fg, fo))
+            elif t == "ZeroGradient":
+                # reference :385 applyZeroGradientBC: ghost copies the
+                # owner for every ordinate — extend_to_ghosts above
+                # already did exactly that
+                pass
+            elif t == "PressureInlet":
+                # reference :408 applyPressureInletBC: incoming <- resting
+                # Maxwellian at (rho = P/T, T); outgoing extrapolated
+                Tin = bcvals[f"{g[1]}:specifiedTemperature"]
+                Pin = bcvals[f"{g[1]}:specifiedPressure"]
+                fin = q.maxwellian(
+                    Pin / Tin, jnp.zeros((g[4], 3), f.dtype), Tin
+                )
+                f = f.at[gc].set(jnp.where(incoming, fin, fo))
+            elif t == "Inlet":
+                # reference :522 applyInletBC (velocity inlet with
+                # specified mass flow): incoming <- rho_in * M(u_in, T_in)
+                # + reflected outgoing, with rho_in scaling the inlet
+                # Maxwellian's inward flux to specifiedMassFlowRate
+                # (positive into the domain; the reflected part is
+                # flux-neutral, so the NET influx equals the target)
+                Tin = bcvals[f"{g[1]}:specifiedTemperature"]
+                uin = jnp.stack(
+                    [
+                        bcvals[f"{g[1]}:specifiedXVelocity"],
+                        bcvals[f"{g[1]}:specifiedYVelocity"],
+                        bcvals[f"{g[1]}:specifiedZVelocity"],
+                    ],
+                    axis=1,
+                )
+                mdot_in = bcvals[f"{g[1]}:specifiedMassFlowRate"]
+                fw = q.maxwellian(jnp.ones(g[4], f.dtype), uin, Tin)
+                in_flux = jnp.sum(
+                    jnp.where(incoming, fw * (w * 1.0) * cn, 0.0), axis=1
+                )
+                rho_in = mdot_in / jnp.maximum(-in_flux, 1e-300)
+                idx = params[f"refl_idx:{g[1]}"]
+                wgt = params[f"refl_w:{g[1]}"]
+                L = idx.shape[0]
+                frefl = jnp.sum(
+                    wgt * fo[jnp.arange(L)[:, None, None], idx], axis=2
+                )
+                fg = rho_in[:, None] * fw + frefl
+                f = f.at[gc].set(jnp.where(incoming, fg, fo))
+            elif t == "PressureOutlet":
+                # subsonic characteristic outlet (reference:
+                # COMETBoundaryConditions.h:258 applyPressureOutletBC):
+                # when the owner pressure exceeds P_out, relax the exit
+                # density by the acoustic relation drho = dP/a^2 and
+                # accelerate the exit velocity by the characteristic
+                # dP/(sqrt(2) a rho); otherwise extrapolate.  The
+                # reference scales only the wall-normal component (its
+                # walls are axis-aligned); here the whole velocity vector
+                # scales, which reduces to the same thing for the normal
+                # outflow the relation models.
+                Pout = bcvals[f"{g[1]}:specifiedPressure"]
+                gamma = jnp.asarray(
+                    float(self.options.get("SpHeatRatio", 5.0 / 3.0)),
+                    f.dtype,
+                )
+                c2 = jnp.sum(c * c, axis=-1)
+                rho0 = jnp.sum(fo * (w * 1.0), axis=1)
+                rho0s = jnp.maximum(rho0, 1e-30)
+                u0 = jnp.einsum("fn,n,nd->fd", fo, w, c) / rho0s[:, None]
+                e0 = 0.5 * jnp.einsum("fn,n,n->f", fo, w, c2)
+                T0 = jnp.maximum(
+                    (2.0 * e0 / rho0s - jnp.sum(u0 * u0, axis=-1)) / 3.0,
+                    1e-30,
+                )
+                P0 = rho0 * T0
+                a2 = gamma * P0 / rho0s
+                choked = P0 > Pout
+                rho_out = jnp.where(
+                    choked, rho0 - (P0 - Pout) / a2, rho0
+                )
+                rho_out = jnp.maximum(rho_out, 1e-30)
+                # characteristic velocity increment dP/(sqrt(2) a rho)
+                # applied along the OUTWARD normal — identical to the
+                # reference's normal-component scaling for normal
+                # outflow, and well-defined (jvp-safe) at u0 = 0 where a
+                # magnitude scaling would divide by zero
+                du_char = jnp.where(
+                    choked,
+                    (P0 - Pout) / (jnp.sqrt(2.0 * a2) * rho0s),
+                    0.0,
+                )
+                u_out = u0 + du_char[:, None] * nhat3
+                T_out = jnp.where(choked, Pout / rho_out, T0)
+                fout = q.maxwellian(rho_out, u_out, T_out)
+                f = f.at[gc].set(jnp.where(incoming, fout, fo))
         return f
 
     # ------------------------------------------------------------------

@@ -344,3 +344,148 @@ def test_esbgk_couette_reference_configuration():
     slip_top = uw - ux[-1]
     assert slip_top == pytest.approx(slip_bot, rel=1e-6)  # exact symmetry
     assert 0.0 < slip_bot < 0.45 * uw
+
+
+def _box(nq=6, ny=10, nx=3):
+    dm = fvm.mesh.build_device_mesh(quad_2d(nx, ny))
+    m = KineticModel(dm, Quadrature(nq, nq, 4))
+    m.options["verbose"] = False
+    m.vc["relaxationTime"] = 0.2
+    return dm, m
+
+
+def test_realwall_limits_match_diffuse_and_specular():
+    """RealWall (KineticBoundaryConditions.h:158 applyRealWallBC): the
+    accommodation blend reduces EXACTLY to DiffuseWall at alpha=1 and to
+    SpecularWall at alpha=0, and intermediate alpha gives intermediate
+    wall shear in a Couette configuration."""
+
+    def couette(bc_type, alpha=None):
+        dm, m = _box(nq=8, ny=16)
+        for s, uw in (("top", 0.3), ("bottom", -0.3)):
+            m.bc[s].bc_type = bc_type
+            m.bc[s]["specifiedXVelocity"] = uw
+            if alpha is not None:
+                m.bc[s]["accommodationCoefficient"] = alpha
+        m.bc["left"].bc_type = "Symmetry"
+        m.bc["right"].bc_type = "Symmetry"
+        m.init()
+        m.advance(40)
+        rho, u, T = m.moments()
+        return np.asarray(u[:, 0])
+
+    u_d = couette("DiffuseWall")
+    u_a1 = couette("RealWall", alpha=1.0)
+    np.testing.assert_allclose(u_a1, u_d, atol=1e-12)
+
+    u_a0 = couette("RealWall", alpha=0.0)
+    # specular walls transmit no shear: the gas stays at rest
+    assert np.abs(u_a0).max() < 1e-10
+
+    u_half = couette("RealWall", alpha=0.5)
+    # intermediate accommodation drags less than full accommodation
+    assert 0.05 * np.abs(u_d).max() < np.abs(u_half).max() < 0.95 * np.abs(
+        u_d
+    ).max()
+
+
+def test_realwall_conserves_mass():
+    """A closed box of RealWall boundaries passes zero net mass flux at
+    any accommodation coefficient (the diffuse part is flux-scaled and
+    the specular tables are flux-exact).  Run TRANSIENT: the steady
+    closed heated box is singular along the total-mass mode (any mass
+    gives a steady state), which steady Newton cannot anchor."""
+    dm, m = _box(nq=6, ny=8, nx=8)
+    m.options["transient"] = True
+    m.options["timeStep"] = 0.05
+    for s in ("left", "right", "bottom", "top"):
+        m.bc[s].bc_type = "RealWall"
+        m.bc[s]["specifiedTemperature"] = 1.3  # heated walls drive flow
+        m.bc[s]["accommodationCoefficient"] = 0.6
+    m.init()
+    vol = np.asarray(dm.cell_volume[: dm.n_interior_cells])
+    rho0 = float(np.sum(
+        np.asarray(m.moments()[0])[: dm.n_interior_cells] * vol))
+    m.advance(30)
+    rho1 = float(np.sum(
+        np.asarray(m.moments()[0])[: dm.n_interior_cells] * vol))
+    np.testing.assert_allclose(rho1, rho0, rtol=1e-8)
+
+
+def test_zero_gradient_preserves_uniform_stream():
+    """ZeroGradient (:385): a uniform drifting Maxwellian through a
+    channel with upstream FarField and downstream ZeroGradient stays
+    exactly uniform."""
+    dm, m = _box(nq=6, ny=4, nx=12)
+    m.bc["left"].bc_type = "FarField"
+    m.bc["left"]["specifiedXVelocity"] = 0.4
+    m.bc["right"].bc_type = "ZeroGradient"
+    m.bc["top"].bc_type = "Symmetry"
+    m.bc["bottom"].bc_type = "Symmetry"
+    m.vc["initialXVelocity"] = 0.4
+    m.init()
+    m.advance(10)
+    rho, u, T = m.moments()
+    ni = dm.n_interior_cells
+    np.testing.assert_allclose(np.asarray(u[:ni, 0]), 0.4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rho[:ni]), 1.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(T[:ni]), 1.0, atol=1e-5)
+
+
+def test_pressure_inlet_outlet_channel_flow():
+    """PressureInlet (:408) + PressureOutlet
+    (COMETBoundaryConditions.h:258): a favorable pressure ratio drives a
+    positive mass flux down the channel; equal pressures at equilibrium
+    stay at rest."""
+
+    def channel(p_in, p_out):
+        dm, m = _box(nq=8, ny=3, nx=16)
+        m.bc["left"].bc_type = "PressureInlet"
+        m.bc["left"]["specifiedPressure"] = p_in
+        m.bc["right"].bc_type = "PressureOutlet"
+        m.bc["right"]["specifiedPressure"] = p_out
+        m.bc["top"].bc_type = "Symmetry"
+        m.bc["bottom"].bc_type = "Symmetry"
+        m.init()
+        m.advance(60)
+        rho, u, T = m.moments()
+        return np.asarray(u[: dm.n_interior_cells, 0])
+
+    u_eq = channel(1.0, 1.0)
+    assert np.abs(u_eq).max() < 1e-6
+
+    u_drive = channel(1.2, 0.9)
+    assert u_drive.min() > 1e-3  # everywhere downstream
+
+
+def test_inlet_specified_mass_flow():
+    """Inlet (:522): the ghost distribution's net mass flux into the
+    domain equals specifiedMassFlowRate (inlet Maxwellian scaled to the
+    target; the reflected part is flux-neutral)."""
+    dm, m = _box(nq=8, ny=3, nx=12)
+    mdot = 0.15
+    m.bc["left"].bc_type = "Inlet"
+    m.bc["left"]["specifiedXVelocity"] = 0.2
+    m.bc["left"]["specifiedMassFlowRate"] = mdot
+    m.bc["right"].bc_type = "ZeroGradient"
+    m.bc["top"].bc_type = "Symmetry"
+    m.bc["bottom"].bc_type = "Symmetry"
+    m.init()
+    m.advance(20)
+
+    # measure the kinetic mass flux through the inlet ghost band (after
+    # an explicit ghost refresh: the state's ghost entries are JFNK
+    # unknowns that only match the closure at full convergence)
+    q = m.quadrature
+    f = m._refresh_ghosts(dm, m.params, m.state["f"], m._resolve_bcvals())
+    g = [g for g, bc in m._group_bcs() if g[1] == "left"][0]
+    sl = dm.group_faces(g)
+    gc = dm.ghost_cells_of_group(g)
+    amag = np.asarray(dm.face_area_mag[sl])
+    n3 = np.zeros((g[4], 3))
+    n3[:, : dm.dim] = np.asarray(dm.face_area[sl]) / amag[:, None]
+    cn = np.einsum("nd,fd->fn", np.asarray(q.c), n3)
+    fg = np.asarray(f[gc])
+    flux_in = -np.einsum("fn,n,fn,f->", fg, np.asarray(q.w), cn, amag)
+    area = amag.sum()
+    np.testing.assert_allclose(flux_in / area, mdot, rtol=1e-6)
