@@ -277,7 +277,10 @@ def main():
                 # tail-rate 0.998 at ptol 1e-3 vs 0.987 with ptol 1e-6 +
                 # mtol 1e-4 + depth-8 every-step mixing); tight inner
                 # solves only pay off here, where the differences Anderson
-                # extrapolates are ~1e-5 relative
+                # extrapolates are ~1e-5 relative.  Interval mixing wins
+                # at scale: 512^2 A/B measured tail-rate 0.99757 with
+                # depth 12 every-5-steps vs 0.99897 every-step (and
+                # depth 24 every-step matched int5 at 2x the wall time)
                 pkw = {
                     "ptol": float(
                         os.environ.get("FVM_BENCH_POLISH_PTOL", "1e-6")
@@ -295,7 +298,7 @@ def main():
                 if os.environ.get("FVM_BENCH_ACCEL"):
                     pkw["options"] = {
                         "andersonInterval": int(
-                            os.environ.get("FVM_BENCH_POLISH_AA_INT", "1")
+                            os.environ.get("FVM_BENCH_POLISH_AA_INT", "5")
                         ),
                         "andersonDepth": int(
                             os.environ.get("FVM_BENCH_POLISH_AA_DEPTH", "12")
