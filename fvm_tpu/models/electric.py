@@ -38,6 +38,7 @@ from ..ops.gradients import ls_gradient_coefficients, gradient
 from ..linear import AMG, BiCGStab, CG, JacobiSolver
 from ..exceptions import ConfigError
 from .base import Model, ResidualHistory
+from .sensitivity import TangentMixin
 
 EPS0 = 8.8542e-12
 
@@ -94,7 +95,7 @@ class ElectricModelOptions(ModelOptions):
     }
 
 
-class ElectricModel(Model):
+class ElectricModel(TangentMixin, Model):
     _supports_interfaces = True
     name = "ElectricModel"
 
@@ -251,6 +252,28 @@ class ElectricModel(Model):
         (GenericIBDiscretization.h); distributed models support the
         mask/value (pinned) path."""
         self._set_immersed_boundary(mask, value, stencil, implicit)
+
+    # --- sensitivities / UQ (TangentMixin bound to the potential solve;
+    # the reference builds ElectricModel with the Tangent atype,
+    # models.cpp:10-74) ---------------------------------------------------
+
+    def solve_tangent(self, param_tangents: dict) -> np.ndarray:
+        """d(potential)/d(params).direction at the current state (charge
+        held fixed — the electrostatics solve is linear in potential).
+        param_tangents keys index ``self.params`` (e.g. "eps")."""
+        return self._tangent_impl(
+            "potential", self._linearize_potential,
+            self.options["electrostaticsLinearSolver"], param_tangents,
+        )
+
+    def solve_mc(self, param_key: str, samples, niter: int = 20) -> np.ndarray:
+        """Vmapped potential re-solves over a batch of parameter fields
+        (e.g. dielectric-constant uncertainty)."""
+        return self._mc_impl(
+            "potential", self._linearize_potential,
+            self.options["electrostaticsLinearSolver"], param_key, samples,
+            niter,
+        )
 
     def _linearize_charge(self, mesh, params, state, bcvals, E_field):
         c = maybe_sync(mesh, state["charge"])

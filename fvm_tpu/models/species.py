@@ -27,6 +27,7 @@ from ..ops.gradients import ls_gradient_coefficients, gradient
 from ..linear import AMG, BiCGStab, CG, JacobiSolver
 from ..exceptions import ConfigError
 from .base import Model, ResidualHistory
+from .sensitivity import TangentMixin
 
 
 class SpeciesBC(BoundaryCondition):
@@ -58,7 +59,7 @@ class SpeciesModelOptions(ModelOptions):
     }
 
 
-class SpeciesModel(Model):
+class SpeciesModel(TangentMixin, Model):
     _supports_interfaces = True
     """Holds nSpecies independent transport fields.
 
@@ -270,6 +271,29 @@ class SpeciesModel(Model):
             raise ConfigError("SpeciesModel: transient option is off")
         for i in range(self.n_species):
             self.state[f"mf{i}_N1"] = self.state[f"mf{i}"]
+
+    # --- sensitivities / UQ (TangentMixin bound per species; the
+    # reference builds SpeciesModel with the Tangent atype,
+    # models.cpp:10-74) ---------------------------------------------------
+
+    def solve_tangent(self, param_tangents: dict, i: int = 0) -> np.ndarray:
+        """d(mf_i)/d(params).direction at the converged state.
+        param_tangents keys index ``self.params`` (e.g. "D0")."""
+        return self._tangent_impl(
+            f"mf{i}",
+            lambda m, p, s, b: self._linearize_species(m, p, s, b, i),
+            self.options["linearSolver"], param_tangents,
+        )
+
+    def solve_mc(
+        self, param_key: str, samples, niter: int = 20, i: int = 0
+    ) -> np.ndarray:
+        """Vmapped re-solves of species i over a parameter batch."""
+        return self._mc_impl(
+            f"mf{i}",
+            lambda m, p, s, b: self._linearize_species(m, p, s, b, i),
+            self.options["linearSolver"], param_key, samples, niter,
+        )
 
     def getMassFraction(self, i: int = 0) -> np.ndarray:
         if self._dist:

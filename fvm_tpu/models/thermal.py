@@ -31,6 +31,7 @@ from ..ops.gradients import ls_gradient_coefficients, gradient
 from ..linear import AMG, BiCGStab, CG, JacobiSolver
 from ..exceptions import ConfigError
 from .base import Model, ResidualHistory
+from .sensitivity import TangentMixin
 
 STEFAN_BOLTZMANN = 5.670374419e-8
 
@@ -84,13 +85,18 @@ class ThermalModelOptions(ModelOptions):
     }
 
 
-class ThermalModel(Model):
+class ThermalModel(TangentMixin, Model):
     # double-shell interfaces (contact resistance / thermal jump layers,
     # reference: BatteryLinearizeThermalInterface.h): default closure is
     # the continuous interface (A=1, B=0); model.interface[name] sets
     # jump coefficients or a flux closure (core.interfaces)
     _supports_interfaces = True
     name = "ThermalModel"
+    # sensitivity/UQ unknown binding (TangentMixin): solve_tangent /
+    # solve_mc / solve_pc differentiate T w.r.t. entries of self.params
+    # ("k_cell", "rho_cp", "src") — the reference builds ThermalModel
+    # with the Tangent atype (models.cpp:10-74)
+    var = "T"
 
     def __init__(self, mesh: DeviceMesh, partition=None):
         super().__init__(mesh, partition)

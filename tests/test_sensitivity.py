@@ -173,3 +173,151 @@ def test_solve_pc_two_dims():
     # cross term (1,1) small
     cross = pc.coefficients[(1, 1)]
     assert np.abs(cross).max() < 0.05 * max(np.abs(z).max(), np.abs(z2).max())
+
+
+# --- TangentMixin on the remaining diffusion-family models (the reference
+# builds EVERY model with the Tangent atype, models.cpp:10-74) -----------
+
+
+def test_thermal_solve_tangent_vs_fd():
+    """ThermalModel.solve_tangent: d(T)/d(k_cell) against central FD on a
+    variable-conductivity slab (Dirichlet-Dirichlet: the field depends on
+    k only through its spatial VARIATION)."""
+    dm = fvm.mesh.build_device_mesh(quad_2d(24, 8))
+    n = dm.n_interior_cells
+    from fvm_tpu.models import ThermalModel
+
+    def build(kf):
+        t = ThermalModel(dm)
+        t.options["verbose"] = False
+        t.vc["thermalConductivity"] = kf
+        t.bc["left"].bc_type = "SpecifiedTemperature"
+        t.bc["left"]["specifiedTemperature"] = 400.0
+        t.bc["right"].bc_type = "SpecifiedTemperature"
+        t.bc["right"]["specifiedTemperature"] = 300.0
+        t.bc["top"].bc_type = "Symmetry"
+        t.bc["bottom"].bc_type = "Symmetry"
+        t.init()
+        t.advance(30)
+        return t
+
+    k0 = 1.0 + 0.5 * np.linspace(0, 1, n)
+    dk = np.random.default_rng(0).standard_normal(n)
+    t = build(k0)
+    dT = t.solve_tangent({"k_cell": dk})
+    eps = 1e-6
+    fd = (
+        build(k0 + eps * dk).getTemperature()
+        - build(k0 - eps * dk).getTemperature()
+    ) / (2 * eps)
+    np.testing.assert_allclose(dT, fd, rtol=5e-5, atol=5e-5 * np.abs(fd).max())
+
+
+def test_thermal_solve_tangent_dist():
+    """Thermal tangent under a 4-shard Partition matches single-device."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    from fvm_tpu.parallel import Partition
+    from fvm_tpu.models import ThermalModel
+
+    m0 = quad_2d(16, 8)
+    n = m0.n_interior_cells
+    k0 = 1.0 + 0.5 * np.linspace(0, 1, n)
+    dk = np.random.default_rng(1).standard_normal(n)
+
+    def build(dmesh, part=None):
+        t = ThermalModel(dmesh, partition=part)
+        t.options["verbose"] = False
+        t.vc["thermalConductivity"] = k0
+        t.bc["left"].bc_type = "SpecifiedTemperature"
+        t.bc["left"]["specifiedTemperature"] = 400.0
+        t.bc["right"].bc_type = "SpecifiedTemperature"
+        t.bc["right"]["specifiedTemperature"] = 300.0
+        t.bc["top"].bc_type = "Symmetry"
+        t.bc["bottom"].bc_type = "Symmetry"
+        t.init()
+        t.advance(30)
+        return t
+
+    single = build(fvm.mesh.build_device_mesh(m0))
+    d_single = single.solve_tangent({"k_cell": dk})
+    part = Partition(m0, 4)
+    dist = build(part.sharded_mesh, part)
+    d_dist = dist.solve_tangent({"k_cell": dk})
+    np.testing.assert_allclose(d_dist, d_single, rtol=1e-6, atol=1e-9)
+
+
+def test_electric_solve_tangent_vs_fd():
+    """ElectricModel.solve_tangent: d(potential)/d(eps) with space charge
+    (uniform charge + graded permittivity) against central FD."""
+    from fvm_tpu.models import ElectricModel
+    from fvm_tpu.models.electric import EPS0
+
+    dm = fvm.mesh.build_device_mesh(quad_2d(16, 8))
+    n = dm.n_interior_cells
+    rng = np.random.default_rng(1)
+
+    def build(er):
+        m = ElectricModel(dm)
+        m.options["verbose"] = False
+        m.options["chargetransport_enable"] = False
+        m.vc["dielectric_constant"] = er
+        m.vc["initialCharge"] = 1e-8
+        m.bc["left"].bc_type = "SpecifiedPotential"
+        m.bc["left"]["specifiedPotential"] = 1.0
+        m.bc["right"].bc_type = "SpecifiedPotential"
+        m.bc["right"]["specifiedPotential"] = 0.0
+        m.bc["top"].bc_type = "Symmetry"
+        m.bc["bottom"].bc_type = "Symmetry"
+        m.init()
+        m.advance(5)
+        return m
+
+    er0 = 2.0 + np.linspace(0, 1, n)
+    de = rng.standard_normal(n)
+    m = build(er0)
+    # params["eps"] = dielectric_constant * EPS0, so the tangent direction
+    # in parameter space carries the same factor
+    dphi = m.solve_tangent({"eps": de * EPS0})
+    eps_fd = 1e-5
+    fd = (
+        build(er0 + eps_fd * de).getPotential()
+        - build(er0 - eps_fd * de).getPotential()
+    ) / (2 * eps_fd)
+    np.testing.assert_allclose(dphi, fd, rtol=5e-4, atol=1e-5 * np.abs(fd).max())
+
+
+def test_species_solve_tangent_vs_fd():
+    """SpeciesModel.solve_tangent (per species): d(mf0)/d(D0) against FD
+    on a flux-driven slab."""
+    from fvm_tpu.models import SpeciesModel
+
+    dm = fvm.mesh.build_device_mesh(quad_2d(16, 8))
+    n = dm.n_interior_cells
+    rng = np.random.default_rng(2)
+
+    def build(D):
+        s = SpeciesModel(dm)
+        s.options["verbose"] = False
+        s.vc["massDiffusivity"] = D
+        s.bc["left"].bc_type = "SpecifiedMassFraction"
+        s.bc["left"]["specifiedMassFraction"] = 1.0
+        s.bc["right"].bc_type = "SpecifiedMassFlux"
+        s.bc["right"]["specifiedMassFlux"] = -0.3
+        s.bc["top"].bc_type = "Symmetry"
+        s.bc["bottom"].bc_type = "Symmetry"
+        s.init()
+        s.advance(20)
+        return s
+
+    D0 = 1.0 + 0.5 * np.linspace(0, 1, n)
+    dD = rng.standard_normal(n)
+    s = build(D0)
+    dmf = s.solve_tangent({"D0": dD})
+    fd = (
+        build(D0 + 1e-6 * dD).getMassFraction(0)
+        - build(D0 - 1e-6 * dD).getMassFraction(0)
+    ) / (2e-6)
+    np.testing.assert_allclose(dmf, fd, rtol=5e-5, atol=5e-5 * np.abs(fd).max())
