@@ -655,6 +655,36 @@ class KineticModel(Model):
         c2 = jnp.sum(du * du, axis=-1)
         return rho / (2.0 * jnp.pi * T) ** 1.5 * jnp.exp(-c2 / (2.0 * T))
 
+    def _build_dsa(self):
+        """DSA coarse-correction tuple — shared by the primal step and
+        solve_tangent (same Jacobian, same smooth-temperature-mode
+        stagnation without it).  Near-continuum (thick) regimes leave
+        the TEMPERATURE mode unaccelerated by the point Woodbury
+        preconditioner: compose an AMG-cycled synthetic heat-diffusion
+        correction on the equilibrium subspace, restriction
+        wE = w (c^2/2 - 3T0/2) and prolongation dM/dT at the reference
+        state — the esbgk analogue of the phonon DSA (reference coarse
+        model, COMETModel.h:1080)."""
+        from .dsa import build_scalar_diffusion_cycles
+
+        q0 = self.quadrature
+        mesh0 = self.mesh
+        dtype0 = mesh0.cell_volume.dtype
+        tau_int = np.asarray(self.params["tau"])[: mesh0.n_interior_cells]
+        tau_ref = float(np.mean(tau_int)) if tau_int.size else 0.1
+        T0 = float(self.vc["initialTemperature"])
+        rho0 = float(self.vc["initialDensity"])
+        k_eff = 2.5 * rho0 * T0 * tau_ref  # BGK kappa = (5/2) p tau
+        M_T = build_scalar_diffusion_cycles(
+            self, k_eff, ("DiffuseWall", "FarField")
+        )
+        c2 = (np.asarray(q0.c) ** 2).sum(axis=1)
+        wE = jnp.asarray(np.asarray(q0.w) * (c2 / 2.0 - 1.5 * T0), dtype0)
+        M0 = rho0 / (2.0 * np.pi * T0) ** 1.5 * np.exp(-c2 / (2.0 * T0))
+        pcoef = jnp.asarray(M0 * (c2 / (2.0 * T0**2) - 1.5 / T0), dtype0)
+        alive_T = jnp.arange(mesh0.n_cells) < mesh0.n_interior_cells
+        return (M_T, wE, pcoef, alive_T)
+
     def _build_step(self):
         opts = self.options
         inner_it = int(opts["innerIterations"])
@@ -671,31 +701,7 @@ class KineticModel(Model):
         dsa = None
         if comet and bool(opts.get("coarseAcceleration", True)) and \
                 not self._dist and not self.ordinate_shards:
-            from .dsa import build_scalar_diffusion_cycles
-
-            q0 = self.quadrature
-            mesh0 = self.mesh
-            dtype0 = mesh0.cell_volume.dtype
-            tau_int = np.asarray(self.params["tau"])[
-                : mesh0.n_interior_cells
-            ]
-            tau_ref = float(np.mean(tau_int)) if tau_int.size else 0.1
-            T0 = float(self.vc["initialTemperature"])
-            rho0 = float(self.vc["initialDensity"])
-            k_eff = 2.5 * rho0 * T0 * tau_ref  # BGK kappa = (5/2) p tau
-            M_T = build_scalar_diffusion_cycles(
-                self, k_eff, ("DiffuseWall", "FarField")
-            )
-            c2 = (np.asarray(q0.c) ** 2).sum(axis=1)
-            wE = jnp.asarray(
-                np.asarray(q0.w) * (c2 / 2.0 - 1.5 * T0), dtype0
-            )
-            M0 = rho0 / (2.0 * np.pi * T0) ** 1.5 * np.exp(-c2 / (2.0 * T0))
-            pcoef = jnp.asarray(
-                M0 * (c2 / (2.0 * T0**2) - 1.5 / T0), dtype0
-            )
-            alive_T = jnp.arange(mesh0.n_cells) < mesh0.n_interior_cells
-            dsa = (M_T, wE, pcoef, alive_T)
+            dsa = self._build_dsa()
 
         def step(mesh, params, state, bcvals):
             from ..ops.halo import maybe_sync
@@ -793,7 +799,16 @@ class KineticModel(Model):
                 )
                 m_old = op_plain.psum(jnp.sum(Vc * (f @ w)))
                 m_new = op_plain.psum(jnp.sum(Vc * (f_new @ w)))
-                f_new = f_new * (m_old / jnp.maximum(m_new, 1e-300))
+                # overshoot guard: a full Newton step whose positivity
+                # clip destroys most of the mass would rescale garbage
+                # (f = 0 is an absorbing fixed point of clip+projection);
+                # fall back to a damped step in that case
+                f_dmp = jnp.maximum(f + 0.25 * df, 0.0)
+                m_dmp = op_plain.psum(jnp.sum(Vc * (f_dmp @ w)))
+                ok = m_new > 0.5 * m_old
+                f_new = jnp.where(ok, f_new, f_dmp)
+                m_eff = jnp.where(ok, m_new, m_dmp)
+                f_new = f_new * (m_old / jnp.maximum(m_eff, 1e-300))
             new_state = dict(state, f=f_new)
             return new_state, {"rnorm": rnorm}
 
@@ -839,6 +854,156 @@ class KineticModel(Model):
             float(jnp.abs(dmom).max()),
             float(jnp.abs(de).max()),
         )
+
+    # ------------------------------------------------------------------
+
+    def solve_tangent(
+        self, param_tangents=None, bc_tangents=None,
+        max_iterations: int = 400, relative_tolerance: float = 1e-10,
+    ):
+        """Forward sensitivity d(f)/d(params, BCs) . direction at the
+        converged steady COMET state (reference: every model instantiated
+        with the Tangent atype, models.cpp:10-74 — including the esbgk
+        KineticModel).
+
+        At convergence R(f*, p) = 0, so J df = dR/dp . dp with
+        J = -dR/df, solved matrix-free with the SAME exact-jvp operator
+        and rank-5 Woodbury preconditioner as the primal JFNK step.
+        ``param_tangents`` accepts keys of ``self.params`` (e.g. "tau",
+        (n_interior,) accepted); ``bc_tangents`` is keyed "group:entry"
+        (e.g. "top:specifiedXVelocity").
+
+        The steady wall-bounded problem is singular along the mass family
+        (f -> s f); like the primal step, the tangent is projected onto
+        the fixed-total-mass manifold.  Returns d(f) on interior cells,
+        (n_interior, n_ordinates)."""
+        if not self._initialized:
+            raise ConfigError("call init() + advance() before solve_tangent")
+        opts = self.options
+        if str(opts["solver"]).upper() != "COMET":
+            raise ConfigError("solve_tangent requires the COMET solver")
+        if opts["transient"]:
+            raise ConfigError("solve_tangent: steady states only")
+        if self._dist or self.ordinate_shards:
+            raise ConfigError(
+                "solve_tangent: single-device kinetic states only (use the "
+                "unsharded model for sensitivities)"
+            )
+        mesh = self.mesh
+        bcvals = self._resolve_bcvals()
+        f0 = self.state["f"]
+
+        def pad_param(key, v):
+            ref = self.params[key]
+            v = jnp.asarray(v, ref.dtype)
+            if v.shape != ref.shape:
+                v = jnp.zeros(ref.shape, ref.dtype).at[: v.shape[0]].set(v)
+            return v
+
+        p_keys = list(param_tangents or {})
+        b_keys = list(bc_tangents or {})
+        base_p = {k: self.params[k] for k in p_keys}
+        base_b = {k: bcvals[k] for k in b_keys}
+        tan_p = {k: pad_param(k, v) for k, v in (param_tangents or {}).items()}
+        tan_b = {
+            k: jnp.broadcast_to(
+                jnp.asarray(v, bcvals[k].dtype), bcvals[k].shape
+            )
+            for k, v in (bc_tangents or {}).items()
+        }
+
+        V = mesh.cell_volume[:, None]
+
+        def R_of(p_sub, b_sub, fv):
+            params = dict(self.params, **p_sub)
+            bcv = dict(bcvals, **b_sub)
+            tau = params["tau"][:, None]
+            op = _KineticOperator(
+                mesh, params["dO"], params["dN"], V / tau
+            )
+            fg = self._refresh_ghosts(mesh, params, fv, bcv)
+            feq_v = self._equilibrium(fv)
+            res = V / tau * feq_v - op.mv(fv)
+            res = jnp.where(op.interior, res, fg - fv)
+            return jnp.where(op.owned, res, 0.0)
+
+        op_plain = _KineticOperator(
+            mesh, self.params["dO"], self.params["dN"],
+            V / self.params["tau"][:, None],
+        )
+        dsa = (
+            self._build_dsa()
+            if bool(opts.get("coarseAcceleration", True))
+            else None
+        )
+
+        @jax.jit
+        def tangent():
+            # rhs: dR/dp . dp at fixed f*
+            _, dr = jax.jvp(
+                lambda p, b: R_of(p, b, f0), (base_p, base_b),
+                (tan_p, tan_b),
+            )
+            op = _JVPOperator(op_plain, lambda fv: R_of({}, {}, fv), f0)
+            # rank-5 Woodbury preconditioner at the converged state (same
+            # construction as the primal step)
+            Vt = _psi_weights(self.quadrature, f0.dtype)
+            m = jnp.einsum("cn,na->ca", f0, Vt)
+            alive = (m[:, 0] > 1e-12) & op_plain.interior[:, 0] \
+                & op_plain.owned[:, 0]
+            m_safe = jnp.where(
+                alive[:, None],
+                m,
+                jnp.asarray([1.0, 0.0, 0.0, 0.0, 3.0], m.dtype)[None],
+            )
+            U = jax.vmap(jax.jacfwd(self._feq_of_moments))(m_safe)
+            U = jnp.where(alive[:, None, None], U, 0.0)
+            kappa = jnp.where(
+                alive[:, None], V / self.params["tau"][:, None], 0.0
+            )
+            op_lr = _KineticOperator(
+                mesh, self.params["dO"], self.params["dN"],
+                V / self.params["tau"][:, None], lowrank=(kappa, U, Vt),
+            )
+            from ..linear.krylov import BiCGStab
+
+            precond = _WoodburyPrecond(op_lr)
+            if dsa is not None:
+                from .dsa import DSAPrecond
+
+                precond = DSAPrecond(precond, *dsa)
+            solver = BiCGStab(
+                preconditioner=precond,
+                relative_tolerance=relative_tolerance,
+                max_iterations=max_iterations,
+            )
+            df, _ = solver.solve_fn(op, dr, jnp.zeros_like(f0))
+            # project out the mass-family null direction (primal does the
+            # same after each Newton step): total d(mass) = 0
+            w = jnp.asarray(self.quadrature.w, f0.dtype)
+            Vc = jnp.where(
+                op_plain.interior[:, 0] & op_plain.owned[:, 0],
+                mesh.cell_volume, 0.0,
+            )
+            dm = jnp.sum(Vc * (df @ w))
+            m0 = jnp.sum(Vc * (f0 @ w))
+            df = df - (dm / jnp.maximum(m0, 1e-300)) * f0
+            return df
+
+        df = tangent()
+        return np.asarray(df[: mesh.n_interior_cells])
+
+    def solve_tangent_moments(self, param_tangents=None, bc_tangents=None):
+        """d(rho, u, T)/d(params, BCs) . direction — the chain rule of
+        ``moments()`` through ``solve_tangent`` (what the reference's
+        Tangent atype exposes on macroscopic fields)."""
+        f0 = self.state["f"]
+        df = jnp.zeros_like(f0).at[: self.mesh.n_interior_cells].set(
+            jnp.asarray(self.solve_tangent(param_tangents, bc_tangents))
+        )
+        _, dmom = jax.jvp(lambda f: self.moments(f), (f0,), (df,))
+        ni = self.mesh.n_interior_cells
+        return tuple(np.asarray(d[:ni]) for d in dmom)
 
 
 def _det3(M):

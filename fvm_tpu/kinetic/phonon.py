@@ -306,6 +306,27 @@ class PhononModel(Model):
                 e = e.at[gc].set(eg.reshape(L, self.D * B))
         return e
 
+    def _build_dsa(self):
+        """DSA coarse-correction tuple (M_T cycles, restriction weights,
+        prolongation coefficients, alive mask) — shared by the primal
+        step and solve_tangent (the tangent system is the SAME Jacobian,
+        so it needs the same temperature-mode acceleration; the Woodbury
+        point preconditioner alone stagnates on smooth-T-mode rhs)."""
+        from .dsa import build_scalar_diffusion_cycles
+
+        mesh0 = self.mesh
+        dtype = mesh0.cell_volume.dtype
+        B = self.B
+        Cb, vgb, taub = self._band_arrays()
+        k_eff = float((Cb * vgb**2 * taub).sum() / 3.0)
+        M_T = build_scalar_diffusion_cycles(self, k_eff, ("Isothermal",))
+        wE = jnp.repeat(jnp.asarray(self.w, dtype), B)
+        pcoef = jnp.tile(
+            jnp.asarray(Cb, dtype)[None, :], (self.D, 1)
+        ).reshape(-1) / (4.0 * np.pi)
+        alive_T = jnp.arange(mesh0.n_cells) < mesh0.n_interior_cells
+        return (M_T, wE, pcoef, alive_T)
+
     def _build_step(self):
         opts = self.options
         inner_it = int(opts["innerIterations"])
@@ -322,21 +343,7 @@ class PhononModel(Model):
         dsa = None
         if comet and bool(opts.get("coarseAcceleration", True)) and \
                 not self._dist:
-            from .dsa import build_scalar_diffusion_cycles
-
-            mesh0 = self.mesh
-            dtype = mesh0.cell_volume.dtype
-            Cb, vgb, taub = self._band_arrays()
-            k_eff = float((Cb * vgb**2 * taub).sum() / 3.0)
-            M_T = build_scalar_diffusion_cycles(
-                self, k_eff, ("Isothermal",)
-            )
-            wE = jnp.repeat(jnp.asarray(self.w, dtype), B)
-            pcoef = jnp.tile(
-                jnp.asarray(Cb, dtype)[None, :], (self.D, 1)
-            ).reshape(-1) / (4.0 * np.pi)
-            alive_T = jnp.arange(mesh0.n_cells) < mesh0.n_interior_cells
-            dsa = (M_T, wE, pcoef, alive_T)
+            dsa = self._build_dsa()
 
         def step(mesh, params, state, bcvals):
             from ..ops.halo import maybe_sync
@@ -449,3 +456,117 @@ class PhononModel(Model):
         if not self.options["transient"]:
             raise ConfigError("PhononModel: transient option is off")
         self.state["e_N1"] = self.state["e"]
+
+    # ------------------------------------------------------------------
+
+    def solve_tangent(
+        self, param_tangents=None, bc_tangents=None,
+        max_iterations: int = 2000, relative_tolerance: float = 1e-10,
+    ):
+        """Forward sensitivity d(e)/d(tau, BCs) . direction at the
+        converged steady COMET state (reference: phononbase built with
+        the Tangent atype, models.cpp:10-74).
+
+        J de = dR/dp . dp with J = -dR/de, solved matrix-free with the
+        primal's exact-jvp operator (Jacobi-preconditioned BiCGStab).
+        ``param_tangents`` accepts "tau" (scalar, (B,) per-band, or
+        (D*B,) per direction-band); ``bc_tangents`` is keyed
+        "group:entry" (e.g. "left:specifiedTemperature").  Returns d(e)
+        on interior cells, (n_interior, D*B)."""
+        if not self._initialized:
+            raise ConfigError("call init() + advance() before solve_tangent")
+        opts = self.options
+        if str(opts["solver"]).upper() != "COMET":
+            raise ConfigError("solve_tangent requires the COMET solver")
+        if opts["transient"]:
+            raise ConfigError("solve_tangent: steady states only")
+        if self._dist or self.ordinate_shards:
+            raise ConfigError(
+                "solve_tangent: single-device phonon states only"
+            )
+        mesh = self.mesh
+        bcvals = self._resolve_bcvals()
+        e_st = self.state["e"]
+        V = mesh.cell_volume[:, None]
+        B = self.B
+
+        tau0 = self._tau_db
+        dtau = jnp.zeros_like(tau0)
+        for k, v in (param_tangents or {}).items():
+            if k != "tau":
+                raise ConfigError(f"phonon solve_tangent: unknown param {k!r}")
+            v = np.atleast_1d(np.asarray(v, float))
+            if v.size == 1:
+                v = np.full(self.D * B, float(v))
+            elif v.size == B:
+                v = np.tile(v[None, :], (self.D, 1)).reshape(-1)
+            dtau = jnp.asarray(v, tau0.dtype)
+
+        b_keys = list(bc_tangents or {})
+        base_b = {k: bcvals[k] for k in b_keys}
+        tan_b = {
+            k: jnp.broadcast_to(
+                jnp.asarray(v, bcvals[k].dtype), bcvals[k].shape
+            )
+            for k, v in (bc_tangents or {}).items()
+        }
+
+        def R_of(tau_db, b_sub, ev):
+            bcv = dict(bcvals, **b_sub)
+            tau = tau_db[None, :]
+            op = _KOp(mesh, self.params["dO"], self.params["dN"], V / tau)
+            eg = self._refresh_ghosts(mesh, self.params, ev, bcv)
+            Tv = self.temperature(ev)
+            e0v = jnp.tile(
+                self._e0_of_T(Tv)[:, None, :], (1, self.D, 1)
+            ).reshape(mesh.n_cells, self.D * B)
+            res = V / tau * e0v - op.mv(ev)
+            res = jnp.where(op.interior, res, eg - ev)
+            return jnp.where(op.owned, res, 0.0)
+
+        from .esbgk import _JVPOperator
+        from .esbgk import _KineticOperator as _KOp
+        from ..linear.krylov import BiCGStab
+
+        op_plain = _KOp(
+            mesh, self.params["dO"], self.params["dN"],
+            V / tau0[None, :],
+        )
+
+        @jax.jit
+        def tangent():
+            _, dr = jax.jvp(
+                lambda t, b: R_of(t, b, e_st), (tau0, base_b),
+                (dtau, tan_b),
+            )
+            op = _JVPOperator(op_plain, lambda ev: R_of(tau0, {}, ev), e_st)
+            # Jacobi point preconditioner — deliberately NOT the primal's
+            # Woodbury/DSA composition: both stagnate BiCGStab on the
+            # boundary-concentrated rhs a BC tangent produces (measured:
+            # stuck at ~0.1 rel after 4000 iters vs 297 iters to 1e-12
+            # with plain Jacobi).  The primal tolerates the stagnation
+            # only because outer Newton repeats the solve; the one-shot
+            # tangent solve cannot.
+            from ..linear.krylov import JacobiSolver
+
+            precond = JacobiSolver(sweeps=2)
+            solver = BiCGStab(
+                preconditioner=precond,
+                relative_tolerance=relative_tolerance,
+                max_iterations=max_iterations,
+            )
+            de, _ = solver.solve_fn(op, dr, jnp.zeros_like(e_st))
+            return de
+
+        de = tangent()
+        return np.asarray(de[: mesh.n_interior_cells])
+
+    def solve_tangent_temperature(self, param_tangents=None, bc_tangents=None):
+        """d(lattice T)/d(tau, BCs) . direction — chain rule of
+        ``temperature()`` through ``solve_tangent``."""
+        e_st = self.state["e"]
+        de = jnp.zeros_like(e_st).at[: self.mesh.n_interior_cells].set(
+            jnp.asarray(self.solve_tangent(param_tangents, bc_tangents))
+        )
+        _, dT = jax.jvp(lambda e: self.temperature(e), (e_st,), (de,))
+        return np.asarray(dT[: self.mesh.n_interior_cells])

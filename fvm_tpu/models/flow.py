@@ -118,6 +118,12 @@ class FlowModelOptions(ModelOptions):
         "andersonDepth": 4,
         "andersonDamping": 1.0,
         "andersonDelay": 5,
+        # advanceNewton (JFNK endgame) inner-Krylov controls: each Newton
+        # step solves J dq = R matrix-free to this tolerance (the cap is
+        # a safety net — the while_loop exits at the tolerance; capping
+        # the solve instead stalls the quadratic outer convergence)
+        "newtonKrylovTolerance": 1e-5,
+        "newtonKrylovIterations": 1500,
         # mix every K-th outer step (Anderson over the K-step composite
         # map): the extrapolation coefficients scale like 1/(1 - rho^K),
         # so larger K amplifies the loose inner-solve noise less — use
@@ -918,6 +924,252 @@ class FlowModel(Model):
             return self.advance(niter)
         finally:
             self._step = segregated
+
+    def advanceNewton(self, niter: int = 3) -> ResidualHistory:
+        """Exact-Newton (JFNK) endgame on the coupled steady system.
+
+        SIMPLE's asymptotic contraction degrades toward 1 with mesh size
+        (measured 0.9998/outer at 1M cells — ~35k outers per decade);
+        the Picard-coupled advanceCoupled is no better (~0.998).  This
+        solves the same root QUADRATICALLY: the full nonlinear residual
+        R(V, p) — momentum with the convection flux evaluated at the
+        CURRENT Rhie-Chow mass flux mdot(V, p), continuity on that same
+        flux, boundary-ghost closures as residual rows (the JFNK pattern
+        of structure/plate/battery) — with the exact Jacobian action by
+        jax.jvp and the assembled Picard block matrix (CoupledSIMPLE AMG
+        preconditioner) preconditioning the matrix-free BiCGStab.
+
+        The Rhie-Chow dissipation scale vol/aP is FROZEN at the entry
+        state's relaxed momAp: the converged solution depends on it
+        (reference behavior, FlowModel_impl.h Rhie-Chow), so freezing
+        keeps the Newton root identical to the SIMPLE fixed point while
+        making R a pure function of (V, p).  Intended use: run SIMPLE
+        into the asymptotic basin (rel ~1e-4), then 1-3 Newton steps
+        finish to round-off (each inner iteration costs ~2 residual
+        evaluations ~= 1 SIMPLE step).
+
+        Single-device only (the endgame runs on the unsharded state).
+        """
+        if not self._initialized:
+            raise ConfigError("call init() before advanceNewton()")
+        if self._dist:
+            raise ConfigError("advanceNewton: single-device states only")
+        if self.options["transient"]:
+            raise ConfigError("advanceNewton: steady states only")
+        if "momAp" not in self.state:
+            raise ConfigError(
+                "advanceNewton: run advance() first (needs the relaxed "
+                "momAp for the frozen Rhie-Chow scale)"
+            )
+        if getattr(self, "_newton_pre", None) is None:
+            from ..linear.coupled import CoupledSIMPLE
+
+            pre = CoupledSIMPLE(dia=self.mesh.dia)
+            pre.setup_structure(*self.mesh.host_cf())
+            self._newton_pre = pre
+        if getattr(self, "_step_newton", None) is None:
+            self._step_newton = self._wrap_step(self._build_newton_step())
+        segregated, self._step = self._step, self._step_newton
+        try:
+            return self.advance(niter)
+        finally:
+            self._step = segregated
+
+    def _build_newton_step(self):
+        from ..ops import bell
+        from ..linear.base import MatrixFreeOperator, newton_operator
+        from ..linear.coupled import CoupledSIMPLE  # noqa: F401 (docs)
+
+        opts = self.options
+        ktol = float(opts["newtonKrylovTolerance"])
+        kit = int(opts["newtonKrylovIterations"])
+        pre = self._newton_pre
+
+        class _FixedM:
+            """Pre-bound preconditioner (the Krylov operator is matrix-
+            free; M was built from the assembled Picard surrogate)."""
+
+            def __init__(self, M):
+                self._M = M
+
+            def precond_setup(self, A):
+                return self._M
+
+        def step(mesh, params, state, bcvals):
+            dim = mesh.dim
+            B = dim + 1
+            n_int = mesh.n_interior_cells
+            int_c = jnp.arange(mesh.n_cells) < n_int
+            owned = jnp.arange(mesh.n_cells) < mesh.n_owned_cells
+            bnd = jnp.arange(mesh.n_faces) >= mesh.n_interior_faces
+            gh = slice(n_int, mesh.n_cells)
+
+            state = self._refresh_ghosts(mesh, params, state, bcvals)
+
+            # ---- frozen Rhie-Chow scale (see advanceNewton docstring)
+            aP = state["momAp"]
+            vol_over_ap = jnp.where(int_c, mesh.cell_volume / aP, 0.0)
+            voap_f = assembly.cells_to_faces_distance_weighted(
+                mesh, bck.extend_to_ghosts(mesh, vol_over_ap)
+            )
+            rho_f = assembly.cells_to_faces_distance_weighted(
+                mesh, params["rho"]
+            )
+            Df = rho_f * voap_f * mesh.face_e_over_d
+
+            pres_face = jnp.zeros(mesh.n_faces, bool)
+            for g, bc in self._group_bcs():
+                if bc.bc_type == "PressureBoundary":
+                    sl = mesh.group_faces(g)
+                    pres_face = pres_face.at[sl].set(True)
+
+            mu_f = disc.harmonic_face_gamma(mesh, params["mu"])
+            needs_gradV = (not mesh.orthogonal) or (
+                opts["convectionScheme"] == "sou"
+            )
+            wo = mesh.face_wo
+
+            def mdot_of(st):
+                V, p = st["velocity"], st["pressure"]
+                Vbar = assembly.cells_to_faces_distance_weighted(mesh, V)
+                gradp = self._grad(mesh, params, p)
+                gpbar = assembly.cells_to_faces_distance_weighted(
+                    mesh, gradp
+                )
+                dp = mesh.take_nbr(p) - mesh.take_owner(p)
+                rc = Df * (
+                    dp - jnp.einsum("fd,fd->f", gpbar, mesh.face_ds)
+                )
+                mdot_int = (
+                    rho_f * jnp.einsum("fd,fd->f", Vbar, mesh.face_area)
+                    - rc
+                )
+                bmdot = self._boundary_mass_flux(mesh, params, st, bcvals)
+                return jnp.where(bnd, bmdot, mdot_int)
+
+            def fluxes_of(q):
+                V = q[:, :dim]
+                p = q[:, dim]
+                st = dict(state, velocity=V, pressure=p)
+                mdot = mdot_of(st)
+                gradV = self._grad(mesh, params, V) if needs_gradV else None
+                flux = disc.diffusion_flux(mesh, V, mu_f, gradV)
+                flux = flux + disc.convection_flux(
+                    mesh, V, mdot, opts["convectionScheme"], gradV
+                )
+                p_f = wo * mesh.take_owner(p) + (1.0 - wo) * mesh.take_nbr(p)
+                F_mom = flux.F + p_f[:, None] * mesh.face_area
+                return st, mdot, flux, F_mom
+
+            def R(q):
+                st, mdot, _, F_mom = fluxes_of(q)
+                F_blk = jnp.concatenate([F_mom, mdot[:, None]], axis=1)
+                s = jnp.where(mesh.cf_is_owner, 1.0, -1.0)[:, :, None]
+                m = mesh.cf_mask[:, :, None]
+                r = -jnp.sum(
+                    jnp.where(m, s * mesh.take_faces(F_blk), 0.0), axis=1
+                )
+                # ghost closure rows (JFNK: ghosts are unknowns tied by
+                # their BC closures, like structure/plate/battery)
+                stg = self._refresh_ghosts(mesh, params, st, bcvals)
+                qg = jnp.concatenate(
+                    [stg["velocity"], stg["pressure"][:, None]], axis=1
+                )
+                r = jnp.where(int_c[:, None], r, qg - q)
+                return jnp.where(owned[:, None], r, 0.0)
+
+            q0 = jnp.concatenate(
+                [state["velocity"], state["pressure"][:, None]], axis=1
+            )
+            r0 = R(q0)
+            mom_norm = jnp.sqrt(
+                jnp.sum(jnp.where(int_c[:, None], r0[:, :dim], 0.0) ** 2)
+            )
+            cont_norm = jnp.sqrt(
+                jnp.sum(jnp.where(int_c, r0[:, dim], 0.0) ** 2)
+            )
+
+            # ---- Picard block surrogate for the preconditioner (same
+            # construction as _build_coupled_step, urf = 1: Newton solves
+            # the unrelaxed equations)
+            _, mdot0, flux0, F_mom0 = fluxes_of(q0)
+            I_d = jnp.eye(dim, dtype=q0.dtype)
+            dO_vv = flux0.dF_dO[:, None, None] * I_d
+            dN_vv = flux0.dF_dN[:, None, None] * I_d
+            dO_vp = wo[:, None] * mesh.face_area
+            dN_vp = (1.0 - wo)[:, None] * mesh.face_area
+            Df_cont = jnp.where(bnd & ~pres_face, 0.0, Df)
+            wV_O = jnp.where(bnd, jnp.where(pres_face, 1.0, 0.0), wo)
+            wV_N = jnp.where(bnd, 0.0, 1.0 - wo)
+            dO_pv = (rho_f * wV_O)[:, None] * mesh.face_area
+            dN_pv = (rho_f * wV_N)[:, None] * mesh.face_area
+            dO_p = jnp.concatenate([dO_pv, Df_cont[:, None]], axis=1)
+            dN_p = jnp.concatenate([dN_pv, -Df_cont[:, None]], axis=1)
+            dO = jnp.concatenate(
+                [
+                    jnp.concatenate([dO_vv, dO_vp[:, :, None]], axis=2),
+                    dO_p[:, None, :],
+                ],
+                axis=1,
+            )
+            dN = jnp.concatenate(
+                [
+                    jnp.concatenate([dN_vv, dN_vp[:, :, None]], axis=2),
+                    dN_p[:, None, :],
+                ],
+                axis=1,
+            )
+            F_blk0 = jnp.concatenate([F_mom0, mdot0[:, None]], axis=1)
+            A_b, _ = bell.assemble_block(mesh, F_blk0, dO, dN)
+            eyeB = jnp.eye(B, dtype=q0.dtype)
+            A_b = A_b.replace(
+                diag=A_b.diag.at[gh].set(eyeB), off=A_b.off.at[gh].set(0.0)
+            )
+            if not self._has_pressure_bc:
+                A_b = A_b.replace(
+                    diag=A_b.diag.at[:, dim, dim].mul(
+                        1.0 + 1e6 * params["pin_mask"]
+                    )
+                )
+
+            op = MatrixFreeOperator(newton_operator(R, q0), A_b)
+            solver = BiCGStab(
+                preconditioner=_FixedM(pre.precond_setup(A_b)),
+                relative_tolerance=ktol,
+                max_iterations=kit,
+            )
+            dq, _ = solver.solve_fn(op, r0, jnp.zeros_like(r0))
+            dq = jnp.where(owned[:, None], dq, 0.0)
+            if not self._has_pressure_bc:
+                # J is exactly singular along constant pressure; project
+                # the step onto zero-mean pressure (as the coupled step
+                # does for its correction)
+                pc = dq[:, dim]
+                num = gsum(mesh, jnp.sum(jnp.where(int_c, pc, 0.0)))
+                den = gsum(mesh, jnp.sum(int_c.astype(pc.dtype)))
+                dq = dq.at[:, dim].add(-num / den)
+            q1 = q0 + dq
+            st1 = dict(
+                state, velocity=q1[:, :dim], pressure=q1[:, dim]
+            )
+            st1 = self._refresh_ghosts(mesh, params, st1, bcvals)
+            new_state = dict(st1)
+            new_state["massFlux"] = mdot_of(st1)
+            # refreeze the relaxed momAp at the NEW state: the Newton
+            # root depends (weakly, through the Rhie-Chow dissipation) on
+            # the frozen aP, so successive steps form an outer fixed
+            # point on aP that converges to the exact SIMPLE solution
+            _, mdot1, flux1, F_mom1 = fluxes_of(q1)
+            A_m1, _ = assembly.assemble(
+                mesh, FaceFlux(F_mom1, flux1.dF_dO, flux1.dF_dN)
+            )
+            urf_v = float(opts["momentumURF"])
+            new_state["momAp"] = jnp.where(
+                int_c, A_m1.diag / urf_v, A_m1.diag
+            )
+            return new_state, {"mom_norm": mom_norm, "cont_norm": cont_norm}
+
+        return step
 
     # ------------------------------------------------------------------
 

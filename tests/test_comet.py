@@ -185,3 +185,53 @@ def test_esbgk_dsa_thick_heat_transfer():
     rel_plain = run(False)
     assert rel_dsa < 1e-3
     assert rel_dsa < rel_plain / 5
+
+
+def test_phonon_solve_tangent_vs_fd():
+    """PhononModel.solve_tangent (reference: phononbase built with the
+    Tangent atype, models.cpp:10-74): d(T)/d(tau) and d(T)/d(T_wall) on a
+    gray Isothermal slab match central finite differences."""
+    from fvm_tpu.kinetic.phonon import PhononModel
+
+    tau0 = 0.15
+
+    def build(Tl, tau=tau0):
+        dm = fvm.mesh.build_device_mesh(fvm.mesh.generate.quad_2d(12, 3))
+        m = PhononModel(dm, n_polar=4, n_azimuthal=8)
+        m.options["verbose"] = False
+        m.options["relativeTolerance"] = 1e-12
+        m.vc["relaxationTime"] = tau
+        m.bc["left"].bc_type = "Isothermal"
+        m.bc["left"]["specifiedTemperature"] = Tl
+        m.bc["right"].bc_type = "Isothermal"
+        m.bc["right"]["specifiedTemperature"] = 290.0
+        m.bc["top"].bc_type = "Symmetry"
+        m.bc["bottom"].bc_type = "Symmetry"
+        m.init()
+        m.advance(60)
+        return m
+
+    m = build(310.0)
+    ni = m.mesh.n_interior_cells
+
+    dT = m.solve_tangent_temperature(param_tangents={"tau": 1.0})
+    fdt = (
+        np.asarray(build(310.0, tau0 + 1e-5).temperature())
+        - np.asarray(build(310.0, tau0 - 1e-5).temperature())
+    )[:ni] / (2e-5)
+    np.testing.assert_allclose(dT, fdt, rtol=1e-6, atol=1e-6 * np.abs(fdt).max())
+
+    # BC tangent: boundary-concentrated rhs (regression for the
+    # Jacobi-vs-Woodbury preconditioner choice in solve_tangent — the
+    # primal's Woodbury/DSA composition stagnates BiCGStab here)
+    dTb = m.solve_tangent_temperature(
+        bc_tangents={"left:specifiedTemperature": 1.0}
+    )
+    fdb = (
+        np.asarray(build(310.0 + 1e-3).temperature())
+        - np.asarray(build(310.0 - 1e-3).temperature())
+    )[:ni] / (2e-3)
+    np.testing.assert_allclose(dTb, fdb, rtol=1e-5, atol=1e-6)
+    # sanity: the left-wall influence is strongest at the left wall
+    x = np.asarray(m.mesh.cell_centroid)[:ni, 0]
+    assert dTb[np.argmin(x)] > dTb[np.argmax(x)]

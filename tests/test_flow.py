@@ -388,3 +388,32 @@ def test_fmg_mesh_sequencing_warm_start():
         h_warm[-1][1],
         h_cold[-1][1],
     )
+
+
+def test_advance_newton_quadratic_endgame():
+    """advanceNewton (JFNK on the coupled steady system): from a partly
+    converged SIMPLE state, a few Newton steps reach round-off, and the
+    result is the exact SIMPLE fixed point (the frozen Rhie-Chow aP is
+    refrozen each step, so the outer aP fixed point converges too)."""
+    dm = fvm.mesh.build_device_mesh(quad_2d(32, 32))
+    f = FlowModel(dm)
+    f.options["verbose"] = False
+    f.vc["viscosity"] = 0.01
+    for side in ("left", "right", "bottom", "top"):
+        f.bc[side].bc_type = "NoSlipWall"
+    f.bc["top"]["specifiedXVelocity"] = 1.0
+    f.init()
+    h = f.advance(60)
+    n0 = float(h[0][1])
+    rel_entry = float(h[-1][1]) / n0
+    assert rel_entry > 1e-4  # far from converged
+
+    hn = f.advanceNewton(4)
+    # history rows report step-ENTRY residuals; the last row still shows
+    # multiple decades of contraction over 3 steps
+    assert float(hn[-1][1]) / n0 < 1e-2 * rel_entry
+
+    # the Newton solution IS the SIMPLE fixed point: one segregated step
+    # reports a residual at round-off
+    h2 = f.advance(1)
+    assert float(h2[0][1]) / n0 < 1e-9

@@ -489,3 +489,43 @@ def test_inlet_specified_mass_flow():
     flux_in = -np.einsum("fn,n,fn,f->", fg, np.asarray(q.w), cn, amag)
     area = amag.sum()
     np.testing.assert_allclose(flux_in / area, mdot, rtol=1e-6)
+
+
+def test_comet_solve_tangent_vs_fd():
+    """KineticModel.solve_tangent (reference: the esbgk model built with
+    the Tangent atype, models.cpp:10-74): d(u_x)/d(tau) on a diffuse-wall
+    Couette matches central finite differences.  Also regression-covers
+    the Newton overshoot guard (this configuration collapses to the
+    absorbing f=0 state without the damped-retry fallback)."""
+
+    def build(tau):
+        dm = fvm.mesh.build_device_mesh(quad_2d(3, 10))
+        m = KineticModel(dm, Quadrature(8, 8, 4))
+        m.options["verbose"] = False
+        m.vc["relaxationTime"] = tau
+        for s, uw in (("top", 0.3), ("bottom", -0.3)):
+            m.bc[s].bc_type = "DiffuseWall"
+            m.bc[s]["specifiedXVelocity"] = uw
+        m.bc["left"].bc_type = "Symmetry"
+        m.bc["right"].bc_type = "Symmetry"
+        m.init()
+        m.advance(80)
+        return m
+
+    m = build(0.2)
+    ni = m.mesh.n_interior_cells
+    # the overshoot guard keeps the sheared state alive at tau=0.2
+    assert np.abs(np.asarray(m.moments()[1])[:ni, 0]).max() > 0.05
+
+    drho, du, dT = m.solve_tangent_moments(
+        param_tangents={"tau": np.ones(ni)}
+    )
+    eps = 1e-5
+    mp, mm = build(0.2 + eps), build(0.2 - eps)
+    fd = (
+        np.asarray(mp.moments()[1]) - np.asarray(mm.moments()[1])
+    )[:ni] / (2 * eps)
+    assert np.abs(fd).max() > 1e-3  # the sensitivity is genuinely nonzero
+    np.testing.assert_allclose(
+        du, fd, rtol=1e-4, atol=1e-4 * np.abs(fd).max()
+    )
