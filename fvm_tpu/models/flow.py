@@ -970,10 +970,13 @@ class FlowModel(Model):
         if getattr(self, "_step_newton", None) is None:
             self._step_newton = self._wrap_step(self._build_newton_step())
         segregated, self._step = self._step, self._step_newton
+        accel = self.options.get("acceleration")
+        self.options["acceleration"] = None  # never Anderson-mix Newton
         try:
             return self.advance(niter)
         finally:
             self._step = segregated
+            self.options["acceleration"] = accel
 
     def _build_newton_step(self):
         from ..ops import bell
