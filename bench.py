@@ -288,6 +288,13 @@ def main():
                     thermal64.options["residualSync"] = False
                     promote_state(flow, flow64)
                     promote_state(thermal, thermal64)
+                    # free the f32 models' device buffers before the
+                    # Newton graph runs (mesh tables + AMG hierarchies +
+                    # state at 1M are ~GBs of HBM)
+                    flow = thermal = None
+                    import gc
+
+                    gc.collect()
                     print(
                         f"# polish setup: {time.time()-t_p:.1f}s",
                         file=sys.stderr,
@@ -298,8 +305,12 @@ def main():
                         hn = flow64.advanceNewton(1)
                         rel = float(hn[-1][1]) / norm0
                         steps += 1
+                        aux = getattr(flow64, "_last_aux", {})
+                        inner = int(aux.get("newton_inner", -1))
+                        irel = float(aux.get("newton_inner_rel", -1.0))
                         print(
                             f"# newton {k}: entry mom rel {rel:.3e} "
+                            f"inner {inner} its to {irel:.1e} "
                             f"({time.time()-t_n:.1f}s)",
                             file=sys.stderr,
                         )

@@ -952,8 +952,6 @@ class FlowModel(Model):
         """
         if not self._initialized:
             raise ConfigError("call init() before advanceNewton()")
-        if self._dist:
-            raise ConfigError("advanceNewton: single-device states only")
         if self.options["transient"]:
             raise ConfigError("advanceNewton: steady states only")
         if "momAp" not in self.state:
@@ -961,7 +959,7 @@ class FlowModel(Model):
                 "advanceNewton: run advance() first (needs the relaxed "
                 "momAp for the frozen Rhie-Chow scale)"
             )
-        if getattr(self, "_newton_pre", None) is None:
+        if getattr(self, "_newton_pre", None) is None and not self._dist:
             from ..linear.coupled import CoupledSIMPLE
 
             pre = CoupledSIMPLE(dia=self.mesh.dia)
@@ -986,7 +984,11 @@ class FlowModel(Model):
         opts = self.options
         ktol = float(opts["newtonKrylovTolerance"])
         kit = int(opts["newtonKrylovIterations"])
-        pre = self._newton_pre
+        # single-device: CoupledSIMPLE (AMG pressure block); distributed:
+        # block-Jacobi sweeps on the Picard surrogate (the dist coupled
+        # default — dist AMG inside a traced block preconditioner is a
+        # future extension)
+        pre = getattr(self, "_newton_pre", None)
 
         class _FixedM:
             """Pre-bound preconditioner (the Krylov operator is matrix-
@@ -1007,11 +1009,17 @@ class FlowModel(Model):
             bnd = jnp.arange(mesh.n_faces) >= mesh.n_interior_faces
             gh = slice(n_int, mesh.n_cells)
 
+            state = dict(
+                state,
+                velocity=maybe_sync(mesh, state["velocity"]),
+                pressure=maybe_sync(mesh, state["pressure"]),
+            )
             state = self._refresh_ghosts(mesh, params, state, bcvals)
 
             # ---- frozen Rhie-Chow scale (see advanceNewton docstring)
             aP = state["momAp"]
             vol_over_ap = jnp.where(int_c, mesh.cell_volume / aP, 0.0)
+            vol_over_ap = maybe_sync(mesh, vol_over_ap)
             voap_f = assembly.cells_to_faces_distance_weighted(
                 mesh, bck.extend_to_ghosts(mesh, vol_over_ap)
             )
@@ -1035,7 +1043,7 @@ class FlowModel(Model):
             def mdot_of(st):
                 V, p = st["velocity"], st["pressure"]
                 Vbar = assembly.cells_to_faces_distance_weighted(mesh, V)
-                gradp = self._grad(mesh, params, p)
+                gradp = maybe_sync(mesh, self._grad(mesh, params, p))
                 gpbar = assembly.cells_to_faces_distance_weighted(
                     mesh, gradp
                 )
@@ -1051,11 +1059,16 @@ class FlowModel(Model):
                 return jnp.where(bnd, bmdot, mdot_int)
 
             def fluxes_of(q):
+                q = maybe_sync(mesh, q)
                 V = q[:, :dim]
                 p = q[:, dim]
                 st = dict(state, velocity=V, pressure=p)
                 mdot = mdot_of(st)
-                gradV = self._grad(mesh, params, V) if needs_gradV else None
+                gradV = (
+                    maybe_sync(mesh, self._grad(mesh, params, V))
+                    if needs_gradV
+                    else None
+                )
                 flux = disc.diffusion_flux(mesh, V, mu_f, gradV)
                 flux = flux + disc.convection_flux(
                     mesh, V, mdot, opts["convectionScheme"], gradV
@@ -1085,12 +1098,13 @@ class FlowModel(Model):
                 [state["velocity"], state["pressure"][:, None]], axis=1
             )
             r0 = R(q0)
-            mom_norm = jnp.sqrt(
-                jnp.sum(jnp.where(int_c[:, None], r0[:, :dim], 0.0) ** 2)
-            )
-            cont_norm = jnp.sqrt(
-                jnp.sum(jnp.where(int_c, r0[:, dim], 0.0) ** 2)
-            )
+            mom_norm = jnp.sqrt(gsum(
+                mesh,
+                jnp.sum(jnp.where(int_c[:, None], r0[:, :dim], 0.0) ** 2),
+            ))
+            cont_norm = jnp.sqrt(gsum(
+                mesh, jnp.sum(jnp.where(int_c, r0[:, dim], 0.0) ** 2)
+            ))
 
             # ---- Picard block surrogate for the preconditioner (same
             # construction as _build_coupled_step, urf = 1: Newton solves
@@ -1136,12 +1150,16 @@ class FlowModel(Model):
                 )
 
             op = MatrixFreeOperator(newton_operator(R, q0), A_b)
+            if pre is not None:
+                M = pre.precond_setup(A_b)
+            else:
+                M = JacobiSolver(sweeps=4).precond_setup(A_b)
             solver = BiCGStab(
-                preconditioner=_FixedM(pre.precond_setup(A_b)),
+                preconditioner=_FixedM(M),
                 relative_tolerance=ktol,
                 max_iterations=kit,
             )
-            dq, _ = solver.solve_fn(op, r0, jnp.zeros_like(r0))
+            dq, kstats = solver.solve_fn(op, r0, jnp.zeros_like(r0))
             dq = jnp.where(owned[:, None], dq, 0.0)
             if not self._has_pressure_bc:
                 # J is exactly singular along constant pressure; project
@@ -1151,7 +1169,7 @@ class FlowModel(Model):
                 num = gsum(mesh, jnp.sum(jnp.where(int_c, pc, 0.0)))
                 den = gsum(mesh, jnp.sum(int_c.astype(pc.dtype)))
                 dq = dq.at[:, dim].add(-num / den)
-            q1 = q0 + dq
+            q1 = maybe_sync(mesh, q0 + dq)
             st1 = dict(
                 state, velocity=q1[:, :dim], pressure=q1[:, dim]
             )
@@ -1170,7 +1188,15 @@ class FlowModel(Model):
             new_state["momAp"] = jnp.where(
                 int_c, A_m1.diag / urf_v, A_m1.diag
             )
-            return new_state, {"mom_norm": mom_norm, "cont_norm": cont_norm}
+            return new_state, {
+                "mom_norm": mom_norm,
+                "cont_norm": cont_norm,
+                # inner-Krylov diagnostics (device scalars; read via
+                # model._last_aux after a step when tuning)
+                "newton_inner": kstats.iterations,
+                "newton_inner_rel": kstats.residual
+                / jnp.maximum(kstats.residual0, 1e-300),
+            }
 
         return step
 
@@ -1221,6 +1247,7 @@ class FlowModel(Model):
         sync = bool(opts.get("residualSync", True)) or bool(opts["verbose"])
         for it in range(niter):
             self.state, aux = self._step(self.mesh, self.params, self.state, bcvals)
+            self._last_aux = aux
             if accel:
                 self._aa_iter += 1
                 if self._aa_iter == aa_delay or (

@@ -417,3 +417,23 @@ def test_advance_newton_quadratic_endgame():
     # reports a residual at round-off
     h2 = f.advance(1)
     assert float(h2[0][1]) / n0 < 1e-9
+
+
+def test_advance_newton_tri_mesh():
+    """Newton endgame on a tri mesh: the non-orthogonal correction and
+    LS-gradient paths inside the residual stay exact under jax.jvp."""
+    from fvm_tpu.mesh.generate import tri_2d
+
+    dm = fvm.mesh.build_device_mesh(tri_2d(16, 16))
+    f = FlowModel(dm)
+    f.options["verbose"] = False
+    f.vc["viscosity"] = 0.02
+    for side in ("left", "right", "bottom", "top"):
+        f.bc[side].bc_type = "NoSlipWall"
+    f.bc["top"]["specifiedXVelocity"] = 1.0
+    f.init()
+    h = f.advance(80)
+    n0 = float(h[0][1])
+    f.advanceNewton(4)
+    h2 = f.advance(1)
+    assert float(h2[0][1]) / n0 < 1e-10

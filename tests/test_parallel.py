@@ -963,3 +963,36 @@ def test_dist_fmg_from_dist_coarse():
     h_warm = warm.advance(40)
     h_cold = cold.advance(40)
     assert h_warm[-1][1] < 0.2 * h_cold[-1][1], (h_warm[-1][1], h_cold[-1][1])
+
+
+def test_dist_advance_newton_matches_single():
+    """advanceNewton under a 4-shard Partition (block-Jacobi inner
+    preconditioner) converges to the same SIMPLE fixed point as the
+    single-device Newton endgame."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    m0 = quad_2d(32, 32)
+
+    def build(dmesh, part=None):
+        f = FlowModel(dmesh, partition=part)
+        f.options["verbose"] = False
+        f.vc["viscosity"] = 0.01
+        for side in ("left", "right", "bottom", "top"):
+            f.bc[side].bc_type = "NoSlipWall"
+        f.bc["top"]["specifiedXVelocity"] = 1.0
+        f.init()
+        return f
+
+    single = build(fvm.mesh.build_device_mesh(m0))
+    single.advance(60)
+    single.advanceNewton(4)
+    us = single.getVelocity()
+
+    part = Partition(m0, 4)
+    dist = build(part.sharded_mesh, part)
+    dist.advance(60)
+    dist.advanceNewton(6)
+    ud = dist.getVelocity()
+    np.testing.assert_allclose(ud, us, atol=1e-7)
