@@ -283,6 +283,17 @@ def main():
                 ) != "0"
                 if use_newton:
                     flow64 = build_flow(n)
+                    # inexact-Newton forcing: from the f32 floor
+                    # (rel ~4e-5 at 1M) to 1e-6 is <2 decades, so the
+                    # inner Krylov only needs eta ~ 1e-3 per step
+                    # (|r1| <= eta*|r0| + O(|r0|^2)); the 1e-5 default
+                    # oversolves ~3x in inner iterations
+                    flow64.options["newtonKrylovTolerance"] = float(
+                        os.environ.get("FVM_BENCH_NEWTON_KTOL", "1e-3")
+                    )
+                    flow64.options["newtonKrylovIterations"] = int(
+                        os.environ.get("FVM_BENCH_NEWTON_KIT", "1500")
+                    )
                     thermal64 = build_thermal(flow64.mesh)
                     flow64.options["residualSync"] = False
                     thermal64.options["residualSync"] = False
