@@ -1,0 +1,115 @@
+"""Physics parity on the reference's OWN unstructured Fluent meshes.
+
+These exercise the full read -> device-mesh -> model pipeline on genuinely
+skewed cells (the generated quad/tri/hex meshes in the other suites are
+near-orthogonal), against closed-form targets:
+
+- hole_stress_concentration/hole10.cas: the reference's Kirsch plate test
+  (reference: src/fvm/test/hole_stress_concentration/
+  testStructureModelSymmetry.py) — exact Kirsch tractions applied on the
+  truncated outer boundary make the analytic infinite-plate field the EXACT
+  solution of the finite BVP (the stress field is elastic-constant
+  independent), so the discrete stress error is pure discretization error.
+- cav_tetra.cas: 3D lid-driven cavity on 7465 tets (reference:
+  src/fvm/test/cav_tetra.cas) — SIMPLE must converge and conserve mass on
+  a real tetrahedral Fluent mesh (non-orthogonal correction + clamped LS
+  gradient paths).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import fvm_tpu as fvm
+from fvm_tpu.io.fluent import read_fluent_mesh
+
+REF = "/root/reference/src/fvm/test"
+have_ref = os.path.isdir(REF)
+
+pytestmark = pytest.mark.skipif(not have_ref, reason="reference tree absent")
+
+
+def kirsch_stress(x, y, T, a):
+    """Kirsch infinite-plate hole field (uniaxial tension T along x),
+    Cartesian components — the exact expressions the reference driver
+    applies as boundary values (testStructureModelSymmetry.py:80-95)."""
+    r = np.hypot(x, y)
+    th = np.arctan2(y, x)
+    a2 = (a / r) ** 2
+    a4 = (a / r) ** 4
+    sxx = T * (1.0 - a2 * (1.5 * np.cos(2 * th) + np.cos(4 * th))
+               + 1.5 * a4 * np.cos(4 * th))
+    syy = T * (-a2 * (0.5 * np.cos(2 * th) - np.cos(4 * th))
+               - 1.5 * a4 * np.cos(4 * th))
+    sxy = T * (-a2 * (0.5 * np.sin(2 * th) + np.sin(4 * th))
+               + 1.5 * a4 * np.sin(4 * th))
+    return sxx, syy, sxy
+
+
+def test_kirsch_hole_stress_concentration():
+    from fvm_tpu.models.structure import StructureModel
+
+    T, a = 1e4, 0.5
+    mesh = read_fluent_mesh(f"{REF}/hole_stress_concentration/hole10.cas")
+    dm = fvm.mesh.build_device_mesh(mesh)
+    m = StructureModel(dm)
+    m.options["verbose"] = False
+    m.vc["youngsModulus"] = 1e7
+    m.vc["poissonsRatio"] = 0.3
+    m.bc["left"].bc_type = "Symmetry"    # x = 0 cut plane
+    m.bc["bottom"].bc_type = "Symmetry"  # y = 0 cut plane
+    m.bc["hole"].bc_type = "ZeroTraction"
+    fc = np.asarray(dm.face_centroid)
+    for gname, normal_axis in (("top", 1), ("right", 0)):
+        g = dm.group_by_name(gname)
+        sl = dm.group_faces(g)
+        sxx, syy, sxy = kirsch_stress(fc[sl, 0], fc[sl, 1], T, a)
+        tx, ty = (sxy, syy) if normal_axis == 1 else (sxx, sxy)
+        m.bc[gname].bc_type = "SpecifiedTraction"
+        m.bc[gname]["specifiedXTraction"] = tx
+        m.bc[gname]["specifiedYTraction"] = ty
+    m.init()
+    h = m.advance(12)
+    assert h[-1][1] / h[0][1] < 1e-10
+
+    s = m.getStress()
+    cc = np.asarray(dm.cell_centroid)[: dm.n_interior_cells]
+    vol = np.asarray(dm.cell_volume)[: dm.n_interior_cells]
+    exx, eyy, exy = kirsch_stress(cc[:, 0], cc[:, 1], T, a)
+    num = vol * ((s[:, 0, 0] - exx) ** 2 + (s[:, 1, 1] - eyy) ** 2
+                 + (s[:, 0, 1] - exy) ** 2)
+    den = vol * (exx ** 2 + eyy ** 2 + exy ** 2)
+    rel_l2 = np.sqrt(num.sum() / den.sum())
+    assert rel_l2 < 0.04, rel_l2  # measured 0.019 on this 1450-cell mesh
+
+    # stress concentration: the hottest cell sits at the hole top
+    # (theta ~ 90 deg); its discrete sigma_xx must match the exact value AT
+    # ITS CENTROID (wall value 3T is only reached at r = a itself)
+    k = int(np.argmax(s[:, 0, 0]))
+    r_k = np.hypot(cc[k, 0], cc[k, 1])
+    th_k = np.degrees(np.arctan2(cc[k, 1], cc[k, 0]))
+    assert r_k < a + 0.1 and th_k > 70.0, (r_k, th_k)
+    assert abs(s[k, 0, 0] - exx[k]) / exx[k] < 0.08
+    assert 2.4 < s[k, 0, 0] / T < 3.05
+
+
+def test_cavity_tet_fluent():
+    from fvm_tpu.models.flow import FlowModel
+
+    mesh = read_fluent_mesh(f"{REF}/cav_tetra.cas")
+    dm = fvm.mesh.build_device_mesh(mesh)
+    f = FlowModel(dm)
+    f.options["verbose"] = False
+    f.vc["viscosity"] = 0.01  # Re = 100 on the unit cube
+    f.bc["new_wall.2"].bc_type = "NoSlipWall"
+    f.bc["wall.2"].bc_type = "NoSlipWall"  # lid at y = +0.5
+    f.bc["wall.2"]["specifiedXVelocity"] = 1.0
+    f.init()
+    h = f.advance(150)
+    assert h[-1][1] / h[0][1] < 5e-4
+    # global mass conservation on the converged Rhie-Chow flux
+    mf = np.asarray(f.state["massFlux"])
+    assert abs(mf[dm.n_interior_faces:].sum()) < 1e-10
+    u = np.asarray(f.state["velocity"])[: dm.n_interior_cells, 0]
+    assert 0.5 < np.abs(u).max() < 1.0  # lid-dragged layer, bounded by U_lid
