@@ -1,4 +1,4 @@
-from .fluent import read_fluent_mesh
+from .fluent import read_fluent_mesh, read_fluent_meshes
 from .exporters import write_tecplot, write_fluent_data
 from .vtk import write_vtk
 from .matrixmarket import read_matrix_market

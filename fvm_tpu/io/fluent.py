@@ -158,6 +158,7 @@ def read_fluent_mesh(path: str) -> Mesh:
     face_zone: list = []
     zone_names: dict[int, tuple[str, str]] = {}
     zone_bctype: dict[int, int] = {}
+    cell_zone_decl: dict[int, tuple[int, int]] = {}  # zone -> (first, last), 1-based
     n_nodes_decl = 0
 
     sc = _Scanner(data)
@@ -192,13 +193,17 @@ def read_fluent_mesh(path: str) -> Mesh:
         elif base == 12 and header is not None:
             toks = header.split()
             zone = int(toks[0], 16)
-            if zone != 0 and is_binary and body:
+            if zone != 0:
+                # cell zone declaration (reference: FluentReader.cpp:182
+                # FluentCellZone — one Mesh is created per cell zone)
                 first, last = int(toks[1], 16), int(toks[2], 16)
-                et = int(toks[4], 16) if len(toks) > 4 else 1
-                if et == 0:
-                    sc.take_binary(body[1], last - first + 1, "<i4")
-                else:
-                    sc.skip_terminator()
+                cell_zone_decl[zone] = (first, last)
+                if is_binary and body:
+                    et = int(toks[4], 16) if len(toks) > 4 else 1
+                    if et == 0:
+                        sc.take_binary(body[1], last - first + 1, "<i4")
+                    else:
+                        sc.skip_terminator()
         elif base == 13 and header is not None:
             toks = header.split()
             zone = int(toks[0], 16)
@@ -285,4 +290,59 @@ def read_fluent_mesh(path: str) -> Mesh:
         gtype = ztype if ztype == "interior" else BC_TYPE_NAMES.get(bctype, "wall")
         groups.append((zone, name, gtype, np.nonzero(face_zone == zone)[0]))
 
-    return Mesh(dim, coords, face_nodes, fc, groups)
+    mesh = Mesh(dim, coords, face_nodes, fc, groups)
+
+    # attach cell zones (material regions).  Fluent numbers cells 1..N in
+    # declaration order and the Mesh constructor never renumbers cells, so
+    # zone extents map directly onto interior-cell ids.
+    for zone in sorted(cell_zone_decl):
+        first, last = cell_zone_decl[zone]
+        ztype, name = zone_names.get(zone, ("fluid", f"zone{zone}"))
+        mesh.cell_zones.append(
+            (zone, name, ztype, np.arange(first - 1, last, dtype=np.int64))
+        )
+    return mesh
+
+
+def read_fluent_meshes(path: str) -> list[Mesh]:
+    """Read a Fluent case into ONE Mesh per cell zone (material region).
+
+    Counterpart of the reference's ``FluentReader::getMeshList``
+    (reference: src/fvm/src/modules/importers/FluentReader.h:89,
+    FluentReader.cpp:705 — one Mesh per FluentCellZone, with the faces
+    between two zones exposed on each side as an ``interface:<partner>``
+    boundary group).  Single-zone cases return ``[read_fluent_mesh(path)]``.
+
+    Multi-material workflows can ALSO stay on the fused mesh: keep the
+    single ``read_fluent_mesh`` result, take per-material masks from
+    ``Mesh.cell_zone_mask`` and pass ``Mesh.interface_faces_between`` to
+    ``make_interface`` for double-shell coupling (the TPU-native route —
+    one state array, no inter-mesh sync).
+    """
+    from ..mesh.assemble import extract_region
+
+    fused = read_fluent_mesh(path)
+    if len(fused.cell_zones) <= 1:
+        return [fused]
+
+    meshes = []
+    for ident, name, ztype, cells in fused.cell_zones:
+        mask = np.zeros(fused.n_interior_cells, dtype=bool)
+        mask[cells] = True
+        # name the cut after the dominant partner zone across the cut faces
+        cut = fused.interface_faces_between(mask, ~mask)
+        partner = "other"
+        if len(cut):
+            o, n = fused.face_cells[cut, 0], fused.face_cells[cut, 1]
+            outside = np.where(mask[o], n, o)
+            for pid, pname, _, pcells in fused.cell_zones:
+                if pid != ident and np.isin(outside, pcells).any():
+                    partner = pname
+                    break
+        m = extract_region(fused, mask, cut_name=f"interface:{partner}")
+        m.mesh_id = int(ident)
+        m.zone_name = name
+        m.zone_type = ztype
+        m.cell_zones = [(ident, name, ztype, np.arange(len(cells), dtype=np.int64))]
+        meshes.append(m)
+    return meshes

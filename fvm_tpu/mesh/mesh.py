@@ -130,6 +130,22 @@ class Mesh:
         self._cell_cells: CRConnectivity | None = None
         self._cell_nodes: CRConnectivity | None = None
 
+        # Cell zones (material regions).  (reference: FluentReader.cpp:182
+        # FluentCellZone; Mesh.h setCellZoneID.)  List of
+        # (ident, name, zone_type, cells) where cells is an int64 array of
+        # interior-cell ids.  Populated by readers/mesh ops that know the
+        # material decomposition; empty = single implicit zone.
+        self.cell_zones: list[tuple[int, str, str, np.ndarray]] = []
+
+    def cell_zone_mask(self, name: str) -> np.ndarray:
+        """Boolean (n_interior_cells,) mask of the named cell zone."""
+        for ident, zname, ztype, cells in self.cell_zones:
+            if zname == name or ident == name:
+                mask = np.zeros(self.n_interior_cells, dtype=bool)
+                mask[cells] = True
+                return mask
+        raise MeshError(f"unknown cell zone {name!r}")
+
     # -- derived connectivities (cached, reference: Mesh.h connectivity map)
 
     @property

@@ -247,3 +247,65 @@ def test_matrix_market_round_trip(tmp_path):
         np.asarray(A2.mv(x)), np.asarray(Ap.mv(x)), rtol=1e-10, atol=1e-12
     )
     np.testing.assert_allclose(np.asarray(b2), np.asarray(rp), atol=1e-15)
+
+
+@pytest.mark.skipif(not have_ref, reason="reference meshes unavailable")
+def test_fluent_cell_zones_two_material():
+    """Cell-zone capture + per-zone mesh split on the reference's own
+    TwoMaterialTest.cas (reference: FluentReader.cpp:182 FluentCellZone,
+    FluentReader.h:89 getMeshList — one Mesh per material zone)."""
+    from fvm_tpu.io.fluent import read_fluent_meshes
+
+    m = read_fluent_mesh(f"{REF}/TwoMaterialTest.cas")
+    names = {z[1]: z for z in m.cell_zones}
+    assert set(names) == {"leftzone", "rightzone"}
+    assert sum(len(z[3]) for z in m.cell_zones) == m.n_interior_cells
+    # masks partition the interior cells
+    ml = m.cell_zone_mask("leftzone")
+    mr = m.cell_zone_mask("rightzone")
+    assert (ml ^ mr).all()
+
+    meshes = read_fluent_meshes(f"{REF}/TwoMaterialTest.cas")
+    assert {mm.zone_name for mm in meshes} == {"leftzone", "rightzone"}
+    for mm in meshes:
+        assert mm.n_interior_cells == 100
+        cut = [g for g in mm.boundary_groups if g.name.startswith("interface:")]
+        assert len(cut) == 1 and cut[0].count == 10
+
+
+@pytest.mark.skipif(not have_ref, reason="reference meshes unavailable")
+def test_two_material_species_steady():
+    """Steady limit of the reference's testSpeciesModel_UnsteadyTwoMaterial
+    (scripts/testSpeciesModel_UnsteadyTwoMaterial.py): two-layer diffusion
+    with D_left=10e-6, D_right=2e-6, c=0|1 on the outer walls — exact
+    piecewise-linear profile with flux continuity at x=0."""
+    from fvm_tpu.models import SpeciesModel
+    from fvm_tpu.mesh.metrics import compute_geometry
+
+    m = read_fluent_mesh(f"{REF}/TwoMaterialTest.cas")
+    left = m.cell_zone_mask("leftzone")
+    DL, DR = 10.0e-6, 2.0e-6
+    dm = fvm.mesh.build_device_mesh(m)
+    model = SpeciesModel(dm)
+    model.options["verbose"] = False
+    model.vc["massDiffusivity"] = np.where(left, DL, DR)
+    for name in ("top", "top:008", "bottom", "bottom:001"):
+        model.bc[name].bc_type = "SpecifiedMassFlux"
+        model.bc[name]["specifiedMassFlux"] = 0.0
+    model.bc["left"].bc_type = "SpecifiedMassFraction"
+    model.bc["left"]["specifiedMassFraction"] = 0.0
+    model.bc["right"].bc_type = "SpecifiedMassFraction"
+    model.bc["right"]["specifiedMassFraction"] = 1.0
+    model.init()
+    hist = model.advance(3)
+    assert hist[-1][1] / max(hist[0][1], 1e-300) < 1e-10
+
+    g = compute_geometry(m)
+    xc = g.cell_centroid[: m.n_interior_cells, 0]
+    c = np.asarray(model.getMassFraction(0))[: m.n_interior_cells]
+    # series resistance: q = 1 / (L/DL + L/DR), interface value q*L/DL
+    L = 10.0
+    q = 1.0 / (L / DL + L / DR)
+    ci = q * L / DL
+    exact = np.where(left, (xc + 10.0) / L * ci, ci + xc / L * (1.0 - ci))
+    np.testing.assert_allclose(c, exact, atol=1e-9)
