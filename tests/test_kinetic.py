@@ -529,3 +529,50 @@ def test_comet_solve_tangent_vs_fd():
     np.testing.assert_allclose(
         du, fd, rtol=1e-4, atol=1e-4 * np.abs(fd).max()
     )
+
+
+def test_heatT2D_on_reference_mesh():
+    """Kinetic Fourier flow on the reference's OWN heatT2D Fluent case
+    (reference: src/fvm/test/ESBGK-tests/heatT2D/testKineticFlowModel.cas,
+    driven by testheat.py with WallBC left/right): hot/cold diffuse walls
+    produce a monotone temperature profile with Knudsen jumps and
+    near-uniform pressure on the 10x10 unit-square mesh."""
+    import os
+    from fvm_tpu.io.fluent import read_fluent_mesh
+
+    cas = "/root/reference/src/fvm/test/ESBGK-tests/heatT2D/testKineticFlowModel.cas"
+    if not os.path.exists(cas):
+        pytest.skip("reference heatT2D case unavailable")
+    mesh = read_fluent_mesh(cas)
+    assert mesh.n_interior_cells == 100
+    dm = fvm.mesh.build_device_mesh(mesh)
+    m = KineticModel(dm, quadrature=Quadrature(8, 8, 8))
+    m.options["verbose"] = False
+    m.vc["relaxationTime"] = 0.2  # Kn ~ 0.2 on the unit square
+    m.bc["left"].bc_type = "DiffuseWall"
+    m.bc["left"]["specifiedTemperature"] = 1.2
+    m.bc["right"].bc_type = "DiffuseWall"
+    m.bc["right"]["specifiedTemperature"] = 0.8
+    m.bc["top"].bc_type = "SpecularWall"
+    m.bc["bottom"].bc_type = "SpecularWall"
+    m.init()
+    m.advance(60)
+    rho, u, T = m.moments()
+    n = dm.n_interior_cells
+    from fvm_tpu.mesh.metrics import compute_geometry
+
+    g = compute_geometry(mesh)
+    xc = g.cell_centroid[:n, 0]
+    order = np.argsort(xc)
+    cols = np.asarray(T)[:n][order].reshape(10, 10).mean(axis=1)
+    assert np.all(np.diff(cols) < 0)  # monotone hot -> cold
+    assert 0.8 < cols[-1] < cols[0] < 1.2  # Knudsen jumps at both walls
+    p = np.asarray(rho)[:n] * np.asarray(T)[:n]
+    assert np.ptp(p) / p.mean() < 0.02
+    # discrete continuity: rho*u_x constant (the small uniform value is
+    # first-order numerical slip, O(dx df/dx); wall faces pass zero flux
+    # by the flux-exact diffuse-wall construction)
+    ru = np.asarray(rho)[:n] * np.asarray(u)[:n, 0]
+    assert np.abs(ru).max() < 1e-2
+    drho, dmom, de = m.conservation_error()
+    assert drho < 1e-7 and dmom < 1e-7
