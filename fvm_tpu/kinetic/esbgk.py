@@ -411,6 +411,84 @@ class KineticModel(Model):
         T = (2.0 * e / rho_s - jnp.sum(u * u, axis=-1)) / 3.0
         return rho, u, jnp.maximum(T, 1e-30)
 
+    def stress(self, f=None):
+        """Peculiar-velocity stress tensor per interior cell,
+        P_ij = sum_n w_n (c_n - u)_i (c_n - u)_j f_n, components ordered
+        (xx, yy, zz, xy, xz, yz).  (reference: MacroFields.h:37 ``Stress``
+        filled from the distribution in KineticModel.h:495.)"""
+        q = self.quadrature
+        if f is None:
+            f = self.state["f"]
+            if self._dist:
+                f = jnp.asarray(self.partition.gather_cells(f))
+            else:
+                f = f[: self.mesh.n_interior_cells]
+        rho, u, T = self.moments(f)
+        c = jnp.asarray(q.c, f.dtype)
+        w = jnp.asarray(q.w, f.dtype)
+        du = c[None, :, :] - u[..., None, :]
+        P = jnp.einsum("...n,n,...ni,...nj->...ij", f, w, du, du)
+        comps = [(0, 0), (1, 1), (2, 2), (0, 1), (0, 2), (1, 2)]
+        return jnp.stack([P[..., i, j] for i, j in comps], axis=-1)
+
+    def heat_flux(self, f=None):
+        """q_i = 1/2 sum_n w_n |c_n - u|^2 (c_n - u)_i f_n per interior
+        cell (the translational heat-flux vector)."""
+        q = self.quadrature
+        if f is None:
+            f = self.state["f"]
+            if self._dist:
+                f = jnp.asarray(self.partition.gather_cells(f))
+            else:
+                f = f[: self.mesh.n_interior_cells]
+        rho, u, T = self.moments(f)
+        c = jnp.asarray(q.c, f.dtype)
+        w = jnp.asarray(q.w, f.dtype)
+        du = c[None, :, :] - u[..., None, :]
+        return 0.5 * jnp.einsum(
+            "...n,n,...n,...ni->...i", f, w, jnp.sum(du * du, axis=-1), du
+        )
+
+    def getMomentumFluxIntegral(self, group_name):
+        """Net momentum flux (= force the gas exerts ON the boundary),
+        F_i = sum_faces A_f sum_n w_n c_{n,i} (c_n . nhat) f_face,n with
+        f_face upwinded per ordinate (owner value for outgoing ordinates,
+        BC ghost for incoming).  For an equilibrium gas this reduces to
+        p * A * nhat.  Plays the role of the wall-stress output in the
+        reference's damping driver (scripts/DampingESBGK.py; solid-face
+        Stress array, esbgkbase/COMETModel.h:2996).  Returns a length-3
+        vector; dist-safe (masked group sum over shards)."""
+        mesh = self.mesh
+        g = (
+            mesh.group_by_name(group_name)
+            if isinstance(group_name, str)
+            else group_name
+        )
+        q = self.quadrature
+
+        def face_mom(m, f):
+            c = jnp.asarray(q.c, f.dtype)
+            w = jnp.asarray(q.w, f.dtype)
+            amag = jnp.maximum(m.face_area_mag, 1e-300)
+            nhat3 = jnp.concatenate(
+                [
+                    m.face_area / amag[:, None],
+                    jnp.zeros((m.face_area.shape[0], 3 - m.dim), f.dtype),
+                ],
+                axis=1,
+            )
+            cn = jnp.einsum("nd,fd->fn", c, nhat3)
+            fo = f[m.face_cell0]
+            fg = f[m.face_cell1]
+            fface = jnp.where(cn > 0, fo, fg)
+            return (
+                jnp.einsum("fn,n,fn,nd->fd", fface, w, cn, c)
+                * amag[:, None]
+            )
+
+        F = self._map_mesh(face_mom, self.state["f"])
+        return np.asarray(self._sum_group(g, F))
+
     def _equilibrium(self, f):
         q = self.quadrature
         rho, u, T = self.moments(f)

@@ -576,3 +576,57 @@ def test_heatT2D_on_reference_mesh():
     assert np.abs(ru).max() < 1e-2
     drho, dmom, de = m.conservation_error()
     assert drho < 1e-7 and dmom < 1e-7
+
+
+def test_stress_and_momentum_flux_integral():
+    """Equilibrium gas: stress diag = rho T, off-diag ~ 0, heat flux ~ 0,
+    and the wall momentum-flux integral reduces to p A nhat (force the gas
+    exerts on each wall).  (reference: MacroFields.h:37 Stress;
+    scripts/DampingESBGK.py wall-force output.)"""
+    dm = fvm.mesh.build_device_mesh(quad_2d(6, 6))
+    m = KineticModel(dm, Quadrature(8, 8, 8))
+    m.options["verbose"] = False
+    for s in ("left", "right", "bottom", "top"):
+        m.bc[s].bc_type = "FarField"
+        m.bc[s]["specifiedDensity"] = 1.0
+        m.bc[s]["specifiedTemperature"] = 0.8
+    m.init()
+    m.advance(2)
+    P = np.asarray(m.stress())
+    p = 1.0 * 0.8  # rho T (quadrature-discrete)
+    np.testing.assert_allclose(P[:, :3], p, rtol=1e-3)
+    assert np.abs(P[:, 3:]).max() < 1e-5
+    assert np.abs(np.asarray(m.heat_flux())).max() < 1e-3
+    F = m.getMomentumFluxIntegral("left")
+    np.testing.assert_allclose(F, [-p, 0.0, 0.0], atol=2e-3)
+    F = m.getMomentumFluxIntegral("top")
+    np.testing.assert_allclose(F, [0.0, p, 0.0], atol=2e-3)
+
+
+def test_damping_force_resists_wall_motion():
+    """A wall moving INTO the gas sees an increased back-force (kinetic
+    squeeze damping, reference scripts/DampingESBGK.py): dF . u_wall < 0."""
+    def beam_force(vy):
+        dm = fvm.mesh.build_device_mesh(quad_2d(12, 4, lx=3.0, ly=1.0))
+        m = KineticModel(dm, Quadrature(8, 8, 8))
+        m.options["verbose"] = False
+        m.options["collisionModel"] = "ESBGK"
+        m.options["transient"] = True
+        m.options["timeStep"] = 0.01
+        m.vc["relaxationTime"] = 0.2
+        m.bc["top"].bc_type = "DiffuseWall"
+        m.bc["top"]["specifiedYVelocity"] = vy
+        m.bc["bottom"].bc_type = "DiffuseWall"
+        m.bc["left"].bc_type = "Symmetry"
+        m.bc["right"].bc_type = "PressureInlet"
+        m.bc["right"]["specifiedPressure"] = 1.0
+        m.init()
+        for _ in range(10):
+            m.advance(4)
+            m.updateTime()
+        return m.getMomentumFluxIntegral("top")
+
+    F_still = beam_force(0.0)
+    F_move = beam_force(-0.02)  # wall moving down into the gas
+    dF = F_move - F_still
+    assert dF[1] > 1e-4  # gas pushes back up
