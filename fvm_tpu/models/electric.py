@@ -67,7 +67,15 @@ class ElectricVC(BoundaryCondition):
         # EmissionDiscretization.h)
         "trapDensity": 0.0,  # N_t
         "captureCoefficient": 0.0,  # k_cap
-        "emissionCoefficient": 0.0,  # k_em
+        "emissionCoefficient": 0.0,  # k_em (constant-rate emission)
+        # Poole-Frenkel field-enhanced emission (reference
+        # EmissionDiscretization.h:92-108): rate = emissionFrequency *
+        # exp(-(trapDepth - pfBeta sqrt|E|)/thermalVoltage), capped at the
+        # attempt frequency.  pfBeta = sqrt(q/(pi eps0 eps_opt)) in the
+        # user's unit system; active when poole_frenkel_enable is set.
+        "emissionFrequency": 0.0,
+        "pfBeta": 0.0,
+        "thermalVoltage": 0.0259,  # kT/q at 300 K [V]
         "initialTrappedCharge": 0.0,
         # trap-band tunneling (reference TrapBandTunnelingDiscretization.h)
         "bandOffset": 0.0,  # conduction band Ec = bandOffset - potential
@@ -83,6 +91,7 @@ class ElectricModelOptions(ModelOptions):
         "chargetransport_enable": False,
         "injection_enable": False,
         "trapping_enable": False,
+        "poole_frenkel_enable": False,
         "trapbandtunneling_enable": False,
         "tunnelingDirection": 0,  # normal axis the WKB walk descends
         "tunnelingMaxSteps": 200,  # reference nMax=200
@@ -131,6 +140,11 @@ class ElectricModel(TangentMixin, Model):
             "k_cap": self._cell_field(self.vc, "captureCoefficient"),
             "k_em": self._cell_field(self.vc, "emissionCoefficient"),
         }
+        if self.options["poole_frenkel_enable"]:
+            self.params["em_nu"] = self._cell_field(self.vc, "emissionFrequency")
+            self.params["pf_beta"] = self._cell_field(self.vc, "pfBeta")
+            self.params["pf_vT"] = self._cell_field(self.vc, "thermalVoltage")
+            self.params["pf_depth"] = self._cell_field(self.vc, "trapDepth")
         if self.options["nonOrthogonalCorrection"]:
             self.params["grad_coeff"] = (
                 jax.vmap(ls_gradient_coefficients)(mesh)
@@ -275,6 +289,22 @@ class ElectricModel(TangentMixin, Model):
             niter,
         )
 
+    def _emission_rate(self, params, E_field):
+        """Per-cell trap emission rate: constant k_em plus, when
+        poole_frenkel_enable is set, the field-lowered-barrier rate
+        nu * exp(-(phi_t - beta sqrt|E|)/vT) capped at the attempt
+        frequency nu (reference EmissionDiscretization.h:100-108)."""
+        k_em = params["k_em"]
+        if self.options["poole_frenkel_enable"]:
+            Emag = jnp.sqrt(jnp.sum(E_field * E_field, axis=-1))[
+                : k_em.shape[0]
+            ]
+            expt = (
+                params["pf_depth"] - params["pf_beta"] * jnp.sqrt(Emag)
+            ) / jnp.maximum(params["pf_vT"], 1e-300)
+            k_em = k_em + params["em_nu"] * jnp.exp(-jnp.maximum(expt, 0.0))
+        return k_em
+
     def _linearize_charge(self, mesh, params, state, bcvals, E_field):
         c = maybe_sync(mesh, state["charge"])
         # E_field used by injection fluxes below
@@ -319,7 +349,7 @@ class ElectricModel(TangentMixin, Model):
             # (reference Capture/EmissionDiscretization)
             ct = state["trapped"]
             cap = params["k_cap"] * c * jnp.maximum(params["trapDensity"] - ct, 0.0)
-            em = params["k_em"] * ct
+            em = self._emission_rate(params, E_field) * ct
             V = mesh.cell_volume
             r_cell = r_cell + (em - cap) * V
             diag_cell = diag_cell + params["k_cap"] * jnp.maximum(
@@ -452,7 +482,7 @@ class ElectricModel(TangentMixin, Model):
                     cap = params["k_cap"] * c_new * jnp.maximum(
                         params["trapDensity"] - ct, 0.0
                     )
-                    em = params["k_em"] * ct
+                    em = self._emission_rate(params, maybe_sync(mesh, E)) * ct
                     trapped = jnp.maximum(
                         state["trapped_N1"] + dt * (cap - em), 0.0
                     )

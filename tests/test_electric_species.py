@@ -232,3 +232,64 @@ def test_trap_band_tunneling():
     assert (xe > x[src] + 2.0 / V - 1e-9).all()
     # and it is the FIRST such cell along the walk (within one cell width)
     assert (xe < x[src] + 2.0 / V + 1.5 / nx).all()
+
+
+def test_poole_frenkel_emission():
+    """Field-enhanced trap emission (reference EmissionDiscretization.h:
+    rate = nu exp(-(phi_t - beta sqrt|E|)/vT), capped at nu).  With
+    capture off, preloaded traps decay at exactly that rate: measured
+    log-decay matches the analytic PF rate at two bias levels (partial
+    barrier lowering at 50 V, full lowering/capped at 100 V).  Mirrors
+    the DIALECTRIC_CHARGING physics (test/DIALECTRIC_CHARGING/
+    testDielectricCharging.py: poole_frenkel_emission_frequency)."""
+    nu, depth, beta, vT, dt = 1.0, 1.5, 0.15, 0.5, 0.02
+
+    def decay_rate(volts, pf):
+        dm = fvm.mesh.build_device_mesh(quad_2d(12, 4))
+        m = ElectricModel(dm)
+        m.options["verbose"] = False
+        m.options["chargetransport_enable"] = True
+        m.options["trapping_enable"] = True
+        m.options["poole_frenkel_enable"] = pf
+        m.options["transient"] = True
+        m.options["timeStep"] = dt
+        m.vc["dielectric_constant"] = 1.0 / EPS0
+        m.vc["initialCharge"] = 0.0
+        m.vc["initialTrappedCharge"] = 1.0
+        m.vc["mobility"] = 1e-6
+        m.vc["diffusivity"] = 1e-6
+        m.vc["trapDensity"] = 1.0
+        m.vc["captureCoefficient"] = 0.0
+        m.vc["emissionCoefficient"] = 0.01
+        m.vc["emissionFrequency"] = nu
+        m.vc["trapDepth"] = depth
+        m.vc["pfBeta"] = beta
+        m.vc["thermalVoltage"] = vT
+        m.bc["left"].bc_type = "SpecifiedPotential"
+        m.bc["left"]["specifiedPotential"] = volts
+        m.bc["right"].bc_type = "SpecifiedPotential"
+        m.bc["right"]["specifiedPotential"] = 0.0
+        m.bc["bottom"].bc_type = "Symmetry"
+        m.bc["top"].bc_type = "Symmetry"
+        m.init()
+        t0 = float(m.getTrappedCharge().sum())
+        nstep = 10
+        for _ in range(nstep):
+            m.advance(3)
+            m.updateTime()
+        t1 = float(m.getTrappedCharge().sum())
+        return -np.log(t1 / t0) / (nstep * dt)
+
+    def k_pf(E):
+        return 0.01 + nu * np.exp(-max((depth - beta * np.sqrt(E)) / vT, 0.0))
+
+    # PF off: constant emissionCoefficient only
+    k = decay_rate(50.0, pf=False)
+    assert k == pytest.approx(0.01, rel=0.05)
+    # 50 V across the unit square -> |E| = 50, partially lowered barrier
+    k50 = decay_rate(50.0, pf=True)
+    assert k50 == pytest.approx(k_pf(50.0), rel=0.05)
+    # 100 V -> barrier fully lowered, rate capped at nu
+    k100 = decay_rate(100.0, pf=True)
+    assert k100 == pytest.approx(k_pf(100.0), rel=0.05)
+    assert k100 > k50 > k
