@@ -169,7 +169,7 @@ class _KineticOperator:
     (ArrowHeadMatrix.h:21) and we keep matrix-free as a rank-5 update —
     the TPU-batched equivalent."""
 
-    def __init__(self, mesh, dO, dN, diag_extra, lowrank=None):
+    def __init__(self, mesh, dO, dN, diag_extra, lowrank=None, pin=None):
         self.mesh = mesh
         self.axis_name = mesh.axis_name
         self.halo = mesh.halo
@@ -177,6 +177,7 @@ class _KineticOperator:
         self.dN = dN  # (nf, N) = min(mdot, 0)
         self.diag_extra = diag_extra  # (nc, 1) or (nc, N)
         self.lowrank = lowrank  # (kappa (nc,1), U (nc,N,5), Vt (N,5))
+        self.pin = pin  # (nc, 1) bool: identity rows (immersed solid)
         # diagonal: sum over faces of s * (own ? dO : dN) + extra
         s = jnp.where(mesh.cf_is_owner, 1.0, -1.0)[:, :, None]
         m = mesh.cf_mask[:, :, None]
@@ -187,6 +188,8 @@ class _KineticOperator:
             jnp.where(m, s * jnp.where(ownf, dOf, dNf), 0.0).sum(axis=1)
             + diag_extra
         )
+        if pin is not None:
+            self.diag = jnp.where(pin, 1.0, self.diag)
         n_own = mesh.n_owned_cells
         self.owned = (jnp.arange(mesh.n_cells) < n_own)[:, None]
         self.interior = (jnp.arange(mesh.n_cells) < mesh.n_interior_cells)[:, None]
@@ -215,6 +218,8 @@ class _KineticOperator:
         # ghost rows: identity; halo/padding rows beyond n_owned: zero
         # (ELLMatrix convention: each global row counted on one shard only)
         y = jnp.where(self.interior, y, f)
+        if self.pin is not None:  # immersed-solid rows: identity
+            y = jnp.where(self.pin, f, y)
         y = jnp.where(self.owned, y, 0.0)
         return y
 
@@ -795,12 +800,18 @@ class KineticModel(Model):
                 dt = opts["timeStep"]
                 diag_extra = diag_extra + V / dt
                 b = b + V / dt * state["f_N1"]
+            has_ib = "ib_pin" in params
+            pin = params["ib_pin"] if has_ib else None
             op_plain = _KineticOperator(
-                mesh, params["dO"], params["dN"], diag_extra
+                mesh, params["dO"], params["dN"], diag_extra, pin=pin
             )
             # rhs rows for ghost cells: keep current ghost values; halo and
             # padding rows (beyond n_owned) are zero like mv's output
             b = jnp.where(op_plain.interior, b, f)
+            if has_ib:
+                # immersed-solid rows: diffuse-wall closure (sigma lagged
+                # on the Picard path; exact via jvp under COMET below)
+                b = jnp.where(pin, self._ib_target(params, f), b)
             b = jnp.where(op_plain.owned, b, 0.0)
             # residual of the NONLINEAR system (collision feedback in b)
             r0 = b - op_plain.mv(f)
@@ -826,6 +837,12 @@ class KineticModel(Model):
                         bv = bv + (V / opts["timeStep"]) * state["f_N1"]
                     res = bv - op_plain.mv(fv)  # ghost rows: fv - fv = 0
                     res = jnp.where(op_plain.interior, res, fg - fv)
+                    if has_ib:
+                        # solid rows: f = sigma(fv) M_w, a residual
+                        # equation like the ghost closures (exact jvp)
+                        res = jnp.where(
+                            pin, self._ib_target(params, fv) - fv, res
+                        )
                     return jnp.where(op_plain.owned, res, 0.0)
 
                 op = _JVPOperator(op_plain, R, f)
@@ -835,6 +852,8 @@ class KineticModel(Model):
                 m = jnp.einsum("cn,na->ca", f, Vt)
                 alive = (m[:, 0] > 1e-12) & op_plain.interior[:, 0] \
                     & op_plain.owned[:, 0]
+                if has_ib:
+                    alive = alive & ~pin[:, 0]  # pinned rows: no collision
                 m_safe = jnp.where(
                     alive[:, None],
                     m,
@@ -845,10 +864,13 @@ class KineticModel(Model):
                 kappa = jnp.where(alive[:, None], V / tau, 0.0)
                 op_lr = _KineticOperator(
                     mesh, params["dO"], params["dN"], diag_extra,
-                    lowrank=(kappa, U, Vt),
+                    lowrank=(kappa, U, Vt), pin=pin,
                 )
                 precond = _WoodburyPrecond(op_lr)
-                if dsa is not None:
+                if dsa is not None and not has_ib:
+                    # the synthetic diffusion hierarchy was built on the
+                    # un-pinned pattern; cycling it across pinned solid
+                    # rows would feed garbage corrections
                     from .dsa import DSAPrecond
 
                     precond = DSAPrecond(precond, *dsa)
@@ -875,6 +897,11 @@ class KineticModel(Model):
                     op_plain.interior[:, 0] & op_plain.owned[:, 0],
                     mesh.cell_volume, 0.0,
                 )
+                if has_ib:
+                    # the diffuse closure conserves FLUID mass (zero net
+                    # IB flux); solid cells' fictitious mass floats with
+                    # sigma and must not enter the projection
+                    Vc = jnp.where(pin[:, 0], 0.0, Vc)
                 m_old = op_plain.psum(jnp.sum(Vc * (f @ w)))
                 m_new = op_plain.psum(jnp.sum(Vc * (f_new @ w)))
                 # overshoot guard: a full Newton step whose positivity
@@ -934,6 +961,139 @@ class KineticModel(Model):
         )
 
     # ------------------------------------------------------------------
+
+    def set_immersed_boundary(
+        self, solid_mask, wall_velocity=(0.0, 0.0, 0.0),
+        wall_temperature=1.0, pad_faces=None,
+    ) -> None:
+        """Diffuse-wall immersed boundary for the kinetic solve
+        (reference: the esbgk IBM pipeline in scripts/IB-ESBGKSteady.py —
+        KineticModel::computeSolidFaceDsf evaluates the wall Maxwellian on
+        the immersed surface, ConservationofMFSolid rescales it for zero
+        net mass flux, and the transport sweep picks it up at the IB
+        faces).
+
+        TPU-native formulation: SOLID cells' distribution rows are
+        replaced by the closure  f_solid = sigma * M(u_w, T_w)  with
+        sigma set per solid cell so the NET upwind mass flux through its
+        fluid-facing faces vanishes.  The ordinary upwind transport then
+        performs diffuse reflection at the immersed surface: ordinates
+        leaving the solid carry the wall Maxwellian, ordinates entering
+        are absorbed into the balance.  Under COMET the closure is a
+        residual row (exact jvp Jacobian); under the Picard path sigma
+        lags one outer iteration.  Call AFTER init().
+
+        Moving bodies (the reference's unsteady IBM-ESBGK cantilever
+        pipeline, scripts/IB-ESBGKSteady.py:48-67 re-runs the IB update
+        every time step): pass ``pad_faces`` >= the largest IB-face count
+        the motion will produce; re-calling with the same ``pad_faces``
+        keeps every table shape static, so the compiled step is reused
+        (no retrace).  Padded rows carry zero advection and are inert.
+        """
+        if not self._initialized:
+            raise ConfigError("call init() before set_immersed_boundary()")
+        if self._dist or self.ordinate_shards:
+            raise ConfigError(
+                "kinetic IBM: single-device, unsharded ordinates only"
+            )
+        mesh = self.mesh
+        q = self.quadrature
+        dtype = mesh.cell_volume.dtype
+        nc = mesh.n_cells
+        sm = np.zeros(nc, dtype=bool)
+        marr = np.asarray(solid_mask, dtype=bool)
+        sm[: len(marr)] = marr
+        # host-side face tables: interior faces with exactly one solid side
+        owner = np.asarray(mesh.face_cell0)[: mesh.n_interior_faces]
+        nbr = np.asarray(mesh.face_cell1)[: mesh.n_interior_faces]
+        so, sn = sm[owner], sm[nbr]
+        ibf = np.nonzero(so ^ sn)[0]
+        if len(ibf) == 0:
+            raise ConfigError("kinetic IBM: solid_mask has no IB faces")
+        solid_cell = np.where(sn[ibf], nbr[ibf], owner[ibf])
+        fluid_cell = np.where(sn[ibf], owner[ibf], nbr[ibf])
+        # face area oriented INTO the solid
+        fa = np.asarray(mesh.face_area)[ibf]
+        fa = np.where(sn[ibf, None], fa, -fa)
+        c = np.asarray(q.c, dtype=np.float64)
+        mdot_s = fa @ c[:, : mesh.dim].T  # (nfib, N): c.A into the solid
+        if pad_faces is not None:
+            n_ib = len(ibf)
+            if int(pad_faces) < n_ib:
+                raise ConfigError(
+                    f"kinetic IBM: pad_faces={pad_faces} < {n_ib} IB faces"
+                )
+            pad = int(pad_faces) - n_ib
+            # inert rows: zero advection into/out of cell 0
+            solid_cell = np.pad(solid_cell, (0, pad))
+            fluid_cell = np.pad(fluid_cell, (0, pad))
+            mdot_s = np.pad(mdot_s, ((0, pad), (0, 0)))
+        u_w = np.zeros(3)
+        u_w[: len(np.atleast_1d(wall_velocity))] = np.atleast_1d(
+            wall_velocity
+        )
+        Mw = np.asarray(
+            q.maxwellian(
+                np.ones(1), u_w[None, :], np.full(1, float(wall_temperature))
+            )
+        )[0]
+        self.params["ib_pin"] = jnp.asarray(sm[:, None])
+        self.params["ib_solid_cell"] = jnp.asarray(solid_cell)
+        self.params["ib_fluid_cell"] = jnp.asarray(fluid_cell)
+        self.params["ib_mdot_s"] = jnp.asarray(mdot_s, dtype)
+        self.params["ib_Mw"] = jnp.asarray(Mw, dtype)
+        # start the solid cells on the wall Maxwellian (density from the
+        # current local moments so the initial sigma is O(1))
+        f = self.state["f"]
+        rho = jnp.einsum(
+            "cn,n->c", f, jnp.asarray(q.w, dtype)
+        )
+        self.state = dict(
+            self.state,
+            f=jnp.where(
+                self.params["ib_pin"], rho[:, None] * self.params["ib_Mw"], f
+            ),
+        )
+
+    def _ib_target(self, params, fv):
+        """sigma * M_w with sigma from zero net mass flux per solid cell
+        (reference: KineticModel.h ConservationofMFSolid)."""
+        q = self.quadrature
+        w = jnp.asarray(q.w, fv.dtype)
+        mdot_s = params["ib_mdot_s"]  # (nfib, N), positive INTO the solid
+        fl = fv[params["ib_fluid_cell"]]
+        nc = fv.shape[0]
+        phi_in = jnp.sum(jnp.maximum(mdot_s, 0.0) * fl * w[None, :], axis=1)
+        phi_out = jnp.sum(
+            jnp.minimum(mdot_s, 0.0) * params["ib_Mw"][None, :] * w[None, :],
+            axis=1,
+        )  # negative: unit-density outgoing Maxwellian flux
+        sc = params["ib_solid_cell"]
+        phi_in_c = jnp.zeros(nc, fv.dtype).at[sc].add(phi_in)
+        phi_out_c = jnp.zeros(nc, fv.dtype).at[sc].add(phi_out)
+        sigma = jnp.where(
+            phi_out_c < -1e-300, phi_in_c / (-phi_out_c), 1.0
+        )
+        return sigma[:, None] * params["ib_Mw"][None, :]
+
+    def getIBForceIntegral(self) -> np.ndarray:
+        """Momentum flux carried into the immersed body by the upwind
+        transport through the IB faces (reference: the IB-face force the
+        FSI drivers integrate, scripts/IB-ESBGKSteady.py)."""
+        if "ib_pin" not in self.params:
+            raise ConfigError("call set_immersed_boundary() first")
+        params, q = self.params, self.quadrature
+        f = self.state["f"]
+        w = jnp.asarray(q.w, f.dtype)
+        c = jnp.asarray(q.c, f.dtype)
+        mdot_s = params["ib_mdot_s"]
+        fl = f[params["ib_fluid_cell"]]
+        fs = f[params["ib_solid_cell"]]
+        # upwind: into the solid carries the fluid value, out of the
+        # solid carries the (diffuse-wall) solid value
+        flux = jnp.maximum(mdot_s, 0.0) * fl + jnp.minimum(mdot_s, 0.0) * fs
+        F = jnp.einsum("fn,n,nd->d", flux, w, c[:, : self.mesh.dim])
+        return np.asarray(F)
 
     def solve_tangent(
         self, param_tangents=None, bc_tangents=None,

@@ -437,3 +437,64 @@ def test_advance_newton_tri_mesh():
     f.advanceNewton(4)
     h2 = f.advance(1)
     assert float(h2[0][1]) / n0 < 1e-10
+
+
+def test_ideal_gas_compressible_channel():
+    """Isothermal compressible channel flow with the IdealGas density loop
+    (reference: src/fvm/test/testIG/testIG_{Noslip,Slip}.py — FlowModel +
+    IdealGasDensityModelA advanced every 10 outers, no-slip and Maxwell
+    slip-jump variants).  Exact isothermal lubrication solution: p(x)^2 is
+    linear and the mass flow per unit width is
+        mdot = H^3 (p_in^2 - p_out^2) / (24 mu R T L) * (1 + 6 Ls/H)
+    with slip length Ls = sigma * lambda."""
+    from fvm_tpu.models.property_models import IdealGasDensityModel
+
+    L, H, nx, ny = 10.0, 1.0, 40, 12
+    mu, RT = 1.0, 1.0  # Rgas*T = 1 => rho = p (absolute)
+
+    def run(slip):
+        dm = fvm.mesh.build_device_mesh(quad_2d(nx, ny, lx=L, ly=H))
+        m = FlowModel(dm)
+        m.options["verbose"] = False
+        m.vc["viscosity"] = mu
+        m.vc["density"] = 1.5
+        if slip:
+            # operating constants give lambda = mu/p sqrt(0.5 pi R T) = 0.1
+            m.options["molecularWeight"] = 8314.472
+            m.options["operatingTemperature"] = 2.0 / np.pi
+            m.options["operatingPressure"] = 10.0
+            m.bc["bottom"].bc_type = "SlipJump"
+            m.bc["top"].bc_type = "SlipJump"
+        else:
+            m.bc["bottom"].bc_type = "NoSlipWall"
+            m.bc["top"].bc_type = "NoSlipWall"
+        m.bc["left"].bc_type = "PressureBoundary"
+        m.bc["left"]["specifiedPressure"] = 2.0
+        m.bc["right"].bc_type = "PressureBoundary"
+        m.bc["right"]["specifiedPressure"] = 1.0
+        m.init()
+        eos = IdealGasDensityModel(dm, flow_model=m)
+        eos.vc["molecularWeight"] = 8314.0  # Rgas = 1
+        eos.vc["temperature"] = 1.0
+        eos.vc["operatingPressure"] = 0.0
+        eos.init()
+        for _ in range(60):  # reference: dmodel.advance(1) every 10 outers
+            m.advance(10)
+            eos.advance(1)
+        return m, dm
+
+    m, dm = run(slip=False)
+    mdot_exact = H**3 * (4.0 - 1.0) / (24 * mu * RT * L)
+    mdot = -m.getMassFluxIntegral("left")
+    assert abs(mdot / mdot_exact - 1) < 0.03
+    # p^2 linear in x (isothermal gas: rho u is conserved, d(p^2)/dx const)
+    cc = np.asarray(dm.cell_centroid)[: dm.n_interior_cells]
+    p2 = np.asarray(m.state["pressure"])[: dm.n_interior_cells] ** 2
+    lin = 4.0 - 3.0 * cc[:, 0] / L
+    assert np.abs(p2 - lin).max() < 0.01  # on p^2 in [1, 4]
+    # mass conservation inlet vs outlet
+    assert abs(m.getMassFluxIntegral("left") + m.getMassFluxIntegral("right")) < 1e-5
+
+    m, _ = run(slip=True)
+    mdot = -m.getMassFluxIntegral("left")
+    assert abs(mdot / (mdot_exact * 1.6) - 1) < 0.03  # (1 + 6*0.1/H) = 1.6

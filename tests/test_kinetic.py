@@ -630,3 +630,114 @@ def test_damping_force_resists_wall_motion():
     F_move = beam_force(-0.02)  # wall moving down into the gas
     dF = F_move - F_still
     assert dF[1] > 1e-4  # gas pushes back up
+
+
+def test_kinetic_ibm_equilibrium_exact():
+    """Immersed diffuse body at the gas temperature in a uniform resting
+    Maxwellian: the zero-net-flux closure (reference: the esbgk IBM
+    pipeline, scripts/IB-ESBGKSteady.py — computeSolidFaceDsf +
+    ConservationofMFSolid) balances the half-space fluxes exactly, so the
+    global Maxwellian is preserved to round-off."""
+    dm = fvm.mesh.build_device_mesh(quad_2d(16, 16))
+    m = KineticModel(dm, Quadrature(8, 8, 4))
+    m.options["verbose"] = False
+    m.vc["relaxationTime"] = 0.2
+    for s in ("left", "right", "bottom", "top"):
+        m.bc[s].bc_type = "DiffuseWall"
+    m.init()
+    cc = np.asarray(dm.cell_centroid)[: dm.n_interior_cells]
+    solid = (np.abs(cc[:, 0] - 0.5) < 0.15) & (np.abs(cc[:, 1] - 0.5) < 0.15)
+    m.set_immersed_boundary(solid, wall_temperature=1.0)
+    f0 = np.asarray(m.state["f"]).copy()
+    h = m.advance(5)
+    assert h[-1][1] < 1e-12
+    assert np.abs(np.asarray(m.state["f"]) - f0).max() < 1e-12
+
+
+def test_kinetic_ibm_hot_body():
+    """Hot immersed square (T_w = 1.4) between cold diffuse walls, COMET:
+    converges, heats the adjacent gas, conserves fluid mass exactly, and
+    the net IB force vanishes by symmetry."""
+    dm = fvm.mesh.build_device_mesh(quad_2d(16, 16))
+    m = KineticModel(dm, Quadrature(8, 8, 4))
+    m.options["verbose"] = False
+    m.options["solver"] = "COMET"
+    m.vc["relaxationTime"] = 0.2
+    for s in ("left", "right", "bottom", "top"):
+        m.bc[s].bc_type = "DiffuseWall"
+    m.init()
+    cc = np.asarray(dm.cell_centroid)[: dm.n_interior_cells]
+    solid = (np.abs(cc[:, 0] - 0.5) < 0.15) & (np.abs(cc[:, 1] - 0.5) < 0.15)
+    m.set_immersed_boundary(solid, wall_temperature=1.4)
+    h = m.advance(30)
+    assert h[-1][1] / h[0][1] < 1e-4
+    rho, u, T = m.moments()
+    T = np.asarray(T)[: dm.n_interior_cells]
+    r = np.hypot(cc[:, 0] - 0.5, cc[:, 1] - 0.5)
+    near = (~solid) & (r < 0.3)
+    assert T[near].mean() > T[r > 0.55].mean() + 0.05
+    # exact fluid-mass conservation (zero net IB mass flux by closure)
+    V = np.asarray(dm.cell_volume)[: dm.n_interior_cells]
+    mass = (V[~solid] * np.asarray(rho)[: dm.n_interior_cells][~solid]).sum()
+    assert mass == pytest.approx(V[~solid].sum(), rel=1e-12)
+    F = m.getIBForceIntegral()
+    assert np.abs(F).max() < 1e-9
+
+
+def test_kinetic_ibm_moving_body_drag():
+    """Immersed plate sliding at +x in a closed box of resting gas: the
+    diffuse surface drags the adjacent gas along and the gas exerts a
+    retarding (-x) force on the body."""
+    dm = fvm.mesh.build_device_mesh(quad_2d(16, 16))
+    m = KineticModel(dm, Quadrature(8, 8, 4))
+    m.options["verbose"] = False
+    m.options["solver"] = "COMET"
+    m.vc["relaxationTime"] = 0.2
+    for s in ("left", "right", "bottom", "top"):
+        m.bc[s].bc_type = "DiffuseWall"
+    m.init()
+    cc = np.asarray(dm.cell_centroid)[: dm.n_interior_cells]
+    solid = (np.abs(cc[:, 0] - 0.5) < 0.25) & (np.abs(cc[:, 1] - 0.5) < 0.1)
+    m.set_immersed_boundary(solid, wall_velocity=(0.2, 0.0, 0.0))
+    m.advance(40)
+    rho, u, T = m.moments()
+    ux = np.asarray(u)[: dm.n_interior_cells, 0]
+    r_band = (~solid) & (np.abs(cc[:, 1] - 0.5) < 0.25) & (
+        np.abs(cc[:, 0] - 0.5) < 0.25
+    )
+    assert ux[r_band].mean() > 0.02  # entrained gas
+    Fx = m.getIBForceIntegral()[0]
+    assert Fx < -1e-4  # drag opposes the body motion
+
+
+def test_kinetic_ibm_moving_body_transient_damping():
+    """Immersed plate oscillating tangentially (reference: the unsteady
+    IBM-ESBGK pipeline, scripts/IB-ESBGKSteady.py:48-67 re-runs the IB
+    update every time step): re-calling set_immersed_boundary each step
+    with a fixed ``pad_faces`` keeps all table shapes static so the
+    compiled step is reused, and the gas extracts net work from the body
+    over a cycle (viscous shear damping: F opposes v)."""
+    dm = fvm.mesh.build_device_mesh(quad_2d(24, 16, lx=1.5))
+    m = KineticModel(dm, Quadrature(8, 8, 4))
+    m.options["verbose"] = False
+    m.options["solver"] = "COMET"
+    m.options["transient"] = True
+    m.options["timeStep"] = 0.1
+    m.vc["relaxationTime"] = 0.1
+    for s in ("left", "right", "bottom", "top"):
+        m.bc[s].bc_type = "DiffuseWall"
+    m.init()
+    cc = np.asarray(dm.cell_centroid)[: dm.n_interior_cells]
+    solid = (np.abs(cc[:, 0] - 0.75) < 0.25) & (np.abs(cc[:, 1] - 0.5) < 0.1)
+    A, om, dt = 0.3, 2 * np.pi / 2.0, 0.1
+    W, n_w = 0.0, 0
+    for k in range(24):
+        vx = A * np.cos(om * k * dt)
+        m.set_immersed_boundary(solid, wall_velocity=(vx, 0, 0), pad_faces=60)
+        m.advance(2)
+        m.updateTime()
+        if k >= 4:  # skip the startup transient; 20 steps = one period
+            W += m.getIBForceIntegral()[0] * vx * dt
+            n_w += 1
+    assert n_w == 20
+    assert W < -0.01  # net damping work extracted from the body

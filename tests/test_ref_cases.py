@@ -113,3 +113,89 @@ def test_cavity_tet_fluent():
     assert abs(mf[dm.n_interior_faces:].sum()) < 1e-10
     u = np.asarray(f.state["velocity"])[: dm.n_interior_cells, 0]
     assert 0.5 < np.abs(u).max() < 1.0  # lid-dragged layer, bounded by U_lid
+
+
+def _read_circle_segments(scale=0.5):
+    """Boundary faces of circle_66.cas as a segment surface (the reference
+    driver scales the solid nodes by 0.5: parallel_cylinder2D.py:104)."""
+    solid = read_fluent_mesh(f"{REF}/circle_66.cas")
+    fn = solid.face_nodes
+    rp, col = np.asarray(fn.row_ptr), np.asarray(fn.col)
+    bf = np.arange(solid.n_interior_faces, solid.n_faces)
+    segs = np.stack([col[rp[f] : rp[f + 1]] for f in bf])
+    return np.asarray(solid.coords) * scale, segs
+
+
+def _cylinder_flow(dist):
+    from fvm_tpu.geom import IBManager, IBType
+    from fvm_tpu.models.flow import FlowModel
+
+    fluid = read_fluent_mesh(f"{REF}/uniform-cart_5K.cas")
+    verts, segs = _read_circle_segments()
+    ib = IBManager(fluid)
+    t = ib.update(verts, segs)
+    n_int = fluid.n_interior_cells
+    mask = ib.dirichlet_mask()[:n_int]
+    solid_mask = t[:n_int] == IBType.SOLID
+    if dist:
+        from fvm_tpu.parallel import Partition
+
+        part = Partition(read_fluent_mesh(f"{REF}/uniform-cart_5K.cas"), 8)
+        m = FlowModel(part.sharded_mesh, partition=part)
+    else:
+        m = FlowModel(fvm.mesh.build_device_mesh(fluid))
+    m.options["verbose"] = False
+    m.vc["viscosity"] = 1.0  # reference: vc['viscosity'] = vc['density'] = 1
+    m.bc["top"].bc_type = "NoSlipWall"
+    m.bc["bot"].bc_type = "NoSlipWall"
+    m.bc["inlet"].bc_type = "VelocityBoundary"
+    m.bc["inlet"]["specifiedXVelocity"] = 1.0
+    m.bc["outlet"].bc_type = "PressureBoundary"
+    m.init()
+    m.set_immersed_boundary(mask, [0.0, 0.0], solid_mask=solid_mask)
+    return m, t[:n_int]
+
+
+def test_ibm_cylinder_reference_case():
+    """Flow over an immersed cylinder on the reference's OWN meshes
+    (reference: src/fvm/test/IBM_PARALLEL_CYLINDER2D_{AMG,JACOBI}/
+    parallel_cylinder2D.py — uniform-cart_5K.cas channel + circle_66.cas
+    solid boundary scaled x0.5 => D=1 cylinder at the origin, inlet u=1,
+    pressure outlet, no-slip walls, mu=rho=1 => Re=1)."""
+    from fvm_tpu.geom import IBType
+
+    m, t = _cylinder_flow(False)
+    h = m.advance(120)
+    h2 = m.advance(180)
+    assert h2[-1][1] / h[0][1] < 5e-3  # converging on the skewed IB band
+
+    # marking: ~pi r^2 / cell_area solid cells, a one-cell IB ring
+    n_solid = (t == IBType.SOLID).sum()
+    n_ib = (t == IBType.IB).sum()
+    assert 8 <= n_solid <= 30 and 8 <= n_ib <= 40
+
+    # drag positive and O(Cd * 0.5 rho U^2 D) for Re=1 in a 10D channel;
+    # lift vanishes by symmetry of mesh + body about y=0
+    Fx, Fy = m.getIBForceIntegral()[:2]
+    assert 1.5 < Fx < 8.0
+    assert abs(Fy) < 1e-3 * Fx
+
+    # global mass conservation through the Rhie-Chow flux
+    assert abs(m.getMassFluxIntegral("inlet") + m.getMassFluxIntegral("outlet")) < 5e-3
+
+
+def test_ibm_cylinder_reference_case_dist():
+    """The same case partitioned 8 ways (reference runs it at np=1/4/16:
+    IBM_PARALLEL_CYLINDER2D_AMG/TESTS) — the IB drag must reproduce the
+    single-device run."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    m1, _ = _cylinder_flow(False)
+    m1.advance(200)
+    F1 = m1.getIBForceIntegral()
+    m8, _ = _cylinder_flow(True)
+    m8.advance(200)
+    F8 = m8.getIBForceIntegral()
+    np.testing.assert_allclose(F8, F1, atol=2e-3 * np.abs(F1).max())
