@@ -1107,6 +1107,8 @@ class KineticModel(Model):
         At convergence R(f*, p) = 0, so J df = dR/dp . dp with
         J = -dR/df, solved matrix-free with the SAME exact-jvp operator
         and rank-5 Woodbury preconditioner as the primal JFNK step.
+        Not supported together with set_immersed_boundary (the tangent
+        operator does not carry the pinned diffuse-closure rows).
         ``param_tangents`` accepts keys of ``self.params`` (e.g. "tau",
         (n_interior,) accepted); ``bc_tangents`` is keyed "group:entry"
         (e.g. "top:specifiedXVelocity").
@@ -1126,6 +1128,11 @@ class KineticModel(Model):
             raise ConfigError(
                 "solve_tangent: single-device kinetic states only (use the "
                 "unsharded model for sensitivities)"
+            )
+        if "ib_pin" in self.params:
+            raise ConfigError(
+                "solve_tangent: not supported with an immersed boundary "
+                "(the tangent operator lacks the pinned closure rows)"
             )
         mesh = self.mesh
         bcvals = self._resolve_bcvals()
