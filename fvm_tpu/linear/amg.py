@@ -85,7 +85,7 @@ def aggregate(cols: np.ndarray, mask: np.ndarray) -> np.ndarray:
 
     res = native.aggregate(cols, mask)
     if res is not None:
-        return res
+        return _lump_isolated(res, mask)
     n, K = cols.shape
     agg = -np.ones(n, dtype=np.int64)
     next_agg = 0
@@ -114,7 +114,32 @@ def aggregate(cols: np.ndarray, mask: np.ndarray) -> np.ndarray:
     used = np.unique(agg)
     remap = np.zeros(next_agg, dtype=np.int64)
     remap[used] = np.arange(len(used))
-    return remap[agg]
+    return _lump_isolated(remap[agg], mask)
+
+
+def _lump_isolated(agg: np.ndarray, mask: np.ndarray) -> np.ndarray:
+    """Merge DIAGONAL-ONLY singleton rows into one inert aggregate.
+
+    Rows with no off-diagonal entries (boundary-condensed ghosts, dead
+    padding) seed singleton aggregates that never coarsen, so they ride
+    the hierarchy all the way down and bloat the dense coarse solve
+    (measured: a 1000-cell column mesh with 4000 condensed Symmetry
+    ghosts produced a 4004-row "dense coarse" = 3 s/solve).  A diagonal
+    row is solved EXACTLY by one Jacobi sweep, so after pre-smoothing its
+    restricted residual is zero and its coarse image is inert — lumping
+    them all into a single aggregate is harmless for convergence and
+    collapses the coarse level to the truly-coupled rows."""
+    iso = ~mask.any(axis=1)
+    if iso.sum() <= 1:
+        return agg
+    sizes = np.bincount(agg)
+    single = iso & (sizes[agg] == 1)
+    if single.sum() <= 1:
+        return agg
+    agg = agg.copy()
+    agg[single] = agg.max() + 1
+    used, inv = np.unique(agg, return_inverse=True)
+    return inv
 
 
 def detect_grid(cols: np.ndarray, mask: np.ndarray):
@@ -1029,6 +1054,14 @@ class AMG(LinearSolver):
                     "AMG used inside jit before setup_structure() was called "
                     "with concrete matrix structure"
                 )
+            # one solver instance can precondition matrices of different
+            # ELL widths (e.g. an IBM-widened momentum matrix next to the
+            # untouched pressure matrix): match the hierarchy to THIS
+            # matrix's static pattern shape, not merely the newest entry
+            for key, lev in self._levels_cache.items():
+                if (isinstance(key, tuple) and len(key) == 2
+                        and key[0] == tuple(A.cols.shape)):
+                    return lev
             return next(iter(self._levels_cache.values()))
         return self.setup_structure(np.asarray(cols), np.asarray(A.mask))
 

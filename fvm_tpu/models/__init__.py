@@ -16,3 +16,4 @@ from .battery import BatteryModel, BatteryBC, BatteryVC
 from .motion import MovingMeshModel, StructureDeformationModel
 from .contact import ContactModel, ContactVC
 from .scalar_generic import GenericScalarModel
+from .charging import DielectricChargingModel, DielectricChargingConstants

@@ -370,7 +370,9 @@ class Model:
         mask_ext[ib_np, K:] = fw_np > 0
         dia_ext = DIAInfo.build(cols_ext, mask_ext)
         self._ib_ext = (jnp.asarray(cols_ext), jnp.asarray(mask_ext), dia_ext)
-        # AMG hierarchies must match the widened pattern
+        # AMG hierarchies for the widened pattern (added ALONGSIDE any
+        # existing entries: a flow model's pressure matrix keeps the
+        # original pattern, and AMG._get_levels matches by pattern shape)
         from ..linear import AMG
 
         for key in ("linearSolver", "pressureLinearSolver",
@@ -378,7 +380,6 @@ class Model:
             s = self.options.get(key)
             for ss in (s, getattr(s, "preconditioner", None)):
                 if isinstance(ss, AMG):
-                    ss._levels_cache.clear()
                     ss.setup_structure(cols_ext, mask_ext)
 
     def _apply_ib(self, mesh, params, A, r, phi):

@@ -1340,16 +1340,22 @@ class FlowModel(Model):
         rp = rp.at[gh].set(0.0)
         write_matrix_market(prefix + ".mtx", Ap, rp)
 
-    def set_immersed_boundary(self, mask, velocity, solid_mask=None) -> None:
+    def set_immersed_boundary(self, mask, velocity, solid_mask=None,
+                              stencil=None) -> None:
         """Immersed moving body in the flow (reference: IBM flow pipeline,
         scripts/IBMSetup.py + GenericIBDiscretization.h).
 
-        ``mask``: cells pinned to the body velocity (solid + IB band,
-        IBManager.dirichlet_mask()); ``velocity``: (dim,) or (n, dim)
-        body velocity; ``solid_mask``: strictly-solid cells — their
-        pressure rows decouple and faces touching them carry no
+        ``mask``: cells pinned to the body velocity; ``velocity``: (dim,)
+        or (n, dim) body velocity; ``solid_mask``: strictly-solid cells —
+        their pressure rows decouple and faces touching them carry no
         correction flux (the body surface is the ``ib_faces`` integration
-        surface for getIBForceIntegral)."""
+        surface for getIBForceIntegral); ``stencil``:
+        IBManager.interpolation_stencil() — the IB band's MOMENTUM rows
+        become implicit wall/fluid interpolation rows (the reference's
+        GenericIBDiscretization on momentum), which moves the effective
+        no-slip surface from the pinned-cell staircase to the true body
+        surface.  With a stencil, pass ``mask = solid_mask`` (solid cells
+        pinned; the band is constrained by the stencil rows instead)."""
         mesh = self.mesh
         dim = mesh.dim
         n_int = (
@@ -1359,7 +1365,7 @@ class FlowModel(Model):
         )
         v = np.asarray(velocity, dtype=np.float64)
         v = np.broadcast_to(v, (n_int, dim)).copy()
-        self._set_immersed_boundary(mask, v)
+        self._set_immersed_boundary(mask, v, stencil=stencil)
         if solid_mask is None:
             return
         dtype = mesh.cell_volume.dtype

@@ -199,3 +199,114 @@ def test_ibm_cylinder_reference_case_dist():
     m8.advance(200)
     F8 = m8.getIBForceIntegral()
     np.testing.assert_allclose(F8, F1, atol=2e-3 * np.abs(F1).max())
+
+
+def _stokes_sphere_velocity(xyz, U0, a):
+    """Stokes flow past a sphere of radius a, free stream U0 e_z — the
+    analytic field the reference's 3D IBM test compares against
+    (IBM_PARALLEL_SPHERE_AMG/parallel_sphere.py:57-97 dumpL2Error)."""
+    x, y, z = xyz[:, 0], xyz[:, 1], xyz[:, 2]
+    r = np.maximum(np.sqrt(x * x + y * y + z * z), 1e-12)
+    al = np.arccos(np.clip(z / r, -1, 1))
+    be = np.arctan2(y, x)
+    Ur = U0 * np.cos(al) * (1 - 1.5 * a / r + 0.5 * (a / r) ** 3)
+    Ua = -U0 * np.sin(al) * (1 - 0.75 * a / r - 0.25 * (a / r) ** 3)
+    ux = Ur * np.sin(al) * np.cos(be) + Ua * np.cos(al) * np.cos(be)
+    uy = Ur * np.sin(al) * np.sin(be) + Ua * np.cos(al) * np.sin(be)
+    uz = Ur * np.cos(al) - Ua * np.sin(al)
+    return np.stack([ux, uy, uz], axis=1)
+
+
+def _sphere_stokes_case(stencil):
+    from fvm_tpu.geom import IBManager, IBType
+    from fvm_tpu.models.flow import FlowModel
+    from fvm_tpu.mesh.generate import hex_3d
+
+    A, U0, MU, L, N = 10.0, 1e-3, 1.0, 32.0, 16
+
+    solid = read_fluent_mesh(f"{REF}/sphere.msh")
+    g = solid.boundary_groups[0]
+    quads = np.array([solid.face_nodes.row(i)
+                      for i in range(g.faces.start, g.faces.stop)])
+    tris = np.concatenate([quads[:, [0, 1, 2]], quads[:, [0, 2, 3]]])
+
+    m0 = hex_3d(N, N, N, lx=2 * L, ly=2 * L, lz=2 * L)
+    m0.coords[:] -= L
+    ib = IBManager(m0)
+    t = ib.update(np.asarray(solid.coords), tris)
+    n_int = m0.n_interior_cells
+    solid_mask = t[:n_int] == IBType.SOLID
+    assert 30 <= solid_mask.sum() <= 90  # ~ (4/3) pi a^3 / h^3 = 65
+
+    dm = fvm.mesh.build_device_mesh(m0)
+    m = FlowModel(dm)
+    m.options["verbose"] = False
+    m.vc["viscosity"] = MU
+    fc = np.asarray(dm.face_centroid)
+    for gname in ("xmin", "xmax", "ymin", "ymax", "zmin", "zmax"):
+        sl = dm.group_faces(dm.group_by_name(gname))
+        Vb = _stokes_sphere_velocity(fc[sl], U0, A)
+        m.bc[gname].bc_type = "VelocityBoundary"
+        m.bc[gname]["specifiedXVelocity"] = Vb[:, 0]
+        m.bc[gname]["specifiedYVelocity"] = Vb[:, 1]
+        m.bc[gname]["specifiedZVelocity"] = Vb[:, 2]
+    m.init()
+    st = ib.interpolation_stencil(k_fluid=6) if stencil else None
+    # pin the strictly-solid cells only; with a stencil the IB band gets
+    # implicit wall-interpolation momentum rows instead of staying free
+    m.set_immersed_boundary(solid_mask, [0.0, 0.0, 0.0],
+                            solid_mask=solid_mask, stencil=st)
+    h = m.advance(100)
+    assert h[-1][1] / h[0][1] < 5e-4
+
+    V = np.asarray(m.state["velocity"])[:n_int]
+    cc = np.asarray(dm.cell_centroid)[:n_int]
+    Va = _stokes_sphere_velocity(cc, U0, A)
+    fluid = t[:n_int] == IBType.FLUID
+    err = np.linalg.norm(V[fluid] - Va[fluid]) / np.linalg.norm(Va[fluid])
+
+    F_ib = np.asarray(m.getIBForceIntegral())
+    F_b = sum(np.asarray(m.getMomentumFluxIntegral(gn))
+              for gn in ("xmin", "xmax", "ymin", "ymax", "zmin", "zmax"))
+    F_stokes = 6 * np.pi * MU * U0 * A
+    return err, F_ib, F_b, F_stokes
+
+
+def test_ibm_sphere_stokes_reference_surface():
+    """3D immersed sphere in Stokes flow, on the reference's OWN sphere
+    surface (reference: src/fvm/test/IBM_PARALLEL_SPHERE_{AMG,JACOBI}/
+    parallel_sphere.py — hex fluid mesh + sphere.msh solid, analytic
+    Stokes L2 check on fluid cells).  The analytic unbounded-flow field is
+    imposed as the outer Dirichlet BC, so it is the EXACT Stokes solution
+    of the finite box BVP and the discrete error is pure discretization +
+    IBM-staircase + O(Re=0.01) inertia error.  Asserts:
+      * the fluid-cell velocity matches the analytic field,
+      * the IB-face force integral equals minus the boundary momentum
+        flux sum (exact discrete momentum balance in the conservative
+        pinned formulation),
+      * the drag is Stokes-like in magnitude and symmetric (no lift)."""
+    err, F_ib, F_b, F_stokes = _sphere_stokes_case(stencil=False)
+    assert err < 0.06  # measured 0.037 at 16^3
+    # exact discrete momentum balance (measured 3e-4 relative)
+    np.testing.assert_allclose(F_ib, -F_b, atol=5e-3 * np.abs(F_ib).max())
+    # staircase sphere at 2.5 cells/radius under-resolves the shear:
+    # measured 0.62x Stokes at 16^3 (the effective pinned radius is ~9)
+    assert 0.45 * F_stokes < F_ib[2] < 1.1 * F_stokes
+    assert abs(F_ib[0]) < 1e-3 * F_ib[2] and abs(F_ib[1]) < 1e-3 * F_ib[2]
+
+
+def test_ibm_sphere_stokes_implicit_stencil():
+    """The same sphere with IMPLICIT interpolation rows on the IB band's
+    momentum equations (reference: GenericIBDiscretization.h on momentum,
+    the formulation the reference's IBM flow tests run).  The stencil
+    moves the effective no-slip surface from the pinned staircase toward
+    the true sphere surface: the field error drops (measured 0.026 vs
+    0.037) and the global-balance drag estimate improves (0.74x vs 0.62x
+    Stokes).  The stencil rows are interpolation constraints, not
+    momentum balances, so the body force is read from the outer-boundary
+    momentum balance rather than the staircase ib-face integral."""
+    err, F_ib, F_b, F_stokes = _sphere_stokes_case(stencil=True)
+    assert err < 0.045  # measured 0.026 at 16^3
+    drag = -F_b[2]
+    assert 0.6 * F_stokes < drag < 1.1 * F_stokes  # measured 0.745x
+    assert abs(F_b[0]) < 1e-2 * drag and abs(F_b[1]) < 1e-2 * drag
