@@ -310,3 +310,33 @@ def test_ibm_sphere_stokes_implicit_stencil():
     drag = -F_b[2]
     assert 0.6 * F_stokes < drag < 1.1 * F_stokes  # measured 0.745x
     assert abs(F_b[0]) < 1e-2 * drag and abs(F_b[1]) < 1e-2 * drag
+
+
+def test_ibm_unsteady_cantilever_reference_case():
+    """Transient IBM cantilever on the reference's OWN case (reference:
+    scripts/IBM-Unsteady-Cantilever.py + test/2-D-Cantilever/
+    fullbeam.cas + MPMs-fullbeam.dat): the 35x1 um beam particle cloud is
+    cell-marked once (CellMark_Impl role), each step imposes the
+    instantaneous transverse body velocity on the marked cells and
+    records the IB force history (getPressureIntegralonIBFaces role).
+
+    Physics asserted on the impulsive start (v jumps 0 -> 0.1 m/s):
+    the transverse fluid force opposes the motion and decays as the
+    added-mass transient rings out; the streamwise force vanishes by
+    symmetry of beam + box about the beam axis."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "demos"))
+    import ibm_unsteady_cantilever as drv
+
+    f, solid, t = drv.build()
+    assert 300 <= solid.sum() <= 700  # 2-cell strip x ~14 cells + ends
+    hist = drv.advance_unsteady(f, solid, n_steps=8, iters_per_step=15)
+    v0, Fy0 = hist[0, 1], hist[0, 3]
+    assert v0 > 0 and Fy0 < 0          # force opposes the started motion
+    # added-mass impulse dominates the later quasi-steady response
+    assert abs(Fy0) > 2 * np.abs(hist[3:, 3]).max()
+    # symmetry: no streamwise force at the 1e-3 level of the transverse
+    assert np.abs(hist[:, 2]).max() < 1e-3 * abs(Fy0)
+    # fluid is otherwise at rest: wall mass fluxes stay ~0 (closed box)
+    for g in ("left", "right", "top", "new_right"):
+        assert abs(f.getMassFluxIntegral(g)) < 1e-12
