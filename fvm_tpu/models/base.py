@@ -303,11 +303,6 @@ class Model:
         dtype = mesh.cell_volume.dtype
         self._ib_ext = getattr(self, "_ib_ext", None)
         if self._dist:
-            if stencil is not None:
-                raise ConfigError(
-                    "distributed IBM: interpolation stencils are not "
-                    "supported yet; pass mask/value only (pinned rows)"
-                )
             hm = self.partition.mesh
             m = np.zeros(hm.n_cells, bool)
             marr = np.asarray(mask, dtype=bool)
@@ -325,6 +320,11 @@ class Model:
             self.params["ib_value"] = jnp.asarray(
                 self.partition.scatter_cells(v), dtype
             )
+            if stencil is not None:
+                if not implicit:
+                    raise ConfigError(
+                        "distributed IBM stencils: implicit only")
+                self._set_ib_stencil_dist(stencil, dtype)
             return
         nc = mesh.n_cells
         m = np.zeros(nc, dtype=bool)
@@ -382,6 +382,78 @@ class Model:
                 if isinstance(ss, AMG):
                     ss.setup_structure(cols_ext, mask_ext)
 
+    def _set_ib_stencil_dist(self, stencil, dtype) -> None:
+        """Per-shard IMPLICIT stencil tables (the reference's
+        IBM_PARALLEL role: GenericIBDiscretization rows at any np).
+
+        Each shard installs interpolation rows for the IB cells it OWNS;
+        the stencil's fluid cells must be shard-resident (owned or halo)
+        — with RCB partitions the k nearest fluid neighbors of an IB
+        cell sit within the halo rings for the usual k ~ 2*dim.  Tables
+        are padded to one static length with the dead dummy cell plus a
+        validity mask (ib_stencil_rows_implicit masks those rows), so
+        every shard traces the same shapes."""
+        part = self.partition
+        ib_g, fl_g, fw_g, ww_g = stencil
+        ib_g = np.asarray(ib_g, np.int64)
+        fl_g = np.asarray(fl_g, np.int64)
+        fw_g = np.asarray(fw_g, np.float64)
+        ww_g = np.asarray(ww_g, np.float64)
+        S, ncl = part.n_shards, part.n_cells_local
+        dummy = ncl - 1
+        k = fl_g.shape[1]
+        rows = []
+        for d in range(S):
+            own = np.zeros(part.mesh.n_cells, bool)
+            own[part._own_int[d]] = True
+            mine = own[ib_g]
+            lb = part.g2l[d, ib_g[mine]]
+            lf = part.g2l[d][fl_g[mine]]
+            if (lf < 0).any():
+                bad = int(mine.sum() - (lf >= 0).all(axis=1).sum())
+                raise ConfigError(
+                    f"distributed IBM stencil: shard {d} owns {bad} IB "
+                    "cells whose fluid stencil cells are outside its halo"
+                    " — use Partition(halo_depth=2) or fewer k_fluid")
+            rows.append((lb, lf, fw_g[mine], ww_g[mine]))
+        n_max = max(1, max(len(rw[0]) for rw in rows))
+        cells = np.full((S, n_max), dummy, np.int64)
+        fluid = np.full((S, n_max, k), dummy, np.int64)
+        fw = np.zeros((S, n_max, k))
+        ww = np.zeros((S, n_max))
+        valid = np.zeros((S, n_max), bool)
+        for d, (c, f, w, w0) in enumerate(rows):
+            m = len(c)
+            cells[d, :m] = c
+            fluid[d, :m] = f
+            fw[d, :m] = w
+            ww[d, :m] = w0
+            valid[d, :m] = True
+        # widened static ELL structure per shard (stacked — shard_map
+        # closures are not sharded, so the structure flows through params)
+        cols_np = np.asarray(self.mesh.cf_nbr)
+        mask_np = np.asarray(self.mesh.cf_mask)
+        K = cols_np.shape[-1]
+        self_ix = np.tile(
+            np.arange(ncl, dtype=cols_np.dtype)[None, :, None], (S, 1, k)
+        )
+        cols_ext = np.concatenate([cols_np, self_ix], axis=2)
+        mask_ext = np.concatenate(
+            [mask_np, np.zeros((S, ncl, k), bool)], axis=2
+        )
+        for d in range(S):
+            vd = valid[d]
+            cols_ext[d, cells[d, vd], K:] = fluid[d, vd]
+            mask_ext[d, cells[d, vd], K:] = fw[d, vd] > 0
+        self.params["ibs_cells"] = jnp.asarray(cells, jnp.int32)
+        self.params["ibs_fluid"] = jnp.asarray(fluid, jnp.int32)
+        self.params["ibs_fw"] = jnp.asarray(fw, dtype)
+        self.params["ibs_ww"] = jnp.asarray(ww, dtype)
+        self.params["ibs_valid"] = jnp.asarray(valid)
+        self.params["ibs_cols_ext"] = jnp.asarray(cols_ext, jnp.int32)
+        self.params["ibs_mask_ext"] = jnp.asarray(mask_ext)
+        self._ib_ext = "params"
+
     def _apply_ib(self, mesh, params, A, r, phi):
         """Apply immersed-boundary rows (stencil band + solid pinning)."""
         from ..ops import assembly
@@ -391,7 +463,13 @@ class Model:
             w_f = params["ibs_fw"]
             w_w = params["ibs_ww"]
             val = params["ib_value"]
-            if getattr(self, "_ib_ext", None) is not None:
+            if getattr(self, "_ib_ext", None) == "params":
+                A, r = assembly.ib_stencil_rows_implicit(
+                    A, r, ib, params["ibs_fluid"], w_f, w_w, val, phi,
+                    params["ibs_cols_ext"], params["ibs_mask_ext"], None,
+                    valid=params["ibs_valid"],
+                )
+            elif getattr(self, "_ib_ext", None) is not None:
                 A, r = assembly.ib_stencil_rows_implicit(
                     A, r, ib, params["ibs_fluid"], w_f, w_w, val, phi,
                     *self._ib_ext,

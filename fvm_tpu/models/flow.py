@@ -1399,7 +1399,14 @@ class FlowModel(Model):
             sign = np.where(owner_owned, sign, 0.0)
         self.params["ib_face_sign"] = jnp.asarray(sign, dtype)
 
-    def getIBForceIntegral(self) -> np.ndarray:
+    def getPressureIntegralonIBFaces(self) -> np.ndarray:
+        """Pressure-only force on the immersed body (reference:
+        FlowModel::getPressureIntegralonIBFaces, the quantity the
+        unsteady IBM drivers record — scripts/IBM-Unsteady-Cantilever.py
+        pIntegral history)."""
+        return self.getIBForceIntegral(pressure_only=True)
+
+    def getIBForceIntegral(self, pressure_only: bool = False) -> np.ndarray:
         """Force exerted by the fluid on the immersed body: pressure +
         viscous momentum flux through the IB faces (reference:
         IBManager.h:82 createIBFaces; the FSI drivers integrate the same
@@ -1409,13 +1416,15 @@ class FlowModel(Model):
         sign = self.params["ib_face_sign"]
 
         def face_force(m, V, p, mu, sgn, grad_coeff=None):
-            mu_f = disc.harmonic_face_gamma(m, mu)
-            gradV = (
-                gradient(m, grad_coeff, V) if grad_coeff is not None else None
-            )
-            dflux = disc.diffusion_flux(m, V, mu_f, gradV)
             p_f = assembly.cells_to_faces_distance_weighted(m, p)
-            F = dflux.F + p_f[:, None] * m.face_area
+            F = p_f[:, None] * m.face_area
+            if not pressure_only:
+                mu_f = disc.harmonic_face_gamma(m, mu)
+                gradV = (
+                    gradient(m, grad_coeff, V) if grad_coeff is not None
+                    else None
+                )
+                F = F + disc.diffusion_flux(m, V, mu_f, gradV).F
             # where-mask, not multiply: padded/dead dist cells carry NaN
             # and 0 * NaN would poison the sum
             contrib = jnp.where(sgn[:, None] != 0.0, sgn[:, None] * F, 0.0)

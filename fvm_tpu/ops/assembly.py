@@ -157,7 +157,7 @@ def dirichlet_cells(A: ELLMatrix, r, mask, value, phi):
 
 def ib_stencil_rows_implicit(
     A: ELLMatrix, r, ib_cells, fluid_idx, fw, ww, value, phi,
-    cols_ext, mask_ext, dia_ext=None,
+    cols_ext, mask_ext, dia_ext=None, valid=None,
 ):
     """IMPLICIT immersed-boundary interpolation rows.
 
@@ -169,28 +169,37 @@ def ib_stencil_rows_implicit(
     reference's GenericIBDiscretization.h formulation, replacing the
     lagged pinned-row variant (first-order in the outer iteration).
 
-    ``phi``/``value``: (n,) or (n, m).  Returns the widened (A, r).
+    ``phi``/``value``: (n,) or (n, m).  ``valid``: optional (n_ib,) bool —
+    False entries are padding (distributed shards pad their stencil
+    tables to a uniform static length with the dead dummy cell) and leave
+    their target rows untouched.  Returns the widened (A, r).
     """
     n, K = A.off.shape
     k = fluid_idx.shape[1]
+    if valid is None:
+        valid = jnp.ones(ib_cells.shape, bool)
     s_full = jnp.where(jnp.abs(A.diag) > 0, jnp.abs(A.diag), 1.0)
-    band = jnp.zeros(n, bool).at[ib_cells].set(True)
+    band = jnp.zeros(n, bool).at[ib_cells].max(valid)
     s = s_full[ib_cells]
     W = ww + jnp.sum(fw, axis=1)
     if phi.ndim == 1:
         interp = (ww * value[ib_cells]
                   + jnp.sum(fw * phi[fluid_idx], axis=1)) / W
         resid = s * (interp - phi[ib_cells])
-        r = r.at[ib_cells].set(resid)
+        rs = jnp.zeros_like(r).at[ib_cells].set(
+            jnp.where(valid, resid, 0.0))
+        r = jnp.where(band, rs, r)
     else:
         interp = (ww[:, None] * value[ib_cells]
                   + jnp.einsum("ik,ikm->im", fw, phi[fluid_idx])) / W[:, None]
         resid = s[:, None] * (interp - phi[ib_cells])
-        r = r.at[ib_cells].set(resid)
+        rs = jnp.zeros_like(r).at[ib_cells].set(
+            jnp.where(valid[:, None], resid, 0.0))
+        r = jnp.where(band[:, None], rs, r)
     diag = jnp.where(band, s_full, A.diag)
     off0 = jnp.where(band[:, None], 0.0, A.off)
     off_ext = jnp.zeros((n, k), A.off.dtype).at[ib_cells].set(
-        -s[:, None] * fw / W[:, None]
+        jnp.where(valid[:, None], -s[:, None] * fw / W[:, None], 0.0)
     )
     A2 = A.replace(
         diag=diag,

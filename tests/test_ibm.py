@@ -409,3 +409,53 @@ def test_ib_flow_dist_force_matches_single():
     V1, F1 = solve(False)
     _, F8 = solve(True)
     np.testing.assert_allclose(F8, F1, atol=5e-4 * max(np.abs(F1).max(), 1e-12))
+
+
+def test_ib_electric_stencil_dist_matches_single():
+    """Partitioned IMPLICIT-stencil IBM (reference: IBM_PARALLEL runs the
+    GenericIBDiscretization case at np up to 100): the interpolation rows
+    are installed per shard on the cells it owns, with the stencil's
+    fluid cells read from the halo — the 8-shard solve must reproduce the
+    single-device implicit-stencil solution."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from fvm_tpu.models.electric import ElectricModel
+    from fvm_tpu.parallel import Partition
+
+    mesh, ibm = _circle_ibm()
+    st = ibm.interpolation_stencil()
+    mask = ibm.dirichlet_mask(include_ib=False)[: mesh.n_interior_cells]
+
+    def solve(dist):
+        m0 = quad_2d(24, 24)
+        if dist:
+            part = Partition(m0, 8, halo_depth=2)
+            m = ElectricModel(part.sharded_mesh, partition=part)
+        else:
+            m = ElectricModel(fvm.mesh.build_device_mesh(m0))
+        m.options["verbose"] = False
+        for s_ in ("left", "right", "bottom", "top"):
+            m.bc[s_].bc_type = "SpecifiedPotential"
+            m.bc[s_]["specifiedPotential"] = 0.0
+        m.init()
+        m.set_immersed_boundary(mask, 10.0, stencil=st)
+        m.advance(4)
+        return (
+            m.partition.gather_cells(m.state["potential"])
+            if dist
+            else m.getPotential()
+        )
+
+    phi1 = solve(False)
+    phi8 = solve(True)
+    np.testing.assert_allclose(phi8, phi1, atol=1e-6)
+    # the stencil constraint itself holds on the gathered dist field
+    ib, fluid_idx, fluid_w, wall_w = st
+    phi = np.zeros(mesh.n_interior_cells + mesh.n_boundary_faces)
+    phi[: len(phi8)] = phi8
+    expect = (wall_w * 10.0 + (fluid_w * phi[fluid_idx]).sum(1)) / (
+        wall_w + fluid_w.sum(1)
+    )
+    np.testing.assert_allclose(phi[ib], expect, atol=1e-6)
