@@ -340,3 +340,54 @@ def test_ibm_unsteady_cantilever_reference_case():
     # fluid is otherwise at rest: wall mass fluxes stay ~0 (closed box)
     for g in ("left", "right", "top", "new_right"):
         assert abs(f.getMassFluxIntegral(g)) < 1e-12
+
+
+def test_ibm_cylinder_stencil_dist_matches_single():
+    """Implicit-stencil momentum IBM under partition (reference:
+    IBM_PARALLEL_CYLINDER2D at np>1 runs GenericIBDiscretization rows):
+    the 8-shard stencil solve must reproduce the single-device stencil
+    solve — velocity field and boundary force integrals."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from fvm_tpu.geom import IBManager, IBType
+    from fvm_tpu.models.flow import FlowModel
+    from fvm_tpu.parallel import Partition
+
+    fluid = read_fluent_mesh(f"{REF}/uniform-cart_5K.cas")
+    verts, segs = _read_circle_segments()
+    ib = IBManager(fluid)
+    t = ib.update(verts, segs)
+    st = ib.interpolation_stencil()
+    n_int = fluid.n_interior_cells
+    solid_mask = t[:n_int] == IBType.SOLID
+
+    def solve(dist):
+        if dist:
+            part = Partition(read_fluent_mesh(f"{REF}/uniform-cart_5K.cas"),
+                             8, halo_depth=2)
+            m = FlowModel(part.sharded_mesh, partition=part)
+        else:
+            m = FlowModel(fvm.mesh.build_device_mesh(fluid))
+        m.options["verbose"] = False
+        m.vc["viscosity"] = 1.0
+        m.bc["top"].bc_type = "NoSlipWall"
+        m.bc["bot"].bc_type = "NoSlipWall"
+        m.bc["inlet"].bc_type = "VelocityBoundary"
+        m.bc["inlet"]["specifiedXVelocity"] = 1.0
+        m.bc["outlet"].bc_type = "PressureBoundary"
+        m.init()
+        m.set_immersed_boundary(solid_mask, [0.0, 0.0],
+                                solid_mask=solid_mask, stencil=st)
+        m.advance(400)
+        V = (m.partition.gather_cells(m.state["velocity"]) if dist
+             else np.asarray(m.state["velocity"])[:n_int])
+        return V, np.asarray(m.getMomentumFluxIntegral("inlet"))
+
+    # dist and single use different momentum-solver defaults, so the
+    # SIMPLE trajectories differ; compare the converged state
+    V1, F1 = solve(False)
+    V8, F8 = solve(True)
+    np.testing.assert_allclose(V8, V1, atol=5e-3 * np.abs(V1).max())
+    np.testing.assert_allclose(F8, F1, atol=1e-2 * np.abs(F1).max())
