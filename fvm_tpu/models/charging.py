@@ -392,11 +392,12 @@ class DielectricChargingModel:
             first_t = jnp.argmax(exits, axis=2)
             Tt = jnp.take_along_axis(
                 jnp.exp(logTt), first_t[:, :, None], axis=2)[:, :, 0]
+            # NB the reference divides by the RELATIVE effmass and the
+            # trap depth in eV verbatim (TrapBandTunneling...h:216-217)
             alpha_t = (t["vol"][:, None] * QE * (Emag**2)[:, None]
                        * t["stcap"]
                        / (16.0 * np.pi**2 * HBAR_SI
-                          * (t["alpha_sup"] * 0 + 1)  # keep dtype
-                          * self.constants["electron_effmass"]
+                          * float(self.constants["electron_effmass"])
                           * t["depth"][None, :]))
             tbt = jnp.where(found_t, alpha_t * Tt, 0.0)
             tgt = jnp.where(
