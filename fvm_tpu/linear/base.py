@@ -88,6 +88,43 @@ def newton_operator(residual_fn, x):
     return mv
 
 
+class TransposedOperator:
+    """A^T as a solver-facing operator (adjoint systems, single device).
+
+    FVM matrices are structurally symmetric (owner/neighbor face pairs),
+    so diag(A^T) == diag(A) and the Jacobi preconditioner is shared; the
+    matvec is the exact transpose via ELLMatrix.transpose_apply
+    (scatter-add).  Used by ``LinearSolver.transpose_solve_fn`` for the
+    reverse-mode path that the reference's forward-only Tangent atype
+    (atypes/tangent_double/atype.h:10) has no counterpart for.
+    """
+
+    def __init__(self, A):
+        self._A = A
+
+    @property
+    def n(self):
+        return self._A.n
+
+    def mv(self, x):
+        return self._A.transpose_apply(x)
+
+    def dot(self, a, b):
+        return self._A.dot(a, b)
+
+    def norm(self, x):
+        return self._A.norm(x)
+
+    def psum(self, v):
+        return self._A.psum(v)
+
+    def diag_solve(self, r):
+        return self._A.diag_solve(r)
+
+    def jacobi_step(self, x, b, omega=1.0):
+        return x + omega * self.diag_solve(b - self.mv(x))
+
+
 class LinearSolver:
     """Base options holder (reference: LinearSolver.h:22-35)."""
 
@@ -107,7 +144,31 @@ class LinearSolver:
     def solve_fn(self, A: ELLMatrix, b: jnp.ndarray, x0: jnp.ndarray):
         raise NotImplementedError
 
-    def solve_fn_implicit(self, A, b, x0):
+    def transpose_solve_fn(self, A, b):
+        """Solve A^T y = b (adjoint systems).
+
+        AMG/ILU hierarchies are set up for A, not A^T, so the adjoint
+        path runs Jacobi-preconditioned BiCGStab on the exact transpose
+        operator (the two share the diagonal).  Single-device only: a
+        distributed transpose would need reversed halo exchange.
+        """
+        if getattr(A, "axis_name", None) is not None:
+            raise NotImplementedError(
+                "transpose (adjoint) solves are single-device; gather the "
+                "state with Partition.gather_cells and rebuild undistributed"
+            )
+        from .krylov import BiCGStab, JacobiSolver
+
+        solver = BiCGStab(
+            preconditioner=JacobiSolver(sweeps=3),
+            relative_tolerance=min(self.relativeTolerance, 1e-10),
+            absolute_tolerance=self.absoluteTolerance,
+            max_iterations=max(self.nMaxIterations * 4, 400),
+        )
+        y, _ = solver.solve_fn(TransposedOperator(A), b, jnp.zeros_like(b))
+        return y
+
+    def solve_fn_implicit(self, A, b, x0, transposable: bool = False):
         """AD-correct solve via lax.custom_linear_solve.
 
         Differentiating through an adaptive Krylov while_loop gives zero
@@ -116,6 +177,11 @@ class LinearSolver:
         instead (the reference gets the same effect from recompiling with
         the Tangent atype, atypes/tangent_double).  Stats are not
         returned.
+
+        ``transposable=True`` additionally registers a transpose solve so
+        reverse-mode AD (adjoint sensitivities) works through the solve;
+        it is opt-in because custom_linear_solve traces the transpose
+        solver eagerly, which would inflate every forward-only graph.
         """
         import jax
 
@@ -126,7 +192,14 @@ class LinearSolver:
             x, _ = self.solve_fn(A, bb, jnp.zeros_like(bb))
             return x
 
-        x = jax.lax.custom_linear_solve(mv, b, slv)
+        kw = {}
+        if transposable:
+
+            def slv_t(vecmat, bb):
+                return self.transpose_solve_fn(A, bb)
+
+            kw["transpose_solve"] = slv_t
+        x = jax.lax.custom_linear_solve(mv, b, slv, **kw)
         return x, None
 
     def solve(self, A: ELLMatrix, b: jnp.ndarray, x0: jnp.ndarray | None = None):

@@ -280,6 +280,15 @@ class ElectricModel(TangentMixin, Model):
             self.options["electrostaticsLinearSolver"], param_tangents,
         )
 
+    def solve_adjoint(self, functional, param_keys) -> dict:
+        """Reverse-mode gradient of a scalar functional of the potential
+        w.r.t. parameter fields (one adjoint solve for all cells)."""
+        return self._adjoint_impl(
+            "potential", self._linearize_potential,
+            self.options["electrostaticsLinearSolver"], functional,
+            param_keys,
+        )
+
     def solve_mc(self, param_key: str, samples, niter: int = 20) -> np.ndarray:
         """Vmapped potential re-solves over a batch of parameter fields
         (e.g. dielectric-constant uncertainty)."""

@@ -105,6 +105,30 @@ class TangentMixin:
             param_tangents,
         )
 
+    def solve_adjoint(self, functional, param_keys) -> dict:
+        """Reverse-mode (adjoint) sensitivities: the gradient of a scalar
+        functional of the converged solution with respect to entire
+        parameter FIELDS, from ONE linear solve.
+
+        The forward ``solve_tangent`` (= the reference's Tangent atype,
+        models.cpp:10-74) costs one solve per input direction; the
+        adjoint costs one transposed solve per OUTPUT functional and
+        returns d(J)/d(p_i) for every cell i of every requested
+        parameter — the right tool for design optimization against
+        many-parameter fields.  The reference has no reverse mode.
+
+        ``functional``: jax-traceable ``fn(x_interior) -> scalar``.
+        ``param_keys``: iterable of keys of ``self.params``.
+        Returns ``{key: (n_interior,) gradient}`` (gradients of ghost
+        copies are chain-ruled back onto their interior owners, matching
+        how ``solve_tangent`` extends interior directions to ghosts).
+        Single-device only.
+        """
+        return self._adjoint_impl(
+            self.var, self._linearize, self.options["linearSolver"],
+            functional, param_keys,
+        )
+
     def solve_mc(self, param_key: str, samples, niter: int = 20) -> np.ndarray:
         """UQ parameter sweep: vmapped solves over a batch of parameter
         fields.  ``samples`` is (S,) scalars or (S, n) fields for
@@ -242,6 +266,49 @@ class TangentMixin:
 
         _, dphi = jax.jvp(step_from_converged, (base,), (tans,))
         return np.asarray(dphi[: mesh.n_interior_cells])
+
+    def _adjoint_impl(self, var, linearize, solver, functional, param_keys):
+        if not self._initialized:
+            raise ConfigError("call init() + advance() before solve_adjoint")
+        if self._dist:
+            raise ConfigError(
+                "solve_adjoint is single-device (a distributed transpose "
+                "needs reversed halo exchange); gather with "
+                "Partition.gather_cells and rebuild undistributed"
+            )
+        mesh = self.mesh
+        bcvals = self._resolve_bcvals()
+        state = self.state
+        n_int = mesh.n_interior_cells
+        keys = list(param_keys)
+
+        # Differentiate over INTERIOR parameter values, applying the same
+        # interior->ghost extension solve_tangent uses for its directions:
+        # jax.grad then folds ghost-copy cotangents back onto the owners.
+        def pad(key, v_int):
+            ref = self.params[key]
+            v = jnp.zeros(ref.shape, ref.dtype).at[:n_int].set(
+                v_int.astype(ref.dtype)
+            )
+            return bck.extend_to_ghosts(mesh, v)
+
+        base = {
+            k: jnp.asarray(self.params[k][:n_int]) for k in keys
+        }
+
+        def obj(p_int):
+            params = dict(
+                self.params, **{k: pad(k, v) for k, v in p_int.items()}
+            )
+            A, r = linearize(mesh, params, state, bcvals)
+            dx, _ = solver.solve_fn_implicit(
+                A, r, jnp.zeros_like(r), transposable=True
+            )
+            x = state[var] + dx
+            return functional(x[:n_int])
+
+        grads = jax.jit(jax.grad(obj))(base)
+        return {k: np.asarray(v) for k, v in grads.items()}
 
     def _mc_impl(self, var, linearize, solver, param_key, samples, niter):
         if not self._initialized:

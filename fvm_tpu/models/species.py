@@ -285,6 +285,15 @@ class SpeciesModel(TangentMixin, Model):
             self.options["linearSolver"], param_tangents,
         )
 
+    def solve_adjoint(self, functional, param_keys, i: int = 0) -> dict:
+        """Reverse-mode gradient of a scalar functional of mf_i w.r.t.
+        parameter fields (one adjoint solve for all cells)."""
+        return self._adjoint_impl(
+            f"mf{i}",
+            lambda m, p, s, b: self._linearize_species(m, p, s, b, i),
+            self.options["linearSolver"], functional, param_keys,
+        )
+
     def solve_mc(
         self, param_key: str, samples, niter: int = 20, i: int = 0
     ) -> np.ndarray:

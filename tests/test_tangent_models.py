@@ -283,3 +283,46 @@ def test_flow_tangent_dist_matches_single():
     dsN = mN.solve_tangent({"mu": 1.0}, niter=80)
     scale = np.abs(ds1["velocity"]).max()
     assert np.abs(dsN["velocity"] - ds1["velocity"]).max() < 5e-3 * scale
+
+
+def test_structure_solve_adjoint_duality_and_analytic():
+    """Reverse-mode solve_adjoint on the JFNK structure solve (the
+    reference's Tangent atype is forward-only): gradients of the mean
+    x-deflection w.r.t. the Young's-modulus FIELD and the traction BC
+    satisfy tangent-adjoint duality and the uniaxial closed form."""
+    import jax.numpy as jnp
+
+    E, sigma = 100.0, 5.0
+    m = _make_structure(E, 0.3, sigma)
+    dm = m.mesh
+    n = dm.n_interior_cells
+    x = np.asarray(dm.cell_centroid)[:n, 0]
+
+    grads = m.solve_adjoint(
+        lambda w: jnp.mean(w[:, 0]),
+        param_keys=("youngsModulus",),
+        bc_keys=("right:specifiedXTraction",),
+    )
+    gE = grads["youngsModulus"]
+    gT = grads["right:specifiedXTraction"]
+    assert gE.shape == (n,)
+
+    # duality against the FD-verified forward tangent, several directions
+    rng = np.random.default_rng(7)
+    for _ in range(2):
+        dE = rng.standard_normal(n)
+        dw = m.solve_tangent({"youngsModulus": dE})
+        np.testing.assert_allclose(
+            float(np.dot(gE, dE)), float(np.mean(dw[:, 0])), rtol=1e-4
+        )
+
+    # uniform direction: plane strain u_x = sigma x (1-nu^2) / E ->
+    # dJ/dE.1 = -(1-nu^2) mean(sigma x)/E^2
+    fac = 1.0 - 0.3**2
+    np.testing.assert_allclose(
+        float(gE.sum()), -fac * sigma * x.mean() / E**2, rtol=1e-4
+    )
+    # traction: dJ/dT summed over the face group = (1-nu^2) mean(x)/E
+    np.testing.assert_allclose(
+        float(np.sum(gT)), fac * x.mean() / E, rtol=1e-4
+    )
