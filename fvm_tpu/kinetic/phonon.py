@@ -497,7 +497,7 @@ class PhononModel(Model):
                 raise ConfigError(f"phonon solve_tangent: unknown param {k!r}")
             v = np.atleast_1d(np.asarray(v, float))
             if v.size == 1:
-                v = np.full(self.D * B, float(v))
+                v = np.full(self.D * B, float(v.reshape(())))
             elif v.size == B:
                 v = np.tile(v[None, :], (self.D, 1)).reshape(-1)
             dtau = jnp.asarray(v, tau0.dtype)

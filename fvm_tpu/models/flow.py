@@ -354,12 +354,23 @@ class FlowModel(Model):
         pres_solver = opts["pressureLinearSolver"]
         # implicit=True swaps in lax.custom_linear_solve-wrapped solves so
         # the WHOLE step is jax.jvp-differentiable (solve_tangent's
-        # fixed-point tangent iteration); the primal path keeps the plain
+        # fixed-point tangent iteration); implicit="transposable" also
+        # registers transpose solves so jax.vjp works (solve_adjoint's
+        # reverse fixed point); the primal path keeps the plain
         # while_loop Krylov solves
-        msolve = mom_solver.solve_fn_implicit if implicit else mom_solver.solve_fn
-        psolve = (
-            pres_solver.solve_fn_implicit if implicit else pres_solver.solve_fn
-        )
+        if implicit:
+            import functools
+
+            def _imp(s):
+                if implicit == "transposable":
+                    return functools.partial(
+                        s.solve_fn_implicit, transposable=True
+                    )
+                return s.solve_fn_implicit
+
+            msolve, psolve = _imp(mom_solver), _imp(pres_solver)
+        else:
+            msolve, psolve = mom_solver.solve_fn, pres_solver.solve_fn
 
         def step(mesh, params, state, bcvals):
             dim = mesh.dim
@@ -890,6 +901,137 @@ class FlowModel(Model):
             (ds["velocity"], ds["pressure"], dmu),
         )
         return np.asarray(dF)
+
+    def _adjoint_grads(self, functional, param_keys, bc_keys, niter):
+        """Reverse-mode engine: at the converged SIMPLE fixed point
+        s* = G(s*, p), the adjoint u solves (I - dG/ds^T) u = dJ/ds by
+        the transposed fixed-point iteration (same contraction rate as
+        SIMPLE/the forward tangent); gradients are then
+        dJ/dp = \\partial J/\\partial p + (dG/dp)^T u — every cell of
+        every requested parameter from ONE reverse sweep, where the
+        forward Tangent atype costs one sweep per input direction.
+
+        ``functional(state, params, bcvals) -> scalar``."""
+        if not self._initialized:
+            raise ConfigError("call init() + advance() before solve_adjoint")
+        if self._dist:
+            raise ConfigError(
+                "solve_adjoint is single-device (transpose solves need "
+                "reversed halo exchange); gather and rebuild undistributed"
+            )
+        mesh = self.mesh
+        bcvals = self._resolve_bcvals()
+        for k in param_keys:
+            if k not in self.params:
+                raise ConfigError(
+                    f"FlowModel.solve_adjoint: unknown parameter {k!r}"
+                )
+        for k in bc_keys:
+            if k not in bcvals:
+                raise ConfigError(
+                    f"FlowModel.solve_adjoint: unknown BC entry {k!r}"
+                )
+        base_p = {k: self.params[k] for k in param_keys}
+        base_b = {k: bcvals[k] for k in bc_keys}
+        step_t = self._build_step(implicit="transposable")
+        time_keys = [k for k in self.state if k.endswith(("_N1", "_N2"))]
+        state = self.state
+        n_int = mesh.n_interior_cells
+
+        @jax.jit
+        def run():
+            def G(s, p_sub, b_sub):
+                new_s, _ = step_t(
+                    mesh, dict(self.params, **p_sub), s,
+                    dict(bcvals, **b_sub),
+                )
+                return dict(new_s, **{k: s[k] for k in time_keys})
+
+            def J(s, p_sub, b_sub):
+                return functional(
+                    s, dict(self.params, **p_sub), dict(bcvals, **b_sub)
+                )
+
+            gs, gp0, gb0 = jax.grad(J, argnums=(0, 1, 2))(
+                state, base_p, base_b
+            )
+            _, vjp_G = jax.vjp(G, state, base_p, base_b)
+
+            def body(u, _):
+                us, _, _ = vjp_G(u)
+                return jax.tree.map(jnp.add, us, gs), None
+
+            u, _ = jax.lax.scan(body, gs, None, length=niter)
+            _, up, ub = vjp_G(u)
+            gp = jax.tree.map(jnp.add, up, gp0)
+            gb = jax.tree.map(jnp.add, ub, gb0)
+            return gp, gb
+
+        gp, gb = run()
+
+        def fold(ref, g):
+            pad = lambda v: self._pad_cell_tangent(ref, v)
+            (gi,) = jax.linear_transpose(
+                pad, jnp.zeros((n_int,) + tuple(ref.shape[1:]), ref.dtype)
+            )(g)
+            return np.asarray(gi)
+
+        out = {k: fold(self.params[k], gp[k]) for k in param_keys}
+        out.update({k: np.asarray(gb[k]) for k in bc_keys})
+        return out
+
+    def solve_adjoint(
+        self, functional, param_keys=("mu",), bc_keys=(), niter: int = 50
+    ) -> dict:
+        """Reverse-mode gradient of ``functional(V_interior, p_interior)``
+        w.r.t. parameter FIELDS ('mu'/'rho', gradients on interior cells)
+        and BC values ('group:entry', per-face arrays) at the converged
+        state.  One adjoint sweep for all inputs (the reference's Tangent
+        atype is forward-only, models.cpp:10-74).  Single-device; use
+        ``niter`` ~ the primal SIMPLE iteration count."""
+        wrapped = lambda s, params, b: functional(
+            s["velocity"][: self.mesh.n_interior_cells],
+            s["pressure"][: self.mesh.n_interior_cells],
+        )
+        return self._adjoint_grads(wrapped, param_keys, bc_keys, niter)
+
+    def solve_adjoint_force(
+        self, group_name, direction=None, param_keys=("mu",),
+        bc_keys=(), niter: int = 50,
+    ) -> dict:
+        """Reverse-mode d(F . direction)/d(params, BCs) on a boundary
+        group — the design-optimization complement of
+        ``solve_tangent_force``: drag gradients w.r.t. the whole
+        viscosity field and every BC knob from one adjoint solve."""
+        mesh = self.mesh
+        g = (
+            mesh.group_by_name(group_name)
+            if isinstance(group_name, str)
+            else group_name
+        )
+        if direction is None:
+            direction = [1.0] + [0.0] * (mesh.dim - 1)
+        dvec = jnp.asarray(direction, self.params["mu"].dtype)
+
+        def functional(s, params, b):
+            def face_force(m, V, p, mu, grad_coeff=None):
+                mu_f = disc.harmonic_face_gamma(m, mu)
+                gradV = (
+                    gradient(m, grad_coeff, V)
+                    if grad_coeff is not None
+                    else None
+                )
+                dflux = disc.diffusion_flux(m, V, mu_f, gradV)
+                p_f = assembly.cells_to_faces_distance_weighted(m, p)
+                return dflux.F + p_f[:, None] * m.face_area
+
+            args = (s["velocity"], s["pressure"], params["mu"])
+            if "grad_coeff" in self.params:
+                args = args + (self.params["grad_coeff"],)
+            F = self._map_mesh(face_force, *args)
+            return jnp.dot(self._sum_group(g, F), dvec)
+
+        return self._adjoint_grads(functional, param_keys, bc_keys, niter)
 
     def advanceCoupled(self, niter: int = 1) -> ResidualHistory:
         """Fully coupled pressure-velocity advance (reference

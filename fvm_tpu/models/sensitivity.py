@@ -117,7 +117,10 @@ class TangentMixin:
         parameter — the right tool for design optimization against
         many-parameter fields.  The reference has no reverse mode.
 
-        ``functional``: jax-traceable ``fn(x_interior) -> scalar``.
+        ``functional``: jax-traceable ``fn(x_interior) -> scalar`` or
+        ``fn(x_interior, params) -> scalar`` (the 2-arg form also
+        captures EXPLICIT parameter dependence of the objective, e.g. a
+        flux integral that contains the conductivity itself).
         ``param_keys``: iterable of keys of ``self.params``.
         Returns ``{key: (n_interior,) gradient}`` (gradients of ghost
         copies are chain-ruled back onto their interior owners, matching
@@ -296,6 +299,13 @@ class TangentMixin:
             k: jnp.asarray(self.params[k][:n_int]) for k in keys
         }
 
+        # functionals may take (x_interior,) or (x_interior, params) — the
+        # latter captures EXPLICIT parameter dependence (e.g. a heat-flux
+        # integral contains k itself, not just T)
+        import inspect
+
+        with_params = len(inspect.signature(functional).parameters) >= 2
+
         def obj(p_int):
             params = dict(
                 self.params, **{k: pad(k, v) for k, v in p_int.items()}
@@ -305,6 +315,8 @@ class TangentMixin:
                 A, r, jnp.zeros_like(r), transposable=True
             )
             x = state[var] + dx
+            if with_params:
+                return functional(x[:n_int], params)
             return functional(x[:n_int])
 
         grads = jax.jit(jax.grad(obj))(base)

@@ -326,3 +326,37 @@ def test_structure_solve_adjoint_duality_and_analytic():
     np.testing.assert_allclose(
         float(np.sum(gT)), fac * x.mean() / E, rtol=1e-4
     )
+
+
+def test_flow_solve_adjoint_force_duality():
+    """Reverse-mode drag gradients on the cavity: one adjoint sweep gives
+    d(lid x-force)/d(mu field) and d/d(lid velocity); both must satisfy
+    duality with the FD-verified forward tangent."""
+    mu = 0.05
+    m = _make_cavity(mu)
+    n = m.mesh.n_interior_cells
+    grads = m.solve_adjoint_force(
+        "top", param_keys=("mu",),
+        bc_keys=("top:specifiedXVelocity",), niter=120,
+    )
+    gmu = grads["mu"]
+    glid = grads["top:specifiedXVelocity"]
+    assert gmu.shape == (n,)
+
+    # duality vs forward tangent: uniform + random mu directions
+    dF_uniform = m.solve_tangent_force("top", {"mu": 1.0}, niter=120)
+    np.testing.assert_allclose(
+        float(gmu.sum()), dF_uniform[0], rtol=2e-3
+    )
+    rng = np.random.default_rng(11)
+    dmu = rng.standard_normal(n)
+    dF_rand = m.solve_tangent_force("top", {"mu": dmu}, niter=120)
+    np.testing.assert_allclose(
+        float(np.dot(gmu, dmu)), dF_rand[0], rtol=2e-3
+    )
+
+    # lid-velocity gradient vs forward BC tangent
+    dF_lid = m.solve_tangent_force(
+        "top", bc_tangents={"top:specifiedXVelocity": 1.0}, niter=120
+    )
+    np.testing.assert_allclose(float(glid.sum()), dF_lid[0], rtol=2e-3)
