@@ -357,6 +357,36 @@ class PlateModel(Model):
         du = tangent_fn(mesh, self.params, self.state, bcvals, base, tans)
         return np.asarray(du[: mesh.n_interior_cells])
 
+    def solve_adjoint(self, functional, param_keys=(), bc_keys=()) -> dict:
+        """Reverse-mode gradient of a scalar functional of the converged
+        plate unknowns w.r.t. parameter FIELDS / BC values, from ONE
+        transposed JFNK solve (the reference's Tangent atype is
+        forward-only).  ``functional(u_interior) -> scalar`` with
+        ``u_interior`` (n_interior, 3) = (beta_x, beta_y, w).
+        ``param_keys``: 'D', 'S', 'q', ... or VC-level 'ym' /
+        'thickness' / 'nu_vc' (chain-ruled through D = Eh^3/12(1-nu^2),
+        S = kappa G h).  Single-device only."""
+        from .sensitivity import jfnk_adjoint
+
+        kappa = float(self.options["shearCorrection"])
+
+        def props(ins):
+            E, nu, h = ins["ym"], ins["nu_vc"], ins["thickness"]
+            return {
+                "D": E * h**3 / (12.0 * (1.0 - nu * nu)),
+                "S": kappa * E / (2.0 * (1.0 + nu)) * h,
+                "nu": nu,
+            }
+
+        chain = (
+            {"ym": self._E, "nu_vc": self.params["nu"],
+             "thickness": self._h},
+            props,
+        )
+        return jfnk_adjoint(
+            self, "u", self._system, functional, param_keys, bc_keys, chain
+        )
+
     # ------------------------------------------------------------------
 
     def advance(self, niter: int = 1) -> ResidualHistory:

@@ -79,6 +79,95 @@ class PCExpansion:
         return out
 
 
+def jfnk_adjoint(
+    model, var, system, functional, param_keys, bc_keys, chain=None
+):
+    """Shared reverse-mode adjoint for JFNK models (Structure/Plate).
+
+    At convergence R(w*, p) = 0 the adjoint lambda solves
+    A^T lambda = dJ/dw with the exact transpose Jacobian action
+    A^T u = -vjp(R)(u); gradients are dJ/dp = (dR/dp)^T lambda.
+    ``system(mesh, params, state, bcvals, w) -> (A_surrogate, R)`` is the
+    model's JFNK residual binding; ``chain`` optionally maps VC-level
+    design variables through a property closure:
+    ``(inputs_dict, props_fn)`` with ``props_fn(inputs) -> params
+    sub-dict`` (e.g. (E, nu) -> (mu, lam)); requested keys found in
+    ``inputs_dict`` are chain-ruled by vjp.  Single-device only.
+    """
+    from ..linear.base import MatrixFreeOperator
+
+    if not model._initialized:
+        raise ConfigError("call init() + advance() before solve_adjoint")
+    if model._dist:
+        raise ConfigError(
+            "solve_adjoint is single-device; gather and rebuild "
+            "undistributed"
+        )
+    mesh = model.mesh
+    bcvals = model._resolve_bcvals()
+    solver = model.options["linearSolver"]
+    n_int = mesh.n_interior_cells
+    state = model.state
+    w = state[var]
+
+    chain_inputs, props_fn = chain or ({}, None)
+    chain_keys = [k for k in param_keys if k in chain_inputs]
+    direct = [k for k in param_keys if k not in chain_inputs]
+    prop_out = (
+        sorted(props_fn(chain_inputs)) if (props_fn and chain_keys) else []
+    )
+    need = sorted(set(direct) | set(prop_out))
+    for k in need:
+        if k not in model.params:
+            raise ConfigError(
+                f"{model.name}.solve_adjoint: unknown parameter {k!r}"
+            )
+    for k in bc_keys:
+        if k not in bcvals:
+            raise ConfigError(
+                f"{model.name}.solve_adjoint: unknown BC entry {k!r}"
+            )
+    base_p = {k: model.params[k] for k in need}
+    base_b = {k: bcvals[k] for k in bc_keys}
+
+    @jax.jit
+    def adjoint():
+        Rfn = lambda ww: system(mesh, model.params, state, bcvals, ww)[1]
+        A, _ = system(mesh, model.params, state, bcvals, w)
+        _, vjp_w = jax.vjp(Rfn, w)
+        opT = MatrixFreeOperator(lambda u: -vjp_w(u)[0], A)
+        gJ = jax.grad(lambda ww: functional(ww[:n_int]))(w)
+        lam, _ = solver.solve_fn(opT, gJ, jnp.zeros_like(gJ))
+
+        def r_of(p_sub, b_sub):
+            return system(
+                mesh, dict(model.params, **p_sub), state,
+                dict(bcvals, **b_sub), w,
+            )[1]
+
+        _, vjp_pb = jax.vjp(r_of, base_p, base_b)
+        return vjp_pb(lam)
+
+    gp, gb = adjoint()
+
+    def fold(ref, g):
+        pad = lambda v: model._pad_cell_tangent(ref, v)
+        (gi,) = jax.linear_transpose(
+            pad, jnp.zeros((n_int,) + tuple(ref.shape[1:]), ref.dtype)
+        )(g)
+        return np.asarray(gi)
+
+    out = {k: fold(model.params[k], gp[k]) for k in direct}
+    if chain_keys:
+        _, vjp_props = jax.vjp(props_fn, chain_inputs)
+        (gins,) = vjp_props({k: gp[k] for k in prop_out})
+        for k in chain_keys:
+            out[k] = fold(chain_inputs[k], gins[k])
+    for k in bc_keys:
+        out[k] = np.asarray(gb[k])
+    return out
+
+
 class TangentMixin:
     """Adds solve_tangent / solve_mc / solve_pc to a Model subclass.
 

@@ -434,86 +434,20 @@ class StructureModel(Model):
         (sum them for a scalar BC knob).  Returns {key: gradient}; cell
         parameters come back on interior cells.  Single-device only.
         """
-        if not self._initialized:
-            raise ConfigError("call init() + advance() before solve_adjoint")
-        if self._dist:
-            raise ConfigError(
-                "solve_adjoint is single-device; gather and rebuild "
-                "undistributed"
-            )
-        mesh = self.mesh
-        bcvals = self._resolve_bcvals()
-        solver = self.options["linearSolver"]
-        n_int = mesh.n_interior_cells
-        state = self.state
-        w = state["deformation"]
+        from .sensitivity import jfnk_adjoint
 
-        prop_keys = [
-            k for k in param_keys
-            if k in ("youngsModulus", "poissonsRatio")
-        ]
-        direct = [k for k in param_keys if k not in prop_keys]
-        need = sorted(set(direct) | ({"mu", "lam"} if prop_keys else set()))
-        for k in need:
-            if k not in self.params:
-                raise ConfigError(
-                    f"{self.name}.solve_adjoint: unknown parameter {k!r}"
-                )
-        base_p = {k: self.params[k] for k in need}
-        base_b = {k: bcvals[k] for k in bc_keys}
+        def props(ins):
+            E, nu = ins["youngsModulus"], ins["poissonsRatio"]
+            return {
+                "mu": E / (2.0 * (1.0 + nu)),
+                "lam": E * nu / ((1.0 + nu) * (1.0 - 2.0 * nu)),
+            }
 
-        @jax.jit
-        def adjoint():
-            # lambda solves A^T lam = dJ/dw with A^T u = -vjp(R)(u)
-            Rfn = lambda ww: self._system(
-                mesh, self.params, state, bcvals, ww
-            )[1]
-            A, _ = self._system(mesh, self.params, state, bcvals, w)
-            _, vjp_w = jax.vjp(Rfn, w)
-            opT = MatrixFreeOperator(lambda u: -vjp_w(u)[0], A)
-            gJ = jax.grad(lambda ww: functional(ww[:n_int]))(w)
-            lam, _ = solver.solve_fn(opT, gJ, jnp.zeros_like(gJ))
-
-            # dJ/dp = (dR/dp)^T lambda (the tangent solved A dw = dR/dp.dp)
-            def r_of(p_sub, b_sub):
-                return self._system(
-                    mesh, dict(self.params, **p_sub), state,
-                    dict(bcvals, **b_sub), w,
-                )[1]
-
-            _, vjp_pb = jax.vjp(r_of, base_p, base_b)
-            return vjp_pb(lam)
-
-        gp, gb = adjoint()
-
-        def fold(ref, g):
-            # transpose of the interior->full tangent padding: ghost-copy
-            # cotangents land back on their interior owners
-            pad = lambda v: self._pad_cell_tangent(ref, v)
-            (gi,) = jax.linear_transpose(
-                pad, jnp.zeros((n_int,) + tuple(ref.shape[1:]), ref.dtype)
-            )(g)
-            return np.asarray(gi)
-
-        out = {k: fold(self.params[k], gp[k]) for k in direct}
-        if prop_keys:
-            E, nu = self._E, self._nu
-
-            def props(E, nu):
-                return {
-                    "mu": E / (2.0 * (1.0 + nu)),
-                    "lam": E * nu / ((1.0 + nu) * (1.0 - 2.0 * nu)),
-                }
-
-            _, vjp_props = jax.vjp(props, E, nu)
-            gE, gnu = vjp_props({"mu": gp["mu"], "lam": gp["lam"]})
-            if "youngsModulus" in prop_keys:
-                out["youngsModulus"] = fold(E, gE)
-            if "poissonsRatio" in prop_keys:
-                out["poissonsRatio"] = fold(nu, gnu)
-        for k in bc_keys:
-            out[k] = np.asarray(gb[k])
-        return out
+        chain = ({"youngsModulus": self._E, "poissonsRatio": self._nu}, props)
+        return jfnk_adjoint(
+            self, "deformation", self._system, functional, param_keys,
+            bc_keys, chain,
+        )
 
     # ------------------------------------------------------------------
 

@@ -360,3 +360,25 @@ def test_flow_solve_adjoint_force_duality():
         "top", bc_tangents={"top:specifiedXVelocity": 1.0}, niter=120
     )
     np.testing.assert_allclose(float(glid.sum()), dF_lid[0], rtol=2e-3)
+
+
+def test_plate_solve_adjoint_duality():
+    """Reverse-mode solve_adjoint on the Mindlin plate: gradients of the
+    mean deflection w.r.t. the Young's-modulus and load FIELDS satisfy
+    duality with the (analytically verified) forward tangent."""
+    import jax.numpy as jnp
+
+    m = _make_plate()
+    n = m.mesh.n_interior_cells
+    grads = m.solve_adjoint(
+        lambda u: jnp.mean(u[:, 2]), param_keys=("ym", "q")
+    )
+    assert grads["ym"].shape == (n,)
+    du_E = m.solve_tangent({"ym": 1.0})
+    np.testing.assert_allclose(
+        float(grads["ym"].sum()), float(np.mean(du_E[:, 2])), rtol=1e-4
+    )
+    du_q = m.solve_tangent({"q": 1.0})
+    np.testing.assert_allclose(
+        float(grads["q"].sum()), float(np.mean(du_q[:, 2])), rtol=1e-4
+    )
