@@ -418,9 +418,13 @@ class BatteryModel(Model):
             return (Ac, Ap), r
         return (Ac, Ap), rp
 
-    def _newton_op(self, mesh, params, state, bcvals, u, Ac, Ap):
+    def _newton_op(self, mesh, params, state, bcvals, u, Ac, Ap,
+                   transpose=False):
         """Exact-Newton operator at u with the block-diag (Ac, Ap)
-        surrogate (shared by the primal step and solve_tangent)."""
+        surrogate (shared by the primal step and solve_tangent).
+        ``transpose=True`` gives the exact transpose action via jax.vjp
+        (solve_adjoint); the block-diag surrogate is symmetric so the
+        preconditioner is shared."""
         coupled = self.options["transient"]
         # sync at residual entry: jvp tangents (Krylov vectors)
         # exchange halos through the linear all_to_all
@@ -429,12 +433,17 @@ class BatteryModel(Model):
         )[1]
         n_own = mesh.n_owned_cells
         owned = jnp.arange(mesh.n_cells) < n_own
+        if transpose:
+            _, _vjp_R = jax.vjp(Rfn, u)
+            act = lambda v: -_vjp_R(v)[0]
+        else:
+            act = lambda v: -jax.jvp(Rfn, (u,), (v,))[1]
 
         class PairOp:
             """Exact Newton operator; block-diag (Ac, Ap) surrogate."""
 
             def mv(self, v):
-                y = -jax.jvp(Rfn, (u,), (v,))[1]
+                y = act(v)
                 if n_own < mesh.n_cells:
                     m = owned if y.ndim == 1 else owned[:, None]
                     y = jnp.where(m, y, 0.0)
@@ -536,6 +545,82 @@ class BatteryModel(Model):
             return self.partition.gather_cells(du)
         du = tangent_fn(mesh, self.params, self.state, bcvals, base, tans)
         return np.asarray(du[: mesh.n_interior_cells])
+
+    def solve_adjoint(self, functional, param_keys=(), bc_keys=()) -> dict:
+        """Reverse-mode gradient of a scalar functional of the converged
+        unknowns w.r.t. parameter fields/scalars and BC values, from ONE
+        transposed Newton solve (exact A^T via jax.vjp of the same
+        residual the primal jvps; the reference's Tangent atype is
+        forward-only).  ``functional(u_interior) -> scalar`` where
+        u_interior is (n_interior,) phi in steady mode or
+        (n_interior, 2) = (c, phi) in transient mode.  ``param_keys``:
+        any float params key ('sigma', 'D', 'U0' fields; 'i0', 'alphaA',
+        'alphaC', 'T', 'kReact', 'csMax' scalars — scalar gradients come
+        back as floats).  Single-device only."""
+        if not self._initialized:
+            raise ConfigError("call init() + advance() before solve_adjoint")
+        if self._dist:
+            raise ConfigError(
+                "solve_adjoint is single-device; gather and rebuild "
+                "undistributed"
+            )
+        mesh = self.mesh
+        bcvals = self._resolve_bcvals()
+        solver = self.options["linearSolver"]
+        coupled = self.options["transient"]
+        n_int = mesh.n_interior_cells
+        state = self.state
+        for k in param_keys:
+            if k not in self.params:
+                raise ConfigError(
+                    f"{self.name}.solve_adjoint: unknown parameter {k!r}"
+                )
+        for k in bc_keys:
+            if k not in bcvals:
+                raise ConfigError(
+                    f"{self.name}.solve_adjoint: unknown BC entry {k!r}"
+                )
+        base_p = {k: self.params[k] for k in param_keys}
+        base_b = {k: bcvals[k] for k in bc_keys}
+
+        @jax.jit
+        def adjoint():
+            if coupled:
+                u = jnp.stack([state["c"], state["phi"]], axis=1)
+            else:
+                u = state["phi"]
+            (Ac, Ap), _ = self._system(mesh, self.params, state, bcvals, u)
+            opT = self._newton_op(
+                mesh, self.params, state, bcvals, u, Ac, Ap, transpose=True
+            )
+            gJ = jax.grad(lambda uu: functional(uu[:n_int]))(u)
+            lam, _ = solver.solve_fn(opT, gJ, jnp.zeros_like(gJ))
+
+            def r_of(p_sub, b_sub):
+                return self._system(
+                    mesh, dict(self.params, **p_sub), state,
+                    dict(bcvals, **b_sub), u,
+                )[1]
+
+            _, vjp_pb = jax.vjp(r_of, base_p, base_b)
+            return vjp_pb(lam)
+
+        gp, gb = adjoint()
+
+        def fold(ref, g):
+            ref = jnp.asarray(ref)
+            if ref.ndim == 0:
+                return float(g)
+            pad = lambda v: self._pad_cell_tangent(ref, v)
+            (gi,) = jax.linear_transpose(
+                pad, jnp.zeros((n_int,) + tuple(ref.shape[1:]), ref.dtype)
+            )(g)
+            return np.asarray(gi)
+
+        out = {k: fold(self.params[k], gp[k]) for k in param_keys}
+        for k in bc_keys:
+            out[k] = np.asarray(gb[k])
+        return out
 
     # ------------------------------------------------------------------
 

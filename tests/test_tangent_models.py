@@ -382,3 +382,34 @@ def test_plate_solve_adjoint_duality():
     np.testing.assert_allclose(
         float(grads["q"].sum()), float(np.mean(du_q[:, 2])), rtol=1e-4
     )
+
+
+def test_battery_solve_adjoint_duality():
+    """Reverse-mode solve_adjoint on the Butler-Volmer-coupled battery:
+    gradients of the mean potential w.r.t. the conductivity field and
+    the i0 scalar satisfy duality with the FD-verified forward tangent."""
+    import jax.numpy as jnp
+
+    m = _build_cell()
+    n = m.mesh.n_interior_cells
+    rng = np.random.default_rng(13)
+    # random-weighted functional (mean(phi) is degenerate on this
+    # symmetric three-region cell: tangents cancel to round-off)
+    w = jnp.asarray(rng.standard_normal(n))
+    grads = m.solve_adjoint(
+        lambda phi: jnp.sum(w * phi), param_keys=("sigma", "i0")
+    )
+    assert grads["sigma"].shape == (n,)
+    assert isinstance(grads["i0"], float)
+
+    for _ in range(2):
+        ds = rng.standard_normal(n)
+        dphi = m.solve_tangent({"sigma": ds})
+        np.testing.assert_allclose(
+            float(np.dot(grads["sigma"], ds)),
+            float(np.dot(np.asarray(w), dphi)), rtol=1e-4,
+        )
+    dphi_i0 = m.solve_tangent({"i0": 1.0})
+    np.testing.assert_allclose(
+        grads["i0"], float(np.dot(np.asarray(w), dphi_i0)), rtol=1e-4
+    )
