@@ -242,7 +242,13 @@ def main():
         # finish the last decades in f64 (~20x slower per step on TPU,
         # but only ~1 decade remains).
         polish = os.environ.get("FVM_BENCH_POLISH", "")
-        polish_at = float(os.environ.get("FVM_BENCH_POLISH_AT", "1e-4"))
+        # engage the polish on a detected stall below this level.  At 1M
+        # the f32 SIMPLE tail contraction is ~0.9998/outer and flattens
+        # near rel ~2e-3 in practical step budgets (measured r3: 6000
+        # steps -> 1.37e-3), so the old 1e-4 gate never fired; the
+        # Newton endgame is quadratic from anywhere in the asymptotic
+        # basin, so entering at the stall is both safe and optimal
+        polish_at = float(os.environ.get("FVM_BENCH_POLISH_AT", "5e-3"))
         t0 = time.time()
         steps = 0
         rel = 1.0
@@ -263,7 +269,9 @@ def main():
             stalled = prev_rel is not None and rel > 0.9 * prev_rel
             prev_rel = rel
             if polish and rel < polish_at and stalled:
-                from fvm_tpu.models.fmg import promote_state
+                from fvm_tpu.models.fmg import (
+                    promote_state, snapshot_state, restore_state,
+                )
 
                 print(
                     f"# polish: f32 floor at rel {rel:.3e} after {steps} "
@@ -282,6 +290,17 @@ def main():
                     "FVM_BENCH_POLISH_NEWTON", "1"
                 ) != "0"
                 if use_newton:
+                    # snapshot the f32 state to HOST and free the f32
+                    # models BEFORE building the f64 pair: both model
+                    # generations' device buffers coexisting crash the
+                    # 16GB v5e worker at 1M (measured: TPU worker
+                    # process crash during the f64 Newton handoff)
+                    import gc
+
+                    snap_flow = snapshot_state(flow)
+                    snap_thermal = snapshot_state(thermal)
+                    flow = thermal = None
+                    gc.collect()
                     flow64 = build_flow(n)
                     # inexact-Newton forcing: from the f32 floor
                     # (rel ~4e-5 at 1M) to 1e-6 is <2 decades, so the
@@ -297,15 +316,8 @@ def main():
                     thermal64 = build_thermal(flow64.mesh)
                     flow64.options["residualSync"] = False
                     thermal64.options["residualSync"] = False
-                    promote_state(flow, flow64)
-                    promote_state(thermal, thermal64)
-                    # free the f32 models' device buffers before the
-                    # Newton graph runs (mesh tables + AMG hierarchies +
-                    # state at 1M are ~GBs of HBM)
-                    flow = thermal = None
-                    import gc
-
-                    gc.collect()
+                    restore_state(flow64, snap_flow)
+                    restore_state(thermal64, snap_thermal)
                     print(
                         f"# polish setup: {time.time()-t_p:.1f}s",
                         file=sys.stderr,

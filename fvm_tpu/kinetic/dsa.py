@@ -108,3 +108,25 @@ class DSAPrecond:
             return z1 + z2
 
         return M
+
+    def precond_setup_T(self, op):
+        """Transposed application for the adjoint solves: the additive
+        composition transposes term by term,
+
+            M^T = Mp^T + wE (x) M_T^T pcoef^T,
+
+        i.e. the restriction/prolongation roles of wE and pcoef swap.
+        M_T itself stands in for M_T^T: the synthetic diffusion operator
+        is symmetric and the V-cycle near-symmetric, and a preconditioner
+        only shapes convergence — BiCGStab on A^T stays exact."""
+        Mp = self.point.precond_setup_T(op)
+        M_T, wE, pcoef, alive = self.M_T, self.wE, self.pcoef, self.alive
+
+        def MT(r):
+            z1 = Mp(r)
+            rT = jnp.einsum("cn,n->c", r, pcoef)
+            dT = M_T(jnp.where(alive, rT, 0.0))
+            z2 = jnp.where(alive, dT, 0.0)[:, None] * wE[None, :]
+            return z1 + z2
+
+        return MT

@@ -152,6 +152,22 @@ class _WoodburyPrecond:
 
         return M
 
+    def precond_setup_T(self, op):
+        """Exact transpose of the Woodbury application, closed form:
+        M = Dinv + DinvUk S^{-1} Vt^T Dinv (per cell)  =>
+        M^T = Dinv + Dinv Vt S^{-T} DinvUk^T.  Used by the adjoint
+        (transposed-Jacobian) solves."""
+
+        def MT(r):
+            z = r
+            if self.lowrank is not None:
+                t = jnp.einsum("cna,cn->ca", self.DinvUk, r)
+                y = self._solve5(self.S.transpose(0, 2, 1), t)
+                z = z + jnp.einsum("na,ca->cn", self.Vt, y)
+            return z / self.D
+
+        return MT
+
 
 class _KineticOperator:
     """Matrix-free operator for the batched advection+relaxation system.
@@ -1095,6 +1111,172 @@ class KineticModel(Model):
         F = jnp.einsum("fn,n,nd->d", flux, w, c[:, : self.mesh.dim])
         return np.asarray(F)
 
+    def _comet_sens_check(self, what: str) -> None:
+        """Shared guard for the COMET sensitivity entry points."""
+        opts = self.options
+        if not self._initialized:
+            raise ConfigError(f"call init() + advance() before {what}")
+        if str(opts["solver"]).upper() != "COMET":
+            raise ConfigError(f"{what} requires the COMET solver")
+        if opts["transient"]:
+            raise ConfigError(f"{what}: steady states only")
+        if self._dist or self.ordinate_shards:
+            raise ConfigError(
+                f"{what}: single-device kinetic states only (use the "
+                "unsharded model for sensitivities)"
+            )
+        if "ib_pin" in self.params:
+            raise ConfigError(
+                f"{what}: not supported with an immersed boundary "
+                "(the sensitivity operator lacks the pinned closure rows)"
+            )
+
+    def _comet_R_of(self, mesh, bcvals):
+        """Steady COMET residual as a pure closure of (param overrides,
+        BC overrides, full distribution incl. ghosts) — the JFNK residual
+        whose jvp/vjp give the exact tangent/adjoint linearizations."""
+        V = mesh.cell_volume[:, None]
+
+        def R_of(p_sub, b_sub, fv):
+            params = dict(self.params, **p_sub)
+            bcv = dict(bcvals, **b_sub)
+            tau = params["tau"][:, None]
+            op = _KineticOperator(
+                mesh, params["dO"], params["dN"], V / tau
+            )
+            fg = self._refresh_ghosts(mesh, params, fv, bcv)
+            feq_v = self._equilibrium(fv)
+            res = V / tau * feq_v - op.mv(fv)
+            res = jnp.where(op.interior, res, fg - fv)
+            return jnp.where(op.owned, res, 0.0)
+
+        return R_of
+
+    def _comet_precond(self, op_plain, f0, dsa):
+        """Rank-5 Woodbury preconditioner at the converged state (same
+        construction as the primal step), optionally composed with the
+        DSA coarse correction.  Shared by the tangent and (transposed)
+        adjoint solves."""
+        mesh = self.mesh
+        V = mesh.cell_volume[:, None]
+        Vt = _psi_weights(self.quadrature, f0.dtype)
+        m = jnp.einsum("cn,na->ca", f0, Vt)
+        alive = (m[:, 0] > 1e-12) & op_plain.interior[:, 0] \
+            & op_plain.owned[:, 0]
+        m_safe = jnp.where(
+            alive[:, None],
+            m,
+            jnp.asarray([1.0, 0.0, 0.0, 0.0, 3.0], m.dtype)[None],
+        )
+        U = jax.vmap(jax.jacfwd(self._feq_of_moments))(m_safe)
+        U = jnp.where(alive[:, None, None], U, 0.0)
+        kappa = jnp.where(
+            alive[:, None], V / self.params["tau"][:, None], 0.0
+        )
+        op_lr = _KineticOperator(
+            mesh, self.params["dO"], self.params["dN"],
+            V / self.params["tau"][:, None], lowrank=(kappa, U, Vt),
+        )
+        precond = _WoodburyPrecond(op_lr)
+        if dsa is not None:
+            from .dsa import DSAPrecond
+
+            precond = DSAPrecond(precond, *dsa)
+        return precond
+
+    def solve_adjoint(
+        self, functional, param_keys=(), bc_keys=(),
+        max_iterations: int = 400, relative_tolerance: float = 1e-10,
+    ):
+        """Reverse-mode gradients of a scalar functional of the converged
+        steady COMET distribution w.r.t. parameter fields and BC values —
+        every input's gradient from ONE transposed solve (the reference's
+        Tangent atype, models.cpp:10-74, is forward-only and needs a
+        sweep per input).
+
+        ``functional(f_interior) -> scalar`` ((n_interior, N) slice; it
+        may call ``self.moments`` / quadrature reductions — rowwise
+        jnp only).  ``param_keys``: keys of ``self.params`` (per-cell
+        fields come back on interior cells); ``bc_keys``: "group:entry"
+        strings (per-face gradient arrays).
+
+        The adjoint of the tangent's fixed-total-mass projection
+        P x = x - (<x, Vw>/m0) f* is applied to the functional gradient
+        (P^T y = y - (<y, f*>/m0) Vw) before the transposed-Jacobian
+        Krylov solve, so exact duality <grad, dp> == dJ(tangent(dp))
+        holds including the singular wall-bounded mass family.  The
+        primal's Woodbury(+DSA) preconditioner is reused transposed
+        (linear_transpose of its linear application)."""
+        self._comet_sens_check("solve_adjoint")
+        mesh = self.mesh
+        bcvals = self._resolve_bcvals()
+        f0 = self.state["f"]
+        p_keys = list(param_keys)
+        b_keys = list(bc_keys)
+        for k in p_keys:
+            if k not in self.params:
+                raise ConfigError(f"solve_adjoint: unknown param {k!r}")
+        for k in b_keys:
+            if k not in bcvals:
+                raise ConfigError(f"solve_adjoint: unknown BC entry {k!r}")
+        base_p = {k: self.params[k] for k in p_keys}
+        base_b = {k: bcvals[k] for k in b_keys}
+        V = mesh.cell_volume[:, None]
+        R_of = self._comet_R_of(mesh, bcvals)
+        op_plain = _KineticOperator(
+            mesh, self.params["dO"], self.params["dN"],
+            V / self.params["tau"][:, None],
+        )
+        dsa = (
+            self._build_dsa()
+            if bool(self.options.get("coarseAcceleration", True))
+            else None
+        )
+        n_int = mesh.n_interior_cells
+
+        from ..linear.base import TransposedOperator, TransposedPrecond
+        from ..linear.krylov import BiCGStab
+
+        @jax.jit
+        def adjoint():
+            gJ = jax.grad(lambda ff: functional(ff[:n_int]))(f0)
+            # transpose of the tangent's mass-family projection
+            w = jnp.asarray(self.quadrature.w, f0.dtype)
+            Vc = jnp.where(
+                op_plain.interior[:, 0] & op_plain.owned[:, 0],
+                mesh.cell_volume, 0.0,
+            )
+            vw = Vc[:, None] * w[None, :]
+            m0 = jnp.maximum(jnp.sum(Vc * (f0 @ w)), 1e-300)
+            gJp = gJ - (jnp.sum(gJ * f0) / m0) * vw
+            op = _JVPOperator(op_plain, lambda fv: R_of({}, {}, fv), f0)
+            precond = self._comet_precond(op_plain, f0, dsa)
+            solver = BiCGStab(
+                preconditioner=TransposedPrecond(precond, f0),
+                relative_tolerance=relative_tolerance,
+                max_iterations=max_iterations,
+            )
+            lam, _ = solver.solve_fn(
+                TransposedOperator(op), gJp, jnp.zeros_like(f0)
+            )
+            _, vjp_pb = jax.vjp(
+                lambda p, b: R_of(p, b, f0), base_p, base_b
+            )
+            return vjp_pb(lam)
+
+        gp, gb = adjoint()
+        out = {}
+        for k in p_keys:
+            g = np.asarray(gp[k])
+            out[k] = (
+                g[:n_int]
+                if g.ndim >= 1 and g.shape[0] == mesh.n_cells
+                else g
+            )
+        for k in b_keys:
+            out[k] = np.asarray(gb[k])
+        return out
+
     def solve_tangent(
         self, param_tangents=None, bc_tangents=None,
         max_iterations: int = 400, relative_tolerance: float = 1e-10,
@@ -1117,23 +1299,8 @@ class KineticModel(Model):
         (f -> s f); like the primal step, the tangent is projected onto
         the fixed-total-mass manifold.  Returns d(f) on interior cells,
         (n_interior, n_ordinates)."""
-        if not self._initialized:
-            raise ConfigError("call init() + advance() before solve_tangent")
+        self._comet_sens_check("solve_tangent")
         opts = self.options
-        if str(opts["solver"]).upper() != "COMET":
-            raise ConfigError("solve_tangent requires the COMET solver")
-        if opts["transient"]:
-            raise ConfigError("solve_tangent: steady states only")
-        if self._dist or self.ordinate_shards:
-            raise ConfigError(
-                "solve_tangent: single-device kinetic states only (use the "
-                "unsharded model for sensitivities)"
-            )
-        if "ib_pin" in self.params:
-            raise ConfigError(
-                "solve_tangent: not supported with an immersed boundary "
-                "(the tangent operator lacks the pinned closure rows)"
-            )
         mesh = self.mesh
         bcvals = self._resolve_bcvals()
         f0 = self.state["f"]
@@ -1158,20 +1325,7 @@ class KineticModel(Model):
         }
 
         V = mesh.cell_volume[:, None]
-
-        def R_of(p_sub, b_sub, fv):
-            params = dict(self.params, **p_sub)
-            bcv = dict(bcvals, **b_sub)
-            tau = params["tau"][:, None]
-            op = _KineticOperator(
-                mesh, params["dO"], params["dN"], V / tau
-            )
-            fg = self._refresh_ghosts(mesh, params, fv, bcv)
-            feq_v = self._equilibrium(fv)
-            res = V / tau * feq_v - op.mv(fv)
-            res = jnp.where(op.interior, res, fg - fv)
-            return jnp.where(op.owned, res, 0.0)
-
+        R_of = self._comet_R_of(mesh, bcvals)
         op_plain = _KineticOperator(
             mesh, self.params["dO"], self.params["dN"],
             V / self.params["tau"][:, None],
@@ -1190,33 +1344,9 @@ class KineticModel(Model):
                 (tan_p, tan_b),
             )
             op = _JVPOperator(op_plain, lambda fv: R_of({}, {}, fv), f0)
-            # rank-5 Woodbury preconditioner at the converged state (same
-            # construction as the primal step)
-            Vt = _psi_weights(self.quadrature, f0.dtype)
-            m = jnp.einsum("cn,na->ca", f0, Vt)
-            alive = (m[:, 0] > 1e-12) & op_plain.interior[:, 0] \
-                & op_plain.owned[:, 0]
-            m_safe = jnp.where(
-                alive[:, None],
-                m,
-                jnp.asarray([1.0, 0.0, 0.0, 0.0, 3.0], m.dtype)[None],
-            )
-            U = jax.vmap(jax.jacfwd(self._feq_of_moments))(m_safe)
-            U = jnp.where(alive[:, None, None], U, 0.0)
-            kappa = jnp.where(
-                alive[:, None], V / self.params["tau"][:, None], 0.0
-            )
-            op_lr = _KineticOperator(
-                mesh, self.params["dO"], self.params["dN"],
-                V / self.params["tau"][:, None], lowrank=(kappa, U, Vt),
-            )
+            precond = self._comet_precond(op_plain, f0, dsa)
             from ..linear.krylov import BiCGStab
 
-            precond = _WoodburyPrecond(op_lr)
-            if dsa is not None:
-                from .dsa import DSAPrecond
-
-                precond = DSAPrecond(precond, *dsa)
             solver = BiCGStab(
                 preconditioner=precond,
                 relative_tolerance=relative_tolerance,

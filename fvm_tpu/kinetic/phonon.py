@@ -511,18 +511,7 @@ class PhononModel(Model):
             for k, v in (bc_tangents or {}).items()
         }
 
-        def R_of(tau_db, b_sub, ev):
-            bcv = dict(bcvals, **b_sub)
-            tau = tau_db[None, :]
-            op = _KOp(mesh, self.params["dO"], self.params["dN"], V / tau)
-            eg = self._refresh_ghosts(mesh, self.params, ev, bcv)
-            Tv = self.temperature(ev)
-            e0v = jnp.tile(
-                self._e0_of_T(Tv)[:, None, :], (1, self.D, 1)
-            ).reshape(mesh.n_cells, self.D * B)
-            res = V / tau * e0v - op.mv(ev)
-            res = jnp.where(op.interior, res, eg - ev)
-            return jnp.where(op.owned, res, 0.0)
+        R_of = self._comet_R_of(mesh, bcvals)
 
         from .esbgk import _JVPOperator
         from .esbgk import _KineticOperator as _KOp
@@ -570,3 +559,110 @@ class PhononModel(Model):
         )
         _, dT = jax.jvp(lambda e: self.temperature(e), (e_st,), (de,))
         return np.asarray(dT[: self.mesh.n_interior_cells])
+
+    def _comet_R_of(self, mesh, bcvals):
+        """Steady phonon COMET residual as a pure closure of
+        (direction-band tau, BC overrides, full energy density incl.
+        ghosts) — jvp gives the tangent linearization, vjp the adjoint."""
+        from .esbgk import _KineticOperator as _KOp
+
+        V = mesh.cell_volume[:, None]
+        B = self.B
+
+        def R_of(tau_db, b_sub, ev):
+            bcv = dict(bcvals, **b_sub)
+            tau = tau_db[None, :]
+            op = _KOp(mesh, self.params["dO"], self.params["dN"], V / tau)
+            eg = self._refresh_ghosts(mesh, self.params, ev, bcv)
+            Tv = self.temperature(ev)
+            e0v = jnp.tile(
+                self._e0_of_T(Tv)[:, None, :], (1, self.D, 1)
+            ).reshape(mesh.n_cells, self.D * B)
+            res = V / tau * e0v - op.mv(ev)
+            res = jnp.where(op.interior, res, eg - ev)
+            return jnp.where(op.owned, res, 0.0)
+
+        return R_of
+
+    def solve_adjoint(
+        self, functional, param_keys=("tau",), bc_keys=(),
+        max_iterations: int = 2000, relative_tolerance: float = 1e-10,
+    ):
+        """Reverse-mode gradients of a scalar functional of the converged
+        steady COMET energy density w.r.t. the per-direction-band
+        relaxation times and BC values — every input from ONE transposed
+        solve (the reference's Tangent atype, models.cpp:10-74, is
+        forward-only).
+
+        ``functional(e_interior) -> scalar`` ((n_interior, D*B) slice;
+        it may call ``self.temperature`` — rowwise jnp only).  Returns
+        {"tau": (D*B,) gradient} plus per-face arrays for each
+        "group:entry" BC key.  Like ``solve_tangent``, the transposed
+        Krylov runs Jacobi-preconditioned BiCGStab — the primal's
+        Woodbury/DSA composition stagnates on the boundary-concentrated
+        profiles adjoint right-hand sides share with BC tangents."""
+        if not self._initialized:
+            raise ConfigError("call init() + advance() before solve_adjoint")
+        opts = self.options
+        if str(opts["solver"]).upper() != "COMET":
+            raise ConfigError("solve_adjoint requires the COMET solver")
+        if opts["transient"]:
+            raise ConfigError("solve_adjoint: steady states only")
+        if self._dist or self.ordinate_shards:
+            raise ConfigError(
+                "solve_adjoint: single-device phonon states only"
+            )
+        for k in param_keys:
+            if k != "tau":
+                raise ConfigError(
+                    f"phonon solve_adjoint: unknown param {k!r}"
+                )
+        mesh = self.mesh
+        bcvals = self._resolve_bcvals()
+        e_st = self.state["e"]
+        V = mesh.cell_volume[:, None]
+        tau0 = self._tau_db
+        b_keys = list(bc_keys)
+        for k in b_keys:
+            if k not in bcvals:
+                raise ConfigError(
+                    f"phonon solve_adjoint: unknown BC entry {k!r}"
+                )
+        base_b = {k: bcvals[k] for k in b_keys}
+        R_of = self._comet_R_of(mesh, bcvals)
+
+        from .esbgk import _JVPOperator
+        from .esbgk import _KineticOperator as _KOp
+        from ..linear.base import TransposedOperator
+        from ..linear.krylov import BiCGStab, JacobiSolver
+
+        op_plain = _KOp(
+            mesh, self.params["dO"], self.params["dN"],
+            V / tau0[None, :],
+        )
+        n_int = mesh.n_interior_cells
+
+        @jax.jit
+        def adjoint():
+            gJ = jax.grad(lambda ee: functional(ee[:n_int]))(e_st)
+            op = _JVPOperator(op_plain, lambda ev: R_of(tau0, {}, ev), e_st)
+            solver = BiCGStab(
+                preconditioner=JacobiSolver(sweeps=2),
+                relative_tolerance=relative_tolerance,
+                max_iterations=max_iterations,
+            )
+            lam, _ = solver.solve_fn(
+                TransposedOperator(op), gJ, jnp.zeros_like(e_st)
+            )
+            _, vjp_tb = jax.vjp(
+                lambda t, b: R_of(t, b, e_st), tau0, base_b
+            )
+            return vjp_tb(lam)
+
+        gt, gb = adjoint()
+        out = {}
+        if "tau" in param_keys:
+            out["tau"] = np.asarray(gt)
+        for k in b_keys:
+            out[k] = np.asarray(gb[k])
+        return out

@@ -89,17 +89,25 @@ def newton_operator(residual_fn, x):
 
 
 class TransposedOperator:
-    """A^T as a solver-facing operator (adjoint systems, single device).
+    """A^T as a solver-facing operator (adjoint systems).
 
     FVM matrices are structurally symmetric (owner/neighbor face pairs),
     so diag(A^T) == diag(A) and the Jacobi preconditioner is shared; the
-    matvec is the exact transpose via ELLMatrix.transpose_apply
-    (scatter-add).  Used by ``LinearSolver.transpose_solve_fn`` for the
-    reverse-mode path that the reference's forward-only Tangent atype
+    matvec is the EXACT transpose obtained by ``jax.linear_transpose`` of
+    ``A.mv`` — which covers the distributed operator too: the transpose of
+    the halo refresh (all_to_all + scatter) is the REVERSED exchange that
+    folds halo-slot cotangents back onto their owner cells, and the
+    transpose of the owned-row mask keeps each global row counted once.
+    Used by ``LinearSolver.transpose_solve_fn`` for the reverse-mode path
+    that the reference's forward-only Tangent atype
     (atypes/tangent_double/atype.h:10) has no counterpart for.
     """
 
     def __init__(self, A):
+        # the packed Pallas DIA kernel has no transpose rule; drop it so
+        # linear_transpose goes through the XLA roll path
+        if getattr(A, "dia_pk", None) is not None:
+            A = A.replace(dia_pk=None)
         self._A = A
 
     @property
@@ -107,7 +115,10 @@ class TransposedOperator:
         return self._A.n
 
     def mv(self, x):
-        return self._A.transpose_apply(x)
+        import jax
+
+        (y,) = jax.linear_transpose(self._A.mv, x)(x)
+        return y
 
     def dot(self, a, b):
         return self._A.dot(a, b)
@@ -123,6 +134,26 @@ class TransposedOperator:
 
     def jacobi_step(self, x, b, omega=1.0):
         return x + omega * self.diag_solve(b - self.mv(x))
+
+
+class TransposedPrecond:
+    """M^{-T} from a preconditioner that knows its own transpose.
+
+    Preconditioners expose ``precond_setup_T`` returning the transposed
+    application r -> M^{-T} r (exact for the closed-form Woodbury;
+    symmetric cycles reuse themselves) — exactly as good for the
+    transposed system as the original is for the primal.  Used by the
+    kinetic adjoint solves to reuse the Woodbury(+DSA) composition on
+    A^T.  (``jax.linear_transpose`` of the application is NOT usable
+    here: the Gauss-elimination small solves mix constant matrix columns
+    and linear rhs columns in one augmented array, which the linearity
+    checker rejects.)"""
+
+    def __init__(self, inner, example=None):
+        self._inner = inner
+
+    def precond_setup(self, op):
+        return self._inner.precond_setup_T(op)
 
 
 class LinearSolver:
@@ -149,14 +180,11 @@ class LinearSolver:
 
         AMG/ILU hierarchies are set up for A, not A^T, so the adjoint
         path runs Jacobi-preconditioned BiCGStab on the exact transpose
-        operator (the two share the diagonal).  Single-device only: a
-        distributed transpose would need reversed halo exchange.
+        operator (the two share the diagonal).  Works distributed too:
+        ``TransposedOperator.mv`` transposes the halo exchange (reversed
+        all_to_all folding halo cotangents onto owners) and the Krylov
+        reductions psum across shards exactly as in the forward solve.
         """
-        if getattr(A, "axis_name", None) is not None:
-            raise NotImplementedError(
-                "transpose (adjoint) solves are single-device; gather the "
-                "state with Partition.gather_cells and rebuild undistributed"
-            )
         from .krylov import BiCGStab, JacobiSolver
 
         solver = BiCGStab(

@@ -556,19 +556,16 @@ class BatteryModel(Model):
         (n_interior, 2) = (c, phi) in transient mode.  ``param_keys``:
         any float params key ('sigma', 'D', 'U0' fields; 'i0', 'alphaA',
         'alphaC', 'T', 'kReact', 'csMax' scalars — scalar gradients come
-        back as floats).  Single-device only."""
+        back as floats).  Distributed too: the reverse pass runs under
+        shard_map (reversed halo exchanges, psum'd transposed Krylov);
+        the functional then sees the shard-local owned-interior rows and
+        must be sum-decomposable."""
         if not self._initialized:
             raise ConfigError("call init() + advance() before solve_adjoint")
-        if self._dist:
-            raise ConfigError(
-                "solve_adjoint is single-device; gather and rebuild "
-                "undistributed"
-            )
         mesh = self.mesh
         bcvals = self._resolve_bcvals()
         solver = self.options["linearSolver"]
         coupled = self.options["transient"]
-        n_int = mesh.n_interior_cells
         state = self.state
         for k in param_keys:
             if k not in self.params:
@@ -580,44 +577,83 @@ class BatteryModel(Model):
                 raise ConfigError(
                     f"{self.name}.solve_adjoint: unknown BC entry {k!r}"
                 )
-        base_p = {k: self.params[k] for k in param_keys}
-        base_b = {k: bcvals[k] for k in bc_keys}
 
-        @jax.jit
-        def adjoint():
+        def adjoint_local(lmesh, params_all, lstate, lbcvals):
+            n_int = lmesh.n_interior_cells
             if coupled:
-                u = jnp.stack([state["c"], state["phi"]], axis=1)
+                u = jnp.stack([lstate["c"], lstate["phi"]], axis=1)
             else:
-                u = state["phi"]
-            (Ac, Ap), _ = self._system(mesh, self.params, state, bcvals, u)
+                u = lstate["phi"]
+            u = maybe_sync(lmesh, u)
+            (Ac, Ap), _ = self._system(lmesh, params_all, lstate, lbcvals, u)
             opT = self._newton_op(
-                mesh, self.params, state, bcvals, u, Ac, Ap, transpose=True
+                lmesh, params_all, lstate, lbcvals, u, Ac, Ap, transpose=True
             )
             gJ = jax.grad(lambda uu: functional(uu[:n_int]))(u)
+            # dead padded cells are frozen -> zero functional cotangent
+            alive = lmesh.cf_mask.any(axis=1)
+            gJ = jnp.where(alive[:, None] if gJ.ndim == 2 else alive, gJ, 0.0)
             lam, _ = solver.solve_fn(opT, gJ, jnp.zeros_like(gJ))
+
+            base_p = {k: params_all[k] for k in param_keys}
+            base_b = {k: lbcvals[k] for k in bc_keys}
 
             def r_of(p_sub, b_sub):
                 return self._system(
-                    mesh, dict(self.params, **p_sub), state,
-                    dict(bcvals, **b_sub), u,
+                    lmesh, dict(params_all, **p_sub), lstate,
+                    dict(lbcvals, **b_sub), u,
                 )[1]
 
             _, vjp_pb = jax.vjp(r_of, base_p, base_b)
-            return vjp_pb(lam)
+            gp, gb = vjp_pb(lam)
 
-        gp, gb = adjoint()
+            # fold ghost/halo cotangents of CELL params onto owners;
+            # scalar params keep their per-shard contribution (summed on
+            # the host after gathering)
+            def fold(ref, g):
+                if jnp.asarray(ref).ndim == 0:
+                    return g
 
-        def fold(ref, g):
-            ref = jnp.asarray(ref)
-            if ref.ndim == 0:
-                return float(g)
-            pad = lambda v: self._pad_cell_tangent(ref, v)
-            (gi,) = jax.linear_transpose(
-                pad, jnp.zeros((n_int,) + tuple(ref.shape[1:]), ref.dtype)
-            )(g)
-            return np.asarray(gi)
+                def fwd(v_int):
+                    v = jnp.zeros(ref.shape, ref.dtype).at[:n_int].set(v_int)
+                    v = maybe_sync(lmesh, v)
+                    return bck.extend_to_ghosts(lmesh, v)
 
-        out = {k: fold(self.params[k], gp[k]) for k in param_keys}
+                (gi,) = jax.linear_transpose(
+                    fwd,
+                    jnp.zeros(
+                        (n_int,) + tuple(ref.shape[1:]), ref.dtype
+                    ),
+                )(g)
+                return gi
+
+            return {k: fold(params_all[k], gp[k]) for k in param_keys}, gb
+
+        if self._dist:
+            mapped = self._smap_cells(adjoint_local)
+            gp, gb = mapped(mesh, self.params, state, bcvals)
+            part = self.partition
+            out = {}
+            for k in param_keys:
+                g = np.asarray(gp[k])
+                if np.asarray(self.params[k]).ndim <= 1 and g.ndim == 1:
+                    out[k] = float(g.sum())  # scalar: sum shard parts
+                else:
+                    out[k] = part.gather_cells(g)
+            for k in bc_keys:
+                out[k] = part.gather_bc(k.split(":")[0], gb[k])
+            return out
+        gp, gb = jax.jit(
+            lambda: adjoint_local(mesh, self.params, state, bcvals)
+        )()
+        out = {}
+        for k in param_keys:
+            g = gp[k]
+            out[k] = (
+                float(g)
+                if jnp.asarray(self.params[k]).ndim == 0
+                else np.asarray(g)
+            )
         for k in bc_keys:
             out[k] = np.asarray(gb[k])
         return out

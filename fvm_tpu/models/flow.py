@@ -902,7 +902,7 @@ class FlowModel(Model):
         )
         return np.asarray(dF)
 
-    def _adjoint_grads(self, functional, param_keys, bc_keys, niter):
+    def _adjoint_grads(self, functional, param_keys, bc_keys, niter, aux=None):
         """Reverse-mode engine: at the converged SIMPLE fixed point
         s* = G(s*, p), the adjoint u solves (I - dG/ds^T) u = dJ/ds by
         the transposed fixed-point iteration (same contraction rate as
@@ -911,14 +911,15 @@ class FlowModel(Model):
         every requested parameter from ONE reverse sweep, where the
         forward Tangent atype costs one sweep per input direction.
 
-        ``functional(state, params, bcvals) -> scalar``."""
+        ``functional(lmesh, state, params, bcvals, aux) -> scalar`` is
+        evaluated on the (shard-)local state; under a Partition the whole
+        reverse sweep runs per shard inside shard_map (the vjp of every
+        halo refresh is the reversed all_to_all, the transposed Krylov
+        solves psum), the per-shard functional contributions are
+        implicitly summed by the collective transposes, so the functional
+        must be sum-decomposable over cells/faces."""
         if not self._initialized:
             raise ConfigError("call init() + advance() before solve_adjoint")
-        if self._dist:
-            raise ConfigError(
-                "solve_adjoint is single-device (transpose solves need "
-                "reversed halo exchange); gather and rebuild undistributed"
-            )
         mesh = self.mesh
         bcvals = self._resolve_bcvals()
         for k in param_keys:
@@ -931,52 +932,104 @@ class FlowModel(Model):
                 raise ConfigError(
                     f"FlowModel.solve_adjoint: unknown BC entry {k!r}"
                 )
-        base_p = {k: self.params[k] for k in param_keys}
-        base_b = {k: bcvals[k] for k in bc_keys}
         step_t = self._build_step(implicit="transposable")
         time_keys = [k for k in self.state if k.endswith(("_N1", "_N2"))]
-        state = self.state
-        n_int = mesh.n_interior_cells
+        if aux is None:
+            aux = jnp.zeros(
+                ((mesh.n_shards, 1) if self._dist else (1,)), jnp.bool_
+            )
 
-        @jax.jit
-        def run():
+        def adjoint_fn(lmesh, params_all, lstate, lbcvals, laux):
+            n_cells = lmesh.n_cells
+            base_p = {k: params_all[k] for k in param_keys}
+            base_b = {k: lbcvals[k] for k in bc_keys}
+
+            # spurious 0*inf NaNs the reverse pass deposits on padded
+            # dummy/halo rows must not feed back through the scan: the
+            # true cotangent of every non-owned CELL row is 0 (the step
+            # refreshes them from owners; the sync vjp already routed
+            # their contributions back)
+            owned = jnp.arange(n_cells) < lmesh.n_owned_cells
+
+            def mask_state(t):
+                def mk(a):
+                    if a.ndim >= 1 and a.shape[0] == n_cells:
+                        m = owned.reshape((n_cells,) + (1,) * (a.ndim - 1))
+                        return jnp.where(m, a, 0.0)
+                    return a
+
+                return jax.tree.map(mk, t)
+
+            # dead padded interior cells (uneven partitions) are frozen:
+            # their functional cotangent is 0
+            alive = lmesh.cf_mask.any(axis=1)
+
             def G(s, p_sub, b_sub):
                 new_s, _ = step_t(
-                    mesh, dict(self.params, **p_sub), s,
-                    dict(bcvals, **b_sub),
+                    lmesh, dict(params_all, **p_sub), s,
+                    dict(lbcvals, **b_sub),
                 )
                 return dict(new_s, **{k: s[k] for k in time_keys})
 
             def J(s, p_sub, b_sub):
                 return functional(
-                    s, dict(self.params, **p_sub), dict(bcvals, **b_sub)
+                    lmesh, s, dict(params_all, **p_sub),
+                    dict(lbcvals, **b_sub), laux,
                 )
 
             gs, gp0, gb0 = jax.grad(J, argnums=(0, 1, 2))(
-                state, base_p, base_b
+                lstate, base_p, base_b
             )
-            _, vjp_G = jax.vjp(G, state, base_p, base_b)
+            gs = mask_state(gs)
+            gs = dict(
+                gs,
+                velocity=jnp.where(alive[:, None], gs["velocity"], 0.0),
+                pressure=jnp.where(alive, gs["pressure"], 0.0),
+            )
+            _, vjp_G = jax.vjp(G, lstate, base_p, base_b)
 
             def body(u, _):
                 us, _, _ = vjp_G(u)
-                return jax.tree.map(jnp.add, us, gs), None
+                return jax.tree.map(jnp.add, mask_state(us), gs), None
 
             u, _ = jax.lax.scan(body, gs, None, length=niter)
             _, up, ub = vjp_G(u)
             gp = jax.tree.map(jnp.add, up, gp0)
             gb = jax.tree.map(jnp.add, ub, gb0)
-            return gp, gb
 
-        gp, gb = run()
+            # fold ghost/halo parameter cotangents onto interior owners
+            def fold(ref, g):
+                def fwd(v_int):
+                    v = jnp.zeros(ref.shape, ref.dtype).at[
+                        : lmesh.n_interior_cells
+                    ].set(v_int)
+                    v = maybe_sync(lmesh, v)
+                    return bck.extend_to_ghosts(lmesh, v)
 
-        def fold(ref, g):
-            pad = lambda v: self._pad_cell_tangent(ref, v)
-            (gi,) = jax.linear_transpose(
-                pad, jnp.zeros((n_int,) + tuple(ref.shape[1:]), ref.dtype)
-            )(g)
-            return np.asarray(gi)
+                (gi,) = jax.linear_transpose(
+                    fwd,
+                    jnp.zeros(
+                        (lmesh.n_interior_cells,) + tuple(ref.shape[1:]),
+                        ref.dtype,
+                    ),
+                )(g)
+                return gi
 
-        out = {k: fold(self.params[k], gp[k]) for k in param_keys}
+            out_p = {k: fold(params_all[k], gp[k]) for k in param_keys}
+            return out_p, gb
+
+        if self._dist:
+            mapped = self._smap_cells(adjoint_fn)
+            gp, gb = mapped(mesh, self.params, self.state, bcvals, aux)
+            part = self.partition
+            out = {k: part.gather_cells(v) for k, v in gp.items()}
+            for k in bc_keys:
+                out[k] = part.gather_bc(k.split(":")[0], gb[k])
+            return out
+        gp, gb = jax.jit(adjoint_fn)(
+            mesh, self.params, self.state, bcvals, aux
+        )
+        out = {k: np.asarray(v) for k, v in gp.items()}
         out.update({k: np.asarray(gb[k]) for k in bc_keys})
         return out
 
@@ -987,11 +1040,13 @@ class FlowModel(Model):
         w.r.t. parameter FIELDS ('mu'/'rho', gradients on interior cells)
         and BC values ('group:entry', per-face arrays) at the converged
         state.  One adjoint sweep for all inputs (the reference's Tangent
-        atype is forward-only, models.cpp:10-74).  Single-device; use
-        ``niter`` ~ the primal SIMPLE iteration count."""
-        wrapped = lambda s, params, b: functional(
-            s["velocity"][: self.mesh.n_interior_cells],
-            s["pressure"][: self.mesh.n_interior_cells],
+        atype is forward-only, models.cpp:10-74).  Use ``niter`` ~ the
+        primal SIMPLE iteration count.  Distributed too: the functional
+        then sees the shard-local owned-interior values (dead padded
+        cells zero) and must be sum-decomposable."""
+        wrapped = lambda lmesh, s, params, b, aux: functional(
+            s["velocity"][: lmesh.n_interior_cells],
+            s["pressure"][: lmesh.n_interior_cells],
         )
         return self._adjoint_grads(wrapped, param_keys, bc_keys, niter)
 
@@ -1002,7 +1057,9 @@ class FlowModel(Model):
         """Reverse-mode d(F . direction)/d(params, BCs) on a boundary
         group — the design-optimization complement of
         ``solve_tangent_force``: drag gradients w.r.t. the whole
-        viscosity field and every BC knob from one adjoint solve."""
+        viscosity field and every BC knob from one adjoint solve.
+        Distributed too: the force functional is evaluated per shard on
+        its owned (valid-masked) group faces."""
         mesh = self.mesh
         g = (
             mesh.group_by_name(group_name)
@@ -1012,26 +1069,33 @@ class FlowModel(Model):
         if direction is None:
             direction = [1.0] + [0.0] * (mesh.dim - 1)
         dvec = jnp.asarray(direction, self.params["mu"].dtype)
+        sl = mesh.group_faces(g)
+        has_gc = "grad_coeff" in self.params
+        aux = (
+            self.partition.group_valid_mask(g[1]) if self._dist else None
+        )
 
-        def functional(s, params, b):
-            def face_force(m, V, p, mu, grad_coeff=None):
-                mu_f = disc.harmonic_face_gamma(m, mu)
-                gradV = (
-                    gradient(m, grad_coeff, V)
-                    if grad_coeff is not None
-                    else None
-                )
-                dflux = disc.diffusion_flux(m, V, mu_f, gradV)
-                p_f = assembly.cells_to_faces_distance_weighted(m, p)
-                return dflux.F + p_f[:, None] * m.face_area
+        def functional(lmesh, s, params, b, valid):
+            mu = params["mu"]
+            mu_f = disc.harmonic_face_gamma(lmesh, mu)
+            gradV = (
+                gradient(lmesh, params["grad_coeff"], s["velocity"])
+                if has_gc
+                else None
+            )
+            dflux = disc.diffusion_flux(lmesh, s["velocity"], mu_f, gradV)
+            p_f = assembly.cells_to_faces_distance_weighted(
+                lmesh, s["pressure"]
+            )
+            F = dflux.F + p_f[:, None] * lmesh.face_area
+            Fg = F[sl]
+            if self._dist:
+                Fg = jnp.where(valid[:, None], Fg, 0.0)
+            return jnp.dot(jnp.sum(Fg, axis=0), dvec)
 
-            args = (s["velocity"], s["pressure"], params["mu"])
-            if "grad_coeff" in self.params:
-                args = args + (self.params["grad_coeff"],)
-            F = self._map_mesh(face_force, *args)
-            return jnp.dot(self._sum_group(g, F), dvec)
-
-        return self._adjoint_grads(functional, param_keys, bc_keys, niter)
+        return self._adjoint_grads(
+            functional, param_keys, bc_keys, niter, aux=aux
+        )
 
     def advanceCoupled(self, niter: int = 1) -> ResidualHistory:
         """Fully coupled pressure-velocity advance (reference

@@ -101,12 +101,33 @@ def promote_state(src, dst) -> None:
         or src.mesh.n_faces != dst.mesh.n_faces
     ):
         raise ValueError("promote_state: meshes differ in shape")
-    for key, val in src.state.items():
+    restore_state(dst, snapshot_state(src))
+
+
+def snapshot_state(src) -> dict:
+    """Pull a model's device state to host numpy (promote_state's read
+    half).  Use snapshot -> free the source model -> build the
+    destination -> restore when BOTH models' device buffers would not fit
+    in HBM at once (measured: f32+f64 1M-cell model pairs coexisting
+    crash the 16GB v5e worker during the f64 Newton-polish handoff)."""
+    return {
+        k: np.asarray(v)
+        for k, v in src.state.items()
+        if hasattr(v, "dtype")
+    }
+
+
+def restore_state(dst, snap: dict) -> None:
+    """Write a host state snapshot into a model, casting to its dtypes
+    (promote_state's write half; host cast — device dtype conversions
+    remote-compile on the axon backend)."""
+    for key, host in snap.items():
         if key not in dst.state or not hasattr(dst.state[key], "dtype"):
             continue
         tgt = dst.state[key]
-        host = np.asarray(val).astype(np.dtype(tgt.dtype))
-        dst.state[key] = jnp.asarray(host.reshape(tgt.shape))
+        dst.state[key] = jnp.asarray(
+            host.astype(np.dtype(tgt.dtype)).reshape(tgt.shape)
+        )
 
 
 class _HostMeshShim:

@@ -142,6 +142,12 @@ class PlateModel(Model):
         # the structure model)
         gradu = gradient(mesh, params["grad_coeff"], u)  # (nc, 3, 2)
         gradu = bck.extend_to_ghosts(mesh, gradu)
+        # halo-cell LS stencils are incomplete on a shard: sync the OWNER
+        # gradients so seam faces read exact neighbor gradients (the
+        # cell-valued-crosses-faces invariant; without this the dist
+        # Jacobian differs ~1e-5 at seams and tangent/adjoint solves
+        # inherit the error even though the primal root still matches)
+        gradu = maybe_sync(mesh, gradu)
         Gf = assembly.cells_to_faces_distance_weighted(mesh, gradu)
         d = mesh.face_ds
         d2m = jnp.maximum(jnp.sum(d * d, axis=1), 1e-300)
@@ -365,7 +371,9 @@ class PlateModel(Model):
         ``u_interior`` (n_interior, 3) = (beta_x, beta_y, w).
         ``param_keys``: 'D', 'S', 'q', ... or VC-level 'ym' /
         'thickness' / 'nu_vc' (chain-ruled through D = Eh^3/12(1-nu^2),
-        S = kappa G h).  Single-device only."""
+        S = kappa G h).  Distributed too (shard_map reverse pass; the
+        functional sees shard-local owned-interior rows and must be
+        sum-decomposable)."""
         from .sensitivity import jfnk_adjoint
 
         kappa = float(self.options["shearCorrection"])

@@ -92,23 +92,26 @@ def jfnk_adjoint(
     design variables through a property closure:
     ``(inputs_dict, props_fn)`` with ``props_fn(inputs) -> params
     sub-dict`` (e.g. (E, nu) -> (mu, lam)); requested keys found in
-    ``inputs_dict`` are chain-ruled by vjp.  Single-device only.
+    ``inputs_dict`` are chain-ruled by vjp.
+
+    Distributed: the adjoint runs per shard inside shard_map — the vjp of
+    the residual transposes every halo refresh into the reversed
+    all_to_all, the transposed-Jacobian Krylov psums its reductions, and
+    ghost/halo parameter cotangents are folded back onto their owner
+    cells.  The functional receives the SHARD-LOCAL owned-interior rows
+    (dead padded cells zero) and is summed over shards, so it must be
+    sum-decomposable.
     """
     from ..linear.base import MatrixFreeOperator
+    from ..ops.halo import maybe_sync
 
     if not model._initialized:
         raise ConfigError("call init() + advance() before solve_adjoint")
-    if model._dist:
-        raise ConfigError(
-            "solve_adjoint is single-device; gather and rebuild "
-            "undistributed"
-        )
     mesh = model.mesh
     bcvals = model._resolve_bcvals()
     solver = model.options["linearSolver"]
     n_int = mesh.n_interior_cells
     state = model.state
-    w = state[var]
 
     chain_inputs, props_fn = chain or ({}, None)
     chain_keys = [k for k in param_keys if k in chain_inputs]
@@ -127,42 +130,91 @@ def jfnk_adjoint(
             raise ConfigError(
                 f"{model.name}.solve_adjoint: unknown BC entry {k!r}"
             )
-    base_p = {k: model.params[k] for k in need}
-    base_b = {k: bcvals[k] for k in bc_keys}
 
-    @jax.jit
-    def adjoint():
-        Rfn = lambda ww: system(mesh, model.params, state, bcvals, ww)[1]
-        A, _ = system(mesh, model.params, state, bcvals, w)
+    def adjoint_local(lmesh, params_all, lstate, lbcvals, chain_ins):
+        """The whole reverse pass for one shard (or the single device):
+        lambda solve + parameter/BC vjp + owner folding.  All collectives
+        (halo sync forward, reversed exchange in transposes, psum
+        reductions) happen inside, so this body is shard_map-able as is."""
+        w = maybe_sync(lmesh, lstate[var])
+        lstate = dict(lstate, **{var: w})
+        Rfn = lambda ww: system(
+            lmesh, params_all, lstate, lbcvals, maybe_sync(lmesh, ww)
+        )[1]
+        A, _ = system(lmesh, params_all, lstate, lbcvals, w)
         _, vjp_w = jax.vjp(Rfn, w)
-        opT = MatrixFreeOperator(lambda u: -vjp_w(u)[0], A)
-        gJ = jax.grad(lambda ww: functional(ww[:n_int]))(w)
+
+        # the global transposed Jacobian maps owned rows -> owned rows
+        # (halo inputs are refreshed from owners by the sync whose vjp
+        # routes their cotangents back); spurious 0*inf NaNs the raw vjp
+        # deposits on the padded dummy row must not reach the Krylov
+        # reductions — mask to owned rows, which is the exact transpose
+        def mvT(u):
+            y = -vjp_w(u)[0]
+            return A._mask_owned(y) if hasattr(A, "_mask_owned") else y
+
+        opT = MatrixFreeOperator(mvT, A)
+        gJ = jax.grad(lambda ww: functional(ww[: lmesh.n_interior_cells]))(w)
+        # dead padded cells (uneven partitions) have zero Jacobian rows:
+        # their values are frozen, so their true functional gradient is 0
+        alive = lmesh.cf_mask.any(axis=1)
+        gJ = jnp.where(alive[:, None] if gJ.ndim == 2 else alive, gJ, 0.0)
         lam, _ = solver.solve_fn(opT, gJ, jnp.zeros_like(gJ))
+
+        base_p = {k: params_all[k] for k in need}
+        base_b = {k: lbcvals[k] for k in bc_keys}
 
         def r_of(p_sub, b_sub):
             return system(
-                mesh, dict(model.params, **p_sub), state,
-                dict(bcvals, **b_sub), w,
+                lmesh, dict(params_all, **p_sub), lstate,
+                dict(lbcvals, **b_sub), w,
             )[1]
 
         _, vjp_pb = jax.vjp(r_of, base_p, base_b)
-        return vjp_pb(lam)
+        gp, gb = vjp_pb(lam)
 
-    gp, gb = adjoint()
+        # fold ghost/halo cotangents back onto interior owners: transpose
+        # of (interior values -> halo refresh -> ghost extension), the
+        # same extension the forward tangent applies to its directions
+        def fold(ref, g):
+            def fwd(v_int):
+                v = jnp.zeros(ref.shape, ref.dtype).at[
+                    : lmesh.n_interior_cells
+                ].set(v_int)
+                v = maybe_sync(lmesh, v)
+                return bck.extend_to_ghosts(lmesh, v)
 
-    def fold(ref, g):
-        pad = lambda v: model._pad_cell_tangent(ref, v)
-        (gi,) = jax.linear_transpose(
-            pad, jnp.zeros((n_int,) + tuple(ref.shape[1:]), ref.dtype)
-        )(g)
-        return np.asarray(gi)
+            (gi,) = jax.linear_transpose(
+                fwd,
+                jnp.zeros(
+                    (lmesh.n_interior_cells,) + tuple(ref.shape[1:]),
+                    ref.dtype,
+                ),
+            )(g)
+            return gi
 
-    out = {k: fold(model.params[k], gp[k]) for k in direct}
-    if chain_keys:
-        _, vjp_props = jax.vjp(props_fn, chain_inputs)
-        (gins,) = vjp_props({k: gp[k] for k in prop_out})
-        for k in chain_keys:
-            out[k] = fold(chain_inputs[k], gins[k])
+        out_p = {k: fold(params_all[k], gp[k]) for k in direct}
+        if chain_keys:
+            _, vjp_props = jax.vjp(props_fn, chain_ins)
+            (gins,) = vjp_props({k: gp[k] for k in prop_out})
+            for k in chain_keys:
+                out_p[k] = fold(chain_ins[k], gins[k])
+        return out_p, gb
+
+    chain_ins = chain_inputs if chain_keys else {}
+    if model._dist:
+        mapped = model._smap_cells(adjoint_local)
+        out_p, gb = mapped(mesh, model.params, state, bcvals, chain_ins)
+        part = model.partition
+        out = {k: part.gather_cells(v) for k, v in out_p.items()}
+        for k in bc_keys:
+            out[k] = part.gather_bc(k.split(":")[0], gb[k])
+        return out
+    fn = jax.jit(
+        lambda: adjoint_local(mesh, model.params, state, bcvals, chain_ins)
+    )
+    out_p, gb = fn()
+    out = {k: np.asarray(v) for k, v in out_p.items()}
     for k in bc_keys:
         out[k] = np.asarray(gb[k])
     return out
@@ -214,7 +266,15 @@ class TangentMixin:
         Returns ``{key: (n_interior,) gradient}`` (gradients of ghost
         copies are chain-ruled back onto their interior owners, matching
         how ``solve_tangent`` extends interior directions to ghosts).
-        Single-device only.
+
+        Distributed: the whole reverse pass runs per shard inside
+        shard_map — the vjp of every halo refresh is the REVERSED
+        all_to_all that folds halo cotangents back onto owner cells, and
+        the transposed Krylov solve psums its reductions exactly like the
+        forward solve.  The functional then receives the SHARD-LOCAL
+        owned-interior values and its per-shard results are psum'd, so it
+        must be sum-decomposable over cells (integrals/sums are; medians
+        are not).  Dead padded cells carry zero values.
         """
         return self._adjoint_impl(
             self.var, self._linearize, self.options["linearSolver"],
@@ -362,17 +422,64 @@ class TangentMixin:
     def _adjoint_impl(self, var, linearize, solver, functional, param_keys):
         if not self._initialized:
             raise ConfigError("call init() + advance() before solve_adjoint")
-        if self._dist:
-            raise ConfigError(
-                "solve_adjoint is single-device (a distributed transpose "
-                "needs reversed halo exchange); gather with "
-                "Partition.gather_cells and rebuild undistributed"
-            )
         mesh = self.mesh
         bcvals = self._resolve_bcvals()
         state = self.state
         n_int = mesh.n_interior_cells
         keys = list(param_keys)
+        import inspect
+
+        with_params = len(inspect.signature(functional).parameters) >= 2
+
+        if self._dist:
+            # Whole reverse pass per shard inside shard_map: build the
+            # per-shard param field differentiably from OWNED interior
+            # values (halo refresh + ghost extension are both linear and
+            # transposable), psum the functional, grad.  The vjp routes
+            # ghost cotangents to local owners (extend_to_ghosts transpose)
+            # and halo cotangents to remote owners (all_to_all transpose);
+            # the custom_linear_solve transpose runs the psum'd Krylov on
+            # the reversed-halo operator (linear/base.TransposedOperator).
+            from ..ops.halo import maybe_sync
+
+            def local_fn(lmesh, params_all, lstate, lbcvals):
+                def build(k, v_int):
+                    ref = params_all[k]
+                    v = jnp.zeros(ref.shape, ref.dtype).at[:n_int].set(
+                        v_int.astype(ref.dtype)
+                    )
+                    v = maybe_sync(lmesh, v)
+                    return bck.extend_to_ghosts(lmesh, v)
+
+                def obj(p_int):
+                    params = dict(
+                        params_all, **{k: build(k, v) for k, v in p_int.items()}
+                    )
+                    A, r = linearize(lmesh, params, lstate, lbcvals)
+                    dx, _ = solver.solve_fn_implicit(
+                        A, r, jnp.zeros_like(r), transposable=True
+                    )
+                    x = lstate[var] + dx
+                    # return the LOCAL contribution J_d, no psum: jax.grad
+                    # inside shard_map seeds 1.0 on every shard's output,
+                    # which collectively IS the cotangent of sum_d J_d —
+                    # the transposed all_to_alls route every cross-shard
+                    # pathway (a psum here would double-count under the
+                    # vma-unchecked psum transpose)
+                    return (
+                        functional(x[:n_int], params)
+                        if with_params
+                        else functional(x[:n_int])
+                    )
+
+                base = {k: params_all[k][:n_int] for k in keys}
+                return jax.grad(obj)(base)
+
+            mapped = self._smap_cells(local_fn)
+            grads = mapped(mesh, self.params, state, bcvals)
+            return {
+                k: self.partition.gather_cells(v) for k, v in grads.items()
+            }
 
         # Differentiate over INTERIOR parameter values, applying the same
         # interior->ghost extension solve_tangent uses for its directions:
@@ -391,10 +498,6 @@ class TangentMixin:
         # functionals may take (x_interior,) or (x_interior, params) — the
         # latter captures EXPLICIT parameter dependence (e.g. a heat-flux
         # integral contains k itself, not just T)
-        import inspect
-
-        with_params = len(inspect.signature(functional).parameters) >= 2
-
         def obj(p_int):
             params = dict(
                 self.params, **{k: pad(k, v) for k, v in p_int.items()}

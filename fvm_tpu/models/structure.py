@@ -432,7 +432,11 @@ class StructureModel(Model):
         chain-ruled through the Lame map).  ``bc_keys``: 'group:entry'
         strings as in solve_tangent; their gradients are per-face arrays
         (sum them for a scalar BC knob).  Returns {key: gradient}; cell
-        parameters come back on interior cells.  Single-device only.
+        parameters come back on interior cells.  Distributed too: the
+        reverse pass runs under shard_map (reversed halo exchanges,
+        psum'd transposed Krylov); the functional then sees the
+        shard-local owned-interior rows and must be sum-decomposable
+        (sums/integrals yes, means no).
         """
         from .sensitivity import jfnk_adjoint
 

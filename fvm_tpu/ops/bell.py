@@ -115,6 +115,12 @@ class BlockELLMatrix:
     def norm(self, x):
         return jnp.sqrt(self.psum(jnp.sum(x * x)))
 
+    def _mask_owned(self, y):
+        if self.n_owned is not None and self.n_owned < self.n:
+            owned = jnp.arange(self.n) < self.n_owned
+            y = jnp.where(owned if y.ndim == 1 else owned[:, None], y, 0.0)
+        return y
+
     def mv(self, x: jnp.ndarray) -> jnp.ndarray:
         x = self.sync(x)
         xn = x[self.cols]  # (n, K, B)
@@ -122,10 +128,7 @@ class BlockELLMatrix:
         y = jnp.einsum("nij,nj->ni", self.diag, x) + jnp.einsum(
             "nkij,nkj->ni", off, xn
         )
-        if self.n_owned is not None and self.n_owned < self.n:
-            owned = (jnp.arange(self.n) < self.n_owned)[:, None]
-            y = jnp.where(owned, y, 0.0)
-        return y
+        return self._mask_owned(y)
 
     def diag_solve(self, r: jnp.ndarray) -> jnp.ndarray:
         return jnp.einsum("nij,nj->ni", small_inv(self.diag), r)

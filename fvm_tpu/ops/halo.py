@@ -43,7 +43,13 @@ def halo_exchange(x: jnp.ndarray, spec: HaloSpec, axis_name: str) -> jnp.ndarray
     recv = jax.lax.all_to_all(send, axis_name, split_axis=0, concat_axis=0)
     flat_idx = recv_idx.reshape(-1)
     flat = recv.reshape((-1,) + recv.shape[2:])
-    return x.at[flat_idx].set(flat, mode="drop")
+    # unique_indices: each halo slot receives from exactly one peer; padded
+    # entries share the out-of-range index but are dropped (and the scatter
+    # TRANSPOSE zero-fills their gather) — this makes the exchange linear-
+    # transposable, which reverse-mode (adjoint) solves rely on: the vjp of
+    # an all_to_all halo refresh is the reversed exchange that folds halo
+    # cotangents back onto their owner cells.
+    return x.at[flat_idx].set(flat, mode="drop", unique_indices=True)
 
 
 def gsum(mesh, v):

@@ -539,6 +539,19 @@ class Partition:
             return jnp.asarray(out, config.dtype)
         return jnp.asarray(out)
 
+    def gather_bc(self, group_name: str, stacked) -> np.ndarray:
+        """Stacked per-shard per-group face arrays (S, L_grp, ...) ->
+        global per-face array for the group (inverse of scatter_bc;
+        padded local slots are dropped).  Used to assemble global BC
+        gradients from per-shard adjoint cotangents."""
+        g = [g for g in self._bgroups if g.name == group_name][0]
+        stacked = np.asarray(stacked)
+        out = np.zeros((g.count,) + stacked.shape[2:], stacked.dtype)
+        for d in range(self.n_shards):
+            pos = self._grp_global_pos[(d, group_name)]
+            out[pos] = stacked[d, : len(pos)]
+        return out
+
     def periodic_group_src(self, group_name: str) -> np.ndarray:
         """(S, L_grp) stacked LOCAL partner-owner cell per ghost of a
         Periodic boundary group, padded with the dummy cell.  Row order

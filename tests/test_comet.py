@@ -235,3 +235,56 @@ def test_phonon_solve_tangent_vs_fd():
     # sanity: the left-wall influence is strongest at the left wall
     x = np.asarray(m.mesh.cell_centroid)[:ni, 0]
     assert dTb[np.argmin(x)] > dTb[np.argmax(x)]
+
+
+def test_phonon_solve_adjoint_duality():
+    """PhononModel.solve_adjoint: exact duality <grad, direction> ==
+    dJ(solve_tangent(direction)) for a total-lattice-temperature
+    functional on a gray Isothermal slab — per-direction-band tau
+    gradient AND wall-temperature BC gradient from one transposed
+    solve."""
+    import jax
+    import jax.numpy as jnp
+    from fvm_tpu.kinetic.phonon import PhononModel
+
+    dm = fvm.mesh.build_device_mesh(fvm.mesh.generate.quad_2d(12, 3))
+    m = PhononModel(dm, n_polar=4, n_azimuthal=8)
+    m.options["verbose"] = False
+    m.options["relativeTolerance"] = 1e-12
+    m.vc["relaxationTime"] = 0.15
+    m.bc["left"].bc_type = "Isothermal"
+    m.bc["left"]["specifiedTemperature"] = 310.0
+    m.bc["right"].bc_type = "Isothermal"
+    m.bc["right"]["specifiedTemperature"] = 290.0
+    m.bc["top"].bc_type = "Symmetry"
+    m.bc["bottom"].bc_type = "Symmetry"
+    m.init()
+    m.advance(60)
+
+    ni = m.mesh.n_interior_cells
+    # x-weighted temperature: a plain sum(T) is tau-INVARIANT on this
+    # symmetric slab (the Isothermal wall jumps are antisymmetric about
+    # the 300 K mean), which would reduce the tau duality check to
+    # noise-vs-noise; the x-weight makes dJ/dtau genuinely nonzero
+    xw = jnp.asarray(np.asarray(m.mesh.cell_centroid[:ni, 0]))
+    J = lambda ee: jnp.sum(m.temperature(ee) * xw)
+
+    grads = m.solve_adjoint(
+        J, param_keys=("tau",), bc_keys=("left:specifiedTemperature",)
+    )
+    assert grads["tau"].shape == (m.D * m.B,)
+
+    e0i = jnp.asarray(m.state["e"][:ni])
+    # all-ones tau direction == what solve_tangent({"tau": 1.0}) expands to
+    de = jnp.asarray(m.solve_tangent(param_tangents={"tau": 1.0}))
+    dJ = float(jax.jvp(J, (e0i,), (de,))[1])
+    assert abs(dJ) > 1e-12
+    np.testing.assert_allclose(float(np.sum(grads["tau"])), dJ, rtol=1e-6)
+
+    deb = jnp.asarray(
+        m.solve_tangent(bc_tangents={"left:specifiedTemperature": 1.0})
+    )
+    dJb = float(jax.jvp(J, (e0i,), (deb,))[1])
+    np.testing.assert_allclose(
+        float(np.sum(grads["left:specifiedTemperature"])), dJb, rtol=1e-6
+    )

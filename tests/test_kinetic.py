@@ -741,3 +741,52 @@ def test_kinetic_ibm_moving_body_transient_damping():
             n_w += 1
     assert n_w == 20
     assert W < -0.01  # net damping work extracted from the body
+
+
+def test_comet_solve_adjoint_duality():
+    """KineticModel.solve_adjoint: exact duality <grad, direction> ==
+    dJ(solve_tangent(direction)) on a diffuse-wall Couette for a
+    nonlinear momentum functional — tau field AND wall-velocity BC knob.
+    Exercises the transposed exact-jvp operator, the transposed
+    Woodbury(+DSA) preconditioner, and the mass-projection transpose."""
+    import jax
+
+    dm = fvm.mesh.build_device_mesh(quad_2d(3, 10))
+    m = KineticModel(dm, Quadrature(8, 8, 4))
+    m.options["verbose"] = False
+    m.vc["relaxationTime"] = 0.2
+    for s, uw in (("top", 0.3), ("bottom", -0.3)):
+        m.bc[s].bc_type = "DiffuseWall"
+        m.bc[s]["specifiedXVelocity"] = uw
+    m.bc["left"].bc_type = "Symmetry"
+    m.bc["right"].bc_type = "Symmetry"
+    m.init()
+    m.advance(80)
+
+    ni = m.mesh.n_interior_cells
+    q = m.quadrature
+    wcx = jnp.asarray(np.asarray(q.w) * np.asarray(q.c)[:, 0])
+    J = lambda ff: jnp.sum((ff @ wcx) ** 2)  # sum of cell momentum^2
+
+    grads = m.solve_adjoint(
+        J, param_keys=("tau",), bc_keys=("top:specifiedXVelocity",)
+    )
+    assert grads["tau"].shape == (ni,)
+
+    f0i = jnp.asarray(m.state["f"][:ni])
+    rng = np.random.default_rng(3)
+    dtau = rng.standard_normal(ni)
+    df = jnp.asarray(m.solve_tangent(param_tangents={"tau": dtau}))
+    dJ = float(jax.jvp(J, (f0i,), (df,))[1])
+    assert abs(dJ) > 1e-12  # genuinely nonzero sensitivity
+    np.testing.assert_allclose(
+        float(np.dot(grads["tau"], dtau)), dJ, rtol=1e-5
+    )
+
+    dfb = jnp.asarray(
+        m.solve_tangent(bc_tangents={"top:specifiedXVelocity": 1.0})
+    )
+    dJb = float(jax.jvp(J, (f0i,), (dfb,))[1])
+    np.testing.assert_allclose(
+        float(np.sum(grads["top:specifiedXVelocity"])), dJb, rtol=1e-5
+    )

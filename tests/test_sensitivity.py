@@ -409,3 +409,95 @@ def test_thermal_solve_adjoint_duality():
         np.testing.assert_allclose(
             float(np.dot(grad, dk)), float(np.mean(dT)), rtol=1e-6
         )
+
+
+def test_thermal_solve_adjoint_dist_matches_single():
+    """Distributed solve_adjoint: the whole reverse pass (vjp through the
+    halo refresh = reversed all_to_all, transposed psum'd Krylov) runs
+    under shard_map and must reproduce the single-device adjoint gradient
+    field.  The functional is sum-decomposable (J = sum T + sum T^2) as
+    the dist contract requires."""
+    import jax
+    import jax.numpy as jnp
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    from fvm_tpu.parallel import Partition
+    from fvm_tpu.models import ThermalModel
+
+    m0 = quad_2d(16, 8)
+    n = m0.n_interior_cells
+    k0 = 1.0 + 0.5 * np.linspace(0, 1, n)
+
+    def build(dmesh, part=None):
+        t = ThermalModel(dmesh, partition=part)
+        t.options["verbose"] = False
+        t.vc["thermalConductivity"] = k0
+        t.bc["left"].bc_type = "SpecifiedTemperature"
+        t.bc["left"]["specifiedTemperature"] = 400.0
+        t.bc["right"].bc_type = "SpecifiedHeatFlux"
+        t.bc["right"]["specifiedHeatFlux"] = 10.0
+        t.bc["top"].bc_type = "Symmetry"
+        t.bc["bottom"].bc_type = "Symmetry"
+        t.init()
+        t.advance(30)
+        return t
+
+    J = lambda T: jnp.sum(T) + 1e-3 * jnp.sum(T * T)
+
+    single = build(fvm.mesh.build_device_mesh(m0))
+    g_single = single.solve_adjoint(J, ["k_cell"])["k_cell"]
+
+    part = Partition(m0, 4)
+    dist = build(part.sharded_mesh, part)
+    g_dist = dist.solve_adjoint(J, ["k_cell"])["k_cell"]
+
+    assert g_dist.shape == (n,)
+    np.testing.assert_allclose(g_dist, g_single, rtol=1e-5, atol=1e-10)
+
+    # duality against the dist forward tangent for a random direction
+    rng = np.random.default_rng(7)
+    dk = rng.standard_normal(n)
+    dT = dist.solve_tangent({"k_cell": dk})
+    Tn = dist.getTemperature()
+    dJ = float(np.sum(dT) + 1e-3 * 2.0 * np.sum(Tn * dT))
+    np.testing.assert_allclose(float(np.dot(g_dist, dk)), dJ, rtol=1e-6)
+
+
+def test_thermal_solve_adjoint_dist_uneven_partition():
+    """Dist adjoint with DEAD padded cells (33 cells / 4 shards): dead
+    rows carry identity equations and zero values, and their functional
+    cotangents must not pollute the gradient."""
+    import jax
+    import jax.numpy as jnp
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    from fvm_tpu.parallel import Partition
+    from fvm_tpu.models import ThermalModel
+
+    m0 = quad_2d(11, 3)
+    n = m0.n_interior_cells
+    k0 = 1.0 + 0.5 * np.linspace(0, 1, n)
+
+    def build(dmesh, part=None):
+        t = ThermalModel(dmesh, partition=part)
+        t.options["verbose"] = False
+        t.vc["thermalConductivity"] = k0
+        t.bc["left"].bc_type = "SpecifiedTemperature"
+        t.bc["left"]["specifiedTemperature"] = 400.0
+        t.bc["right"].bc_type = "SpecifiedHeatFlux"
+        t.bc["right"]["specifiedHeatFlux"] = 10.0
+        t.bc["top"].bc_type = "Symmetry"
+        t.bc["bottom"].bc_type = "Symmetry"
+        t.init()
+        t.advance(30)
+        return t
+
+    J = lambda T: jnp.sum(T)
+    single = build(fvm.mesh.build_device_mesh(m0))
+    g1 = single.solve_adjoint(J, ["k_cell"])["k_cell"]
+    part = Partition(m0, 4)
+    dist = build(part.sharded_mesh, part)
+    gN = dist.solve_adjoint(J, ["k_cell"])["k_cell"]
+    np.testing.assert_allclose(gN, g1, rtol=1e-5, atol=1e-10)
