@@ -558,8 +558,19 @@ class KineticModel(Model):
             cn = jnp.einsum("nd,fd->fn", c, nhat3)  # (nfaces, N)
             incoming = cn < 0  # into the domain
             fo = f[mesh.face_cell0[sl]]
+            # padded (invalid) dist face slots carry T = 0, where the
+            # wall Maxwellian is 0/0 = NaN.  The primal masks those rows
+            # downstream, but reverse-mode multiplies cotangents by the
+            # NaN PRIMAL values (0 * NaN = NaN leaking into owner-cell
+            # cotangents) — floor temperatures to 1 on invalid slots
+            valid = bcvals.get(f"{g[1]}:__valid")
+            tsafe = (
+                (lambda T: jnp.where(valid, T, 1.0))
+                if valid is not None
+                else (lambda T: T)
+            )
             if t == "DiffuseWall":
-                Tw = bcvals[f"{g[1]}:specifiedTemperature"]
+                Tw = tsafe(bcvals[f"{g[1]}:specifiedTemperature"])
                 uw = jnp.stack(
                     [
                         bcvals[f"{g[1]}:specifiedXVelocity"],
@@ -582,7 +593,7 @@ class KineticModel(Model):
                 f = f.at[gc].set(fg)
             elif t == "FarField":
                 rho_inf = bcvals[f"{g[1]}:specifiedDensity"]
-                T_inf = bcvals[f"{g[1]}:specifiedTemperature"]
+                T_inf = tsafe(bcvals[f"{g[1]}:specifiedTemperature"])
                 u_inf = jnp.stack(
                     [
                         bcvals[f"{g[1]}:specifiedXVelocity"],
@@ -620,7 +631,7 @@ class KineticModel(Model):
                 # outgoing mass flux; the specular part is flux-exact by
                 # table construction, so mass is conserved at any alpha
                 # and any wall orientation.
-                Tw = bcvals[f"{g[1]}:specifiedTemperature"]
+                Tw = tsafe(bcvals[f"{g[1]}:specifiedTemperature"])
                 uw = jnp.stack(
                     [
                         bcvals[f"{g[1]}:specifiedXVelocity"],
@@ -654,7 +665,7 @@ class KineticModel(Model):
             elif t == "PressureInlet":
                 # reference :408 applyPressureInletBC: incoming <- resting
                 # Maxwellian at (rho = P/T, T); outgoing extrapolated
-                Tin = bcvals[f"{g[1]}:specifiedTemperature"]
+                Tin = tsafe(bcvals[f"{g[1]}:specifiedTemperature"])
                 Pin = bcvals[f"{g[1]}:specifiedPressure"]
                 fin = q.maxwellian(
                     Pin / Tin, jnp.zeros((g[4], 3), f.dtype), Tin
@@ -667,7 +678,7 @@ class KineticModel(Model):
                 # Maxwellian's inward flux to specifiedMassFlowRate
                 # (positive into the domain; the reflected part is
                 # flux-neutral, so the NET influx equals the target)
-                Tin = bcvals[f"{g[1]}:specifiedTemperature"]
+                Tin = tsafe(bcvals[f"{g[1]}:specifiedTemperature"])
                 uin = jnp.stack(
                     [
                         bcvals[f"{g[1]}:specifiedXVelocity"],
@@ -1120,10 +1131,13 @@ class KineticModel(Model):
             raise ConfigError(f"{what} requires the COMET solver")
         if opts["transient"]:
             raise ConfigError(f"{what}: steady states only")
-        if self._dist or self.ordinate_shards:
+        if self.ordinate_shards or (
+            self._dist
+            and getattr(self.partition, "ordinate_shards", 1) > 1
+        ):
             raise ConfigError(
-                f"{what}: single-device kinetic states only (use the "
-                "unsharded model for sensitivities)"
+                f"{what}: ordinate-sharded states not supported (spatial "
+                "Partition sharding is)"
             )
         if "ib_pin" in self.params:
             raise ConfigError(
@@ -1131,19 +1145,29 @@ class KineticModel(Model):
                 "(the sensitivity operator lacks the pinned closure rows)"
             )
 
-    def _comet_R_of(self, mesh, bcvals):
-        """Steady COMET residual as a pure closure of (param overrides,
+    def _comet_R_of(self, mesh, params_all, bcvals):
+        """Steady COMET residual as a pure function of (param overrides,
         BC overrides, full distribution incl. ghosts) — the JFNK residual
-        whose jvp/vjp give the exact tangent/adjoint linearizations."""
+        whose jvp/vjp give the exact tangent/adjoint linearizations.
+        ``mesh``/``params_all``/``bcvals`` are the (shard-)local tables so
+        the closure is shard_map-able (per-shard tables flow through
+        arguments, never through ``self``)."""
+        from ..ops.halo import maybe_sync
+
         V = mesh.cell_volume[:, None]
 
         def R_of(p_sub, b_sub, fv):
-            params = dict(self.params, **p_sub)
+            params = dict(params_all, **p_sub)
             bcv = dict(bcvals, **b_sub)
             tau = params["tau"][:, None]
             op = _KineticOperator(
                 mesh, params["dO"], params["dN"], V / tau
             )
+            # halo slots must be current BEFORE the ghost refresh:
+            # periodic partner owners ride the halo (the primal step
+            # syncs f up front for the same reason); op.mv re-syncs
+            # idempotently
+            fv = maybe_sync(mesh, fv)
             fg = self._refresh_ghosts(mesh, params, fv, bcv)
             feq_v = self._equilibrium(fv)
             res = V / tau * feq_v - op.mv(fv)
@@ -1152,12 +1176,11 @@ class KineticModel(Model):
 
         return R_of
 
-    def _comet_precond(self, op_plain, f0, dsa):
+    def _comet_precond(self, mesh, params_all, op_plain, f0, dsa):
         """Rank-5 Woodbury preconditioner at the converged state (same
         construction as the primal step), optionally composed with the
         DSA coarse correction.  Shared by the tangent and (transposed)
-        adjoint solves."""
-        mesh = self.mesh
+        adjoint solves; (shard-)local tables come in as arguments."""
         V = mesh.cell_volume[:, None]
         Vt = _psi_weights(self.quadrature, f0.dtype)
         m = jnp.einsum("cn,na->ca", f0, Vt)
@@ -1171,11 +1194,11 @@ class KineticModel(Model):
         U = jax.vmap(jax.jacfwd(self._feq_of_moments))(m_safe)
         U = jnp.where(alive[:, None, None], U, 0.0)
         kappa = jnp.where(
-            alive[:, None], V / self.params["tau"][:, None], 0.0
+            alive[:, None], V / params_all["tau"][:, None], 0.0
         )
         op_lr = _KineticOperator(
-            mesh, self.params["dO"], self.params["dN"],
-            V / self.params["tau"][:, None], lowrank=(kappa, U, Vt),
+            mesh, params_all["dO"], params_all["dN"],
+            V / params_all["tau"][:, None], lowrank=(kappa, U, Vt),
         )
         precond = _WoodburyPrecond(op_lr)
         if dsa is not None:
@@ -1206,7 +1229,11 @@ class KineticModel(Model):
         Krylov solve, so exact duality <grad, dp> == dJ(tangent(dp))
         holds including the singular wall-bounded mass family.  The
         primal's Woodbury(+DSA) preconditioner is reused transposed
-        (linear_transpose of its linear application)."""
+        (explicit closed-form transpose).  Distributed: the whole reverse
+        pass runs per shard under shard_map (reversed halo exchange in
+        the transposed operator, psum'd Krylov and mass inner products);
+        the functional then sees shard-local owned-interior rows and must
+        be sum-decomposable."""
         self._comet_sens_check("solve_adjoint")
         mesh = self.mesh
         bcvals = self._resolve_bcvals()
@@ -1219,52 +1246,79 @@ class KineticModel(Model):
         for k in b_keys:
             if k not in bcvals:
                 raise ConfigError(f"solve_adjoint: unknown BC entry {k!r}")
-        base_p = {k: self.params[k] for k in p_keys}
-        base_b = {k: bcvals[k] for k in b_keys}
-        V = mesh.cell_volume[:, None]
-        R_of = self._comet_R_of(mesh, bcvals)
-        op_plain = _KineticOperator(
-            mesh, self.params["dO"], self.params["dN"],
-            V / self.params["tau"][:, None],
-        )
         dsa = (
             self._build_dsa()
             if bool(self.options.get("coarseAcceleration", True))
+            and not self._dist
             else None
         )
-        n_int = mesh.n_interior_cells
 
         from ..linear.base import TransposedOperator, TransposedPrecond
         from ..linear.krylov import BiCGStab
 
-        @jax.jit
-        def adjoint():
-            gJ = jax.grad(lambda ff: functional(ff[:n_int]))(f0)
-            # transpose of the tangent's mass-family projection
-            w = jnp.asarray(self.quadrature.w, f0.dtype)
+        def adjoint_local(lmesh, params_all, f_st, lbc):
+            V = lmesh.cell_volume[:, None]
+            n_int = lmesh.n_interior_cells
+            R_of = self._comet_R_of(lmesh, params_all, lbc)
+            op_plain = _KineticOperator(
+                lmesh, params_all["dO"], params_all["dN"],
+                V / params_all["tau"][:, None],
+            )
+            gJ = jax.grad(lambda ff: functional(ff[:n_int]))(f_st)
+            # dead padded cells (uneven partitions) are frozen at f=0:
+            # their true functional cotangent is 0
+            alive = lmesh.cf_mask.any(axis=1)
+            gJ = jnp.where(alive[:, None], gJ, 0.0)
+            # transpose of the tangent's mass-family projection (the mass
+            # inner products are GLOBAL: psum across shards)
+            w = jnp.asarray(self.quadrature.w, f_st.dtype)
             Vc = jnp.where(
                 op_plain.interior[:, 0] & op_plain.owned[:, 0],
-                mesh.cell_volume, 0.0,
+                lmesh.cell_volume, 0.0,
             )
             vw = Vc[:, None] * w[None, :]
-            m0 = jnp.maximum(jnp.sum(Vc * (f0 @ w)), 1e-300)
-            gJp = gJ - (jnp.sum(gJ * f0) / m0) * vw
-            op = _JVPOperator(op_plain, lambda fv: R_of({}, {}, fv), f0)
-            precond = self._comet_precond(op_plain, f0, dsa)
+            m0 = jnp.maximum(
+                op_plain.psum(jnp.sum(Vc * (f_st @ w))), 1e-300
+            )
+            gJp = gJ - (op_plain.psum(jnp.sum(gJ * f_st)) / m0) * vw
+            op = _JVPOperator(op_plain, lambda fv: R_of({}, {}, fv), f_st)
+            precond = self._comet_precond(
+                lmesh, params_all, op_plain, f_st, dsa
+            )
             solver = BiCGStab(
-                preconditioner=TransposedPrecond(precond, f0),
+                preconditioner=TransposedPrecond(precond),
                 relative_tolerance=relative_tolerance,
                 max_iterations=max_iterations,
             )
             lam, _ = solver.solve_fn(
-                TransposedOperator(op), gJp, jnp.zeros_like(f0)
+                TransposedOperator(op), gJp, jnp.zeros_like(f_st)
             )
+            base_p = {k: params_all[k] for k in p_keys}
+            base_b = {k: lbc[k] for k in b_keys}
             _, vjp_pb = jax.vjp(
-                lambda p, b: R_of(p, b, f0), base_p, base_b
+                lambda p, b: R_of(p, b, f_st), base_p, base_b
             )
             return vjp_pb(lam)
 
-        gp, gb = adjoint()
+        if self._dist:
+            mapped = self._smap_cells(adjoint_local)
+            gp, gb = mapped(mesh, self.params, f0, bcvals)
+            part = self.partition
+            out = {}
+            for k in p_keys:
+                g = np.asarray(gp[k])
+                out[k] = (
+                    part.gather_cells(g)
+                    if g.ndim >= 2 and g.shape[1] == part.n_cells_local
+                    else g.sum(axis=0)
+                )
+            for k in b_keys:
+                out[k] = part.gather_bc(k.split(":")[0], gb[k])
+            return out
+        gp, gb = jax.jit(
+            lambda: adjoint_local(mesh, self.params, f0, bcvals)
+        )()
+        n_int = mesh.n_interior_cells
         out = {}
         for k in p_keys:
             g = np.asarray(gp[k])
@@ -1298,7 +1352,10 @@ class KineticModel(Model):
         The steady wall-bounded problem is singular along the mass family
         (f -> s f); like the primal step, the tangent is projected onto
         the fixed-total-mass manifold.  Returns d(f) on interior cells,
-        (n_interior, n_ordinates)."""
+        (n_interior, n_ordinates) in the GLOBAL ordering (distributed
+        states run the tangent Krylov per shard under shard_map — psum'd
+        reductions, halo exchanges inside the jvp operator — and gather
+        the result)."""
         self._comet_sens_check("solve_tangent")
         opts = self.options
         mesh = self.mesh
@@ -1308,14 +1365,23 @@ class KineticModel(Model):
         def pad_param(key, v):
             ref = self.params[key]
             v = jnp.asarray(v, ref.dtype)
+            if self._dist:
+                # global (interior or full) direction -> stacked shards
+                # (scatter fills halo slots with their owners' values)
+                hv = np.zeros(
+                    (self.partition.mesh.n_cells,) + tuple(v.shape[1:]),
+                    np.asarray(v).dtype,
+                )
+                hv[: v.shape[0]] = np.asarray(v)
+                return jnp.asarray(
+                    self.partition.scatter_cells(hv), ref.dtype
+                )
             if v.shape != ref.shape:
                 v = jnp.zeros(ref.shape, ref.dtype).at[: v.shape[0]].set(v)
             return v
 
         p_keys = list(param_tangents or {})
         b_keys = list(bc_tangents or {})
-        base_p = {k: self.params[k] for k in p_keys}
-        base_b = {k: bcvals[k] for k in b_keys}
         tan_p = {k: pad_param(k, v) for k, v in (param_tangents or {}).items()}
         tan_b = {
             k: jnp.broadcast_to(
@@ -1323,62 +1389,74 @@ class KineticModel(Model):
             )
             for k, v in (bc_tangents or {}).items()
         }
-
-        V = mesh.cell_volume[:, None]
-        R_of = self._comet_R_of(mesh, bcvals)
-        op_plain = _KineticOperator(
-            mesh, self.params["dO"], self.params["dN"],
-            V / self.params["tau"][:, None],
-        )
         dsa = (
             self._build_dsa()
             if bool(opts.get("coarseAcceleration", True))
+            and not self._dist
             else None
         )
 
-        @jax.jit
-        def tangent():
+        from ..linear.krylov import BiCGStab
+
+        def tangent_local(lmesh, params_all, f_st, lbc, ltan_p, ltan_b):
+            V = lmesh.cell_volume[:, None]
+            R_of = self._comet_R_of(lmesh, params_all, lbc)
+            op_plain = _KineticOperator(
+                lmesh, params_all["dO"], params_all["dN"],
+                V / params_all["tau"][:, None],
+            )
+            base_p = {k: params_all[k] for k in p_keys}
+            base_b = {k: lbc[k] for k in b_keys}
             # rhs: dR/dp . dp at fixed f*
             _, dr = jax.jvp(
-                lambda p, b: R_of(p, b, f0), (base_p, base_b),
-                (tan_p, tan_b),
+                lambda p, b: R_of(p, b, f_st), (base_p, base_b),
+                (ltan_p, ltan_b),
             )
-            op = _JVPOperator(op_plain, lambda fv: R_of({}, {}, fv), f0)
-            precond = self._comet_precond(op_plain, f0, dsa)
-            from ..linear.krylov import BiCGStab
-
+            op = _JVPOperator(op_plain, lambda fv: R_of({}, {}, fv), f_st)
+            precond = self._comet_precond(
+                lmesh, params_all, op_plain, f_st, dsa
+            )
             solver = BiCGStab(
                 preconditioner=precond,
                 relative_tolerance=relative_tolerance,
                 max_iterations=max_iterations,
             )
-            df, _ = solver.solve_fn(op, dr, jnp.zeros_like(f0))
+            df, _ = solver.solve_fn(op, dr, jnp.zeros_like(f_st))
             # project out the mass-family null direction (primal does the
-            # same after each Newton step): total d(mass) = 0
-            w = jnp.asarray(self.quadrature.w, f0.dtype)
+            # same after each Newton step): total d(mass) = 0, with the
+            # mass inner products psum'd across shards
+            w = jnp.asarray(self.quadrature.w, f_st.dtype)
             Vc = jnp.where(
                 op_plain.interior[:, 0] & op_plain.owned[:, 0],
-                mesh.cell_volume, 0.0,
+                lmesh.cell_volume, 0.0,
             )
-            dm = jnp.sum(Vc * (df @ w))
-            m0 = jnp.sum(Vc * (f0 @ w))
-            df = df - (dm / jnp.maximum(m0, 1e-300)) * f0
+            dm = op_plain.psum(jnp.sum(Vc * (df @ w)))
+            m0 = op_plain.psum(jnp.sum(Vc * (f_st @ w)))
+            df = df - (dm / jnp.maximum(m0, 1e-300)) * f_st
             return df
 
-        df = tangent()
+        if self._dist:
+            mapped = self._smap_cells(tangent_local)
+            df = mapped(mesh, self.params, f0, bcvals, tan_p, tan_b)
+            return self.partition.gather_cells(df)
+        df = jax.jit(
+            lambda: tangent_local(mesh, self.params, f0, bcvals, tan_p, tan_b)
+        )()
         return np.asarray(df[: mesh.n_interior_cells])
 
     def solve_tangent_moments(self, param_tangents=None, bc_tangents=None):
         """d(rho, u, T)/d(params, BCs) . direction — the chain rule of
         ``moments()`` through ``solve_tangent`` (what the reference's
-        Tangent atype exposes on macroscopic fields)."""
+        Tangent atype exposes on macroscopic fields).  Distributed states
+        return global-interior-ordered arrays."""
+        df_i = jnp.asarray(self.solve_tangent(param_tangents, bc_tangents))
         f0 = self.state["f"]
-        df = jnp.zeros_like(f0).at[: self.mesh.n_interior_cells].set(
-            jnp.asarray(self.solve_tangent(param_tangents, bc_tangents))
-        )
-        _, dmom = jax.jvp(lambda f: self.moments(f), (f0,), (df,))
-        ni = self.mesh.n_interior_cells
-        return tuple(np.asarray(d[:ni]) for d in dmom)
+        if self._dist:
+            f0_i = jnp.asarray(self.partition.gather_cells(f0))
+        else:
+            f0_i = f0[: self.mesh.n_interior_cells]
+        _, dmom = jax.jvp(lambda f: self.moments(f), (f0_i,), (df_i,))
+        return tuple(np.asarray(d) for d in dmom)
 
 
 def _det3(M):

@@ -472,7 +472,9 @@ class PhononModel(Model):
         ``param_tangents`` accepts "tau" (scalar, (B,) per-band, or
         (D*B,) per direction-band); ``bc_tangents`` is keyed
         "group:entry" (e.g. "left:specifiedTemperature").  Returns d(e)
-        on interior cells, (n_interior, D*B)."""
+        on interior cells, (n_interior, D*B), global ordering
+        (distributed states run the tangent Krylov per shard under
+        shard_map and gather the result)."""
         if not self._initialized:
             raise ConfigError("call init() + advance() before solve_tangent")
         opts = self.options
@@ -480,14 +482,13 @@ class PhononModel(Model):
             raise ConfigError("solve_tangent requires the COMET solver")
         if opts["transient"]:
             raise ConfigError("solve_tangent: steady states only")
-        if self._dist or self.ordinate_shards:
+        if self.ordinate_shards:
             raise ConfigError(
-                "solve_tangent: single-device phonon states only"
+                "solve_tangent: ordinate-sharded phonon states not supported"
             )
         mesh = self.mesh
         bcvals = self._resolve_bcvals()
         e_st = self.state["e"]
-        V = mesh.cell_volume[:, None]
         B = self.B
 
         tau0 = self._tau_db
@@ -503,7 +504,6 @@ class PhononModel(Model):
             dtau = jnp.asarray(v, tau0.dtype)
 
         b_keys = list(bc_tangents or {})
-        base_b = {k: bcvals[k] for k in b_keys}
         tan_b = {
             k: jnp.broadcast_to(
                 jnp.asarray(v, bcvals[k].dtype), bcvals[k].shape
@@ -511,24 +511,26 @@ class PhononModel(Model):
             for k, v in (bc_tangents or {}).items()
         }
 
-        R_of = self._comet_R_of(mesh, bcvals)
-
         from .esbgk import _JVPOperator
         from .esbgk import _KineticOperator as _KOp
-        from ..linear.krylov import BiCGStab
+        from ..linear.krylov import BiCGStab, JacobiSolver
 
-        op_plain = _KOp(
-            mesh, self.params["dO"], self.params["dN"],
-            V / tau0[None, :],
-        )
-
-        @jax.jit
-        def tangent():
+        def tangent_local(lmesh, params_all, e_loc, lbc, tau0_l, dtau_l,
+                          ltan_b):
+            V = lmesh.cell_volume[:, None]
+            R_of = self._comet_R_of(lmesh, params_all, lbc)
+            base_b = {k: lbc[k] for k in b_keys}
             _, dr = jax.jvp(
-                lambda t, b: R_of(t, b, e_st), (tau0, base_b),
-                (dtau, tan_b),
+                lambda t, b: R_of(t, b, e_loc), (tau0_l, base_b),
+                (dtau_l, ltan_b),
             )
-            op = _JVPOperator(op_plain, lambda ev: R_of(tau0, {}, ev), e_st)
+            op_plain = _KOp(
+                lmesh, params_all["dO"], params_all["dN"],
+                V / tau0_l[None, :],
+            )
+            op = _JVPOperator(
+                op_plain, lambda ev: R_of(tau0_l, {}, ev), e_loc
+            )
             # Jacobi point preconditioner — deliberately NOT the primal's
             # Woodbury/DSA composition: both stagnate BiCGStab on the
             # boundary-concentrated rhs a BC tangent produces (measured:
@@ -536,35 +538,52 @@ class PhononModel(Model):
             # with plain Jacobi).  The primal tolerates the stagnation
             # only because outer Newton repeats the solve; the one-shot
             # tangent solve cannot.
-            from ..linear.krylov import JacobiSolver
-
-            precond = JacobiSolver(sweeps=2)
             solver = BiCGStab(
-                preconditioner=precond,
+                preconditioner=JacobiSolver(sweeps=2),
                 relative_tolerance=relative_tolerance,
                 max_iterations=max_iterations,
             )
-            de, _ = solver.solve_fn(op, dr, jnp.zeros_like(e_st))
+            de, _ = solver.solve_fn(op, dr, jnp.zeros_like(e_loc))
             return de
 
-        de = tangent()
+        if self._dist:
+            # tau is shard-independent: replicate per shard so shard_map
+            # sees a stacked arg (constants must not ride P(axis) params)
+            S = self.partition.n_shards
+            stk = lambda a: jnp.broadcast_to(a[None], (S,) + a.shape)
+            mapped = self._smap_cells(tangent_local)
+            de = mapped(
+                mesh, self.params, e_st, bcvals, stk(tau0), stk(dtau), tan_b
+            )
+            return self.partition.gather_cells(de)
+        de = jax.jit(
+            lambda: tangent_local(
+                mesh, self.params, e_st, bcvals, tau0, dtau, tan_b
+            )
+        )()
         return np.asarray(de[: mesh.n_interior_cells])
 
     def solve_tangent_temperature(self, param_tangents=None, bc_tangents=None):
         """d(lattice T)/d(tau, BCs) . direction — chain rule of
-        ``temperature()`` through ``solve_tangent``."""
+        ``temperature()`` through ``solve_tangent``.  Distributed states
+        return global-interior-ordered arrays."""
+        de_i = jnp.asarray(self.solve_tangent(param_tangents, bc_tangents))
         e_st = self.state["e"]
-        de = jnp.zeros_like(e_st).at[: self.mesh.n_interior_cells].set(
-            jnp.asarray(self.solve_tangent(param_tangents, bc_tangents))
-        )
-        _, dT = jax.jvp(lambda e: self.temperature(e), (e_st,), (de,))
-        return np.asarray(dT[: self.mesh.n_interior_cells])
+        if self._dist:
+            e_i = jnp.asarray(self.partition.gather_cells(e_st))
+        else:
+            e_i = e_st[: self.mesh.n_interior_cells]
+        _, dT = jax.jvp(lambda e: self.temperature(e), (e_i,), (de_i,))
+        return np.asarray(dT)
 
-    def _comet_R_of(self, mesh, bcvals):
-        """Steady phonon COMET residual as a pure closure of
+    def _comet_R_of(self, mesh, params_all, bcvals):
+        """Steady phonon COMET residual as a pure function of
         (direction-band tau, BC overrides, full energy density incl.
-        ghosts) — jvp gives the tangent linearization, vjp the adjoint."""
+        ghosts) — jvp gives the tangent linearization, vjp the adjoint.
+        (Shard-)local tables come in as arguments so the closure is
+        shard_map-able."""
         from .esbgk import _KineticOperator as _KOp
+        from ..ops.halo import maybe_sync
 
         V = mesh.cell_volume[:, None]
         B = self.B
@@ -572,8 +591,11 @@ class PhononModel(Model):
         def R_of(tau_db, b_sub, ev):
             bcv = dict(bcvals, **b_sub)
             tau = tau_db[None, :]
-            op = _KOp(mesh, self.params["dO"], self.params["dN"], V / tau)
-            eg = self._refresh_ghosts(mesh, self.params, ev, bcv)
+            op = _KOp(mesh, params_all["dO"], params_all["dN"], V / tau)
+            # halo slots current before the ghost refresh (periodic
+            # partners ride the halo); op.mv re-syncs idempotently
+            ev = maybe_sync(mesh, ev)
+            eg = self._refresh_ghosts(mesh, params_all, ev, bcv)
             Tv = self.temperature(ev)
             e0v = jnp.tile(
                 self._e0_of_T(Tv)[:, None, :], (1, self.D, 1)
@@ -600,7 +622,12 @@ class PhononModel(Model):
         "group:entry" BC key.  Like ``solve_tangent``, the transposed
         Krylov runs Jacobi-preconditioned BiCGStab — the primal's
         Woodbury/DSA composition stagnates on the boundary-concentrated
-        profiles adjoint right-hand sides share with BC tangents."""
+        profiles adjoint right-hand sides share with BC tangents.
+        Distributed: the reverse pass runs per shard under shard_map
+        (reversed halo exchange in the transposed operator, psum'd
+        Krylov); the functional then sees shard-local owned-interior
+        rows and must be sum-decomposable; per-shard tau contributions
+        are summed."""
         if not self._initialized:
             raise ConfigError("call init() + advance() before solve_adjoint")
         opts = self.options
@@ -608,9 +635,9 @@ class PhononModel(Model):
             raise ConfigError("solve_adjoint requires the COMET solver")
         if opts["transient"]:
             raise ConfigError("solve_adjoint: steady states only")
-        if self._dist or self.ordinate_shards:
+        if self.ordinate_shards:
             raise ConfigError(
-                "solve_adjoint: single-device phonon states only"
+                "solve_adjoint: ordinate-sharded phonon states not supported"
             )
         for k in param_keys:
             if k != "tau":
@@ -620,7 +647,6 @@ class PhononModel(Model):
         mesh = self.mesh
         bcvals = self._resolve_bcvals()
         e_st = self.state["e"]
-        V = mesh.cell_volume[:, None]
         tau0 = self._tau_db
         b_keys = list(bc_keys)
         for k in b_keys:
@@ -628,38 +654,57 @@ class PhononModel(Model):
                 raise ConfigError(
                     f"phonon solve_adjoint: unknown BC entry {k!r}"
                 )
-        base_b = {k: bcvals[k] for k in b_keys}
-        R_of = self._comet_R_of(mesh, bcvals)
 
         from .esbgk import _JVPOperator
         from .esbgk import _KineticOperator as _KOp
         from ..linear.base import TransposedOperator
         from ..linear.krylov import BiCGStab, JacobiSolver
 
-        op_plain = _KOp(
-            mesh, self.params["dO"], self.params["dN"],
-            V / tau0[None, :],
-        )
-        n_int = mesh.n_interior_cells
-
-        @jax.jit
-        def adjoint():
-            gJ = jax.grad(lambda ee: functional(ee[:n_int]))(e_st)
-            op = _JVPOperator(op_plain, lambda ev: R_of(tau0, {}, ev), e_st)
+        def adjoint_local(lmesh, params_all, e_loc, lbc, tau0_l):
+            V = lmesh.cell_volume[:, None]
+            n_int = lmesh.n_interior_cells
+            R_of = self._comet_R_of(lmesh, params_all, lbc)
+            op_plain = _KOp(
+                lmesh, params_all["dO"], params_all["dN"],
+                V / tau0_l[None, :],
+            )
+            gJ = jax.grad(lambda ee: functional(ee[:n_int]))(e_loc)
+            # dead padded cells are frozen: zero functional cotangent
+            alive = lmesh.cf_mask.any(axis=1)
+            gJ = jnp.where(alive[:, None], gJ, 0.0)
+            op = _JVPOperator(
+                op_plain, lambda ev: R_of(tau0_l, {}, ev), e_loc
+            )
             solver = BiCGStab(
                 preconditioner=JacobiSolver(sweeps=2),
                 relative_tolerance=relative_tolerance,
                 max_iterations=max_iterations,
             )
             lam, _ = solver.solve_fn(
-                TransposedOperator(op), gJ, jnp.zeros_like(e_st)
+                TransposedOperator(op), gJ, jnp.zeros_like(e_loc)
             )
+            base_b = {k: lbc[k] for k in b_keys}
             _, vjp_tb = jax.vjp(
-                lambda t, b: R_of(t, b, e_st), tau0, base_b
+                lambda t, b: R_of(t, b, e_loc), tau0_l, base_b
             )
             return vjp_tb(lam)
 
-        gt, gb = adjoint()
+        if self._dist:
+            S = self.partition.n_shards
+            mapped = self._smap_cells(adjoint_local)
+            gt, gb = mapped(
+                mesh, self.params, e_st, bcvals,
+                jnp.broadcast_to(tau0[None], (S,) + tau0.shape),
+            )
+            out = {}
+            if "tau" in param_keys:
+                out["tau"] = np.asarray(gt).sum(axis=0)
+            for k in b_keys:
+                out[k] = self.partition.gather_bc(k.split(":")[0], gb[k])
+            return out
+        gt, gb = jax.jit(
+            lambda: adjoint_local(mesh, self.params, e_st, bcvals, tau0)
+        )()
         out = {}
         if "tau" in param_keys:
             out["tau"] = np.asarray(gt)

@@ -288,3 +288,59 @@ def test_phonon_solve_adjoint_duality():
     np.testing.assert_allclose(
         float(np.sum(grads["left:specifiedTemperature"])), dJb, rtol=1e-6
     )
+
+
+def test_phonon_sensitivities_dist_match_single():
+    """Distributed phonon COMET tangent + adjoint match single-device
+    (per-band tau gradient summed over shards; BC gradient gathered)."""
+    import jax
+    import jax.numpy as jnp
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 virtual devices")
+    from fvm_tpu.parallel import Partition
+    from fvm_tpu.kinetic.phonon import PhononModel
+
+    def mk():
+        return fvm.mesh.generate.quad_2d(12, 3)
+
+    def setup(m):
+        m.options["verbose"] = False
+        m.options["relativeTolerance"] = 1e-12
+        m.vc["relaxationTime"] = 0.15
+        m.bc["left"].bc_type = "Isothermal"
+        m.bc["left"]["specifiedTemperature"] = 310.0
+        m.bc["right"].bc_type = "Isothermal"
+        m.bc["right"]["specifiedTemperature"] = 290.0
+        m.bc["top"].bc_type = "Symmetry"
+        m.bc["bottom"].bc_type = "Symmetry"
+        m.init()
+        m.advance(60)
+
+    single = PhononModel(fvm.mesh.build_device_mesh(mk()), 4, 8)
+    setup(single)
+    de1 = single.solve_tangent(param_tangents={"tau": 1.0})
+    # sum(T^2) is sum-decomposable (the dist contract) and NOT
+    # tau-invariant on this symmetric slab (unlike plain sum(T))
+    J1 = lambda ee: jnp.sum(single.temperature(ee) ** 2)
+    g1 = single.solve_adjoint(
+        J1, param_keys=("tau",), bc_keys=("left:specifiedTemperature",)
+    )
+
+    part = Partition(mk(), 2)
+    dist = PhononModel(part.sharded_mesh, 4, 8, partition=part)
+    setup(dist)
+    deN = dist.solve_tangent(param_tangents={"tau": 1.0})
+    JN = lambda ee: jnp.sum(dist.temperature(ee) ** 2)
+    gN = dist.solve_adjoint(
+        JN, param_keys=("tau",), bc_keys=("left:specifiedTemperature",)
+    )
+
+    scale = np.abs(de1).max()
+    np.testing.assert_allclose(deN, de1, atol=1e-8 * scale)
+    np.testing.assert_allclose(gN["tau"], g1["tau"], rtol=1e-6)
+    np.testing.assert_allclose(
+        np.sum(gN["left:specifiedTemperature"]),
+        np.sum(g1["left:specifiedTemperature"]),
+        rtol=1e-6,
+    )
