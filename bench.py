@@ -290,6 +290,15 @@ def main():
                     "FVM_BENCH_POLISH_NEWTON", "1"
                 ) != "0"
                 if use_newton:
+                    # The Newton endgame MUST run in f64: the inner
+                    # BiCGStab on the coupled Newton system is f32-
+                    # precision-limited from 256^2 up (measured on CPU
+                    # and TPU alike: inner rel stuck at 1.0 after
+                    # hundreds of iterations at 256^2-512^2 f32, while
+                    # f64 converges).  Inner Krylov runs CHUNKED
+                    # (newtonChunkIterations): the axon worker kills
+                    # long-running device programs — a 1500-iteration
+                    # inner while_loop crashes it from 512^2 up.
                     # snapshot the f32 state to HOST and free the f32
                     # models BEFORE building the f64 pair: both model
                     # generations' device buffers coexisting crash the
@@ -312,6 +321,11 @@ def main():
                     )
                     flow64.options["newtonKrylovIterations"] = int(
                         os.environ.get("FVM_BENCH_NEWTON_KIT", "1500")
+                    )
+                    # chunk small in f64: ~2.6 s/inner-iteration at 1M,
+                    # and the worker kills long programs
+                    flow64.options["newtonChunkIterations"] = int(
+                        os.environ.get("FVM_BENCH_NEWTON_CHUNK64", "80")
                     )
                     thermal64 = build_thermal(flow64.mesh)
                     flow64.options["residualSync"] = False

@@ -81,7 +81,13 @@ class BiCGStab(LinearSolver):
         super().__init__(**kw)
         self.preconditioner = preconditioner
 
-    def solve_fn(self, A: ELLMatrix, b: jnp.ndarray, x0: jnp.ndarray):
+    def solve_fn(self, A: ELLMatrix, b: jnp.ndarray, x0: jnp.ndarray,
+                 target=None):
+        """``target``: optional traced ABSOLUTE residual-norm target that
+        overrides the default max(rtol*|b - A x0|, atol).  Used by
+        warm-restarted (chunked) solves, where |b - A x0| is the already-
+        reduced residual of the previous chunk and a relative tolerance
+        against it would mis-scale the stop."""
         A, b, recover = condensed(A, b)
         A = prepared(A)
         M = _setup_precond(self.preconditioner, A)
@@ -95,7 +101,10 @@ class BiCGStab(LinearSolver):
         r0 = b - A.mv(x0)
         rhat = r0
         rnorm0 = A.norm(r0)
-        target = jnp.maximum(rtol * rnorm0, atol)
+        if target is None:
+            target = jnp.maximum(rtol * rnorm0, atol)
+        else:
+            target = jnp.asarray(target, b.dtype)
 
         # breakdown safety: when rhat . r or t . t degenerate (which
         # happens whenever the outer loop feeds a residual already at the

@@ -124,6 +124,10 @@ class FlowModelOptions(ModelOptions):
         # the solve instead stalls the quadratic outer convergence)
         "newtonKrylovTolerance": 1e-5,
         "newtonKrylovIterations": 1500,
+        # >0: run the Newton inner Krylov in warm-restarted chunks of
+        # this many iterations, one device program each (required at
+        # scale on the axon TPU backend, which kills long programs)
+        "newtonChunkIterations": 0,
         # mix every K-th outer step (Anderson over the K-step composite
         # map): the extrapolation coefficients scale like 1/(1 - rho^K),
         # so larger K amplifies the loose inner-solve noise less — use
@@ -1171,6 +1175,62 @@ class FlowModel(Model):
             pre = CoupledSIMPLE(dia=self.mesh.dia)
             pre.setup_structure(*self.mesh.host_cf())
             self._newton_pre = pre
+        chunk_its = int(self.options.get("newtonChunkIterations") or 0)
+        if chunk_its > 0 and not self._dist:
+            # Chunked inner Krylov: each chunk is its own device program
+            # (warm-restarted BiCGStab on the fixed Newton system).  The
+            # axon TPU worker kills long-running programs — a 1500-
+            # iteration inner while_loop crashes it from 512^2 up
+            # (measured; 400 iterations at 512^2 is fine) — so at scale
+            # the inner solve MUST return to the host periodically.
+            import jax as _jax
+
+            if getattr(self, "_step_newton_chunk", None) is None:
+                self._step_newton_chunk = _jax.jit(
+                    self._build_newton_step(mode="chunk")
+                )
+                self._step_newton_finish = _jax.jit(
+                    self._build_newton_step(mode="finish")
+                )
+            kit = int(self.options["newtonKrylovIterations"])
+            bcvals = self._resolve_bcvals()
+            hist = ResidualHistory()
+            dtype = self.state["velocity"].dtype
+            for it in range(niter):
+                dq = jnp.zeros(
+                    (self.mesh.n_cells, self.mesh.dim + 1), dtype
+                )
+                tot = 0
+                aux0 = None
+                prev_rel = None
+                while tot < kit:
+                    dq, aux = self._step_newton_chunk(
+                        self.mesh, self.params, self.state, bcvals, dq
+                    )
+                    if aux0 is None:
+                        aux0 = aux
+                    tot += int(aux["inner_it"])
+                    rel = float(aux["inner_rel"])
+                    if bool(aux["converged"]):
+                        break
+                    if prev_rel is not None and rel > 0.95 * prev_rel:
+                        break  # restart stagnation: stop burning chunks
+                    prev_rel = rel
+                self.state, _ = self._step_newton_finish(
+                    self.mesh, self.params, self.state, bcvals, dq
+                )
+                self._last_aux = {
+                    "newton_inner": tot,
+                    "newton_inner_rel": rel,
+                }
+                hist.append(
+                    (it, float(aux0["mom_norm"]), float(aux0["cont_norm"]))
+                )
+                self._log_iteration(
+                    f"{self.name}: newton {it}: {float(aux0['mom_norm']):.6e}"
+                    f" (inner {tot} its to {rel:.1e})"
+                )
+            return hist
         if getattr(self, "_step_newton", None) is None:
             self._step_newton = self._wrap_step(self._build_newton_step())
         segregated, self._step = self._step, self._step_newton
@@ -1182,14 +1242,27 @@ class FlowModel(Model):
             self._step = segregated
             self.options["acceleration"] = accel
 
-    def _build_newton_step(self):
+    def _build_newton_step(self, mode="full"):
+        """``mode``: "full" = one program (residual + inner solve +
+        update); "chunk" = inner-Krylov chunk only, signature
+        step(mesh, params, state, bcvals, dq_in) -> (dq, aux) with a
+        warm-restarted BiCGStab capped at newtonChunkIterations (the
+        axon TPU worker kills programs that run too long — a 1500-
+        iteration inner while_loop at 512^2+ is a worker crash; chunked
+        restarts keep each program bounded); "finish" = apply a solved
+        dq, signature step(mesh, params, state, bcvals, dq) ->
+        (new_state, aux)."""
         from ..ops import bell
         from ..linear.base import MatrixFreeOperator, newton_operator
         from ..linear.coupled import CoupledSIMPLE  # noqa: F401 (docs)
 
         opts = self.options
         ktol = float(opts["newtonKrylovTolerance"])
-        kit = int(opts["newtonKrylovIterations"])
+        kit = (
+            int(opts.get("newtonChunkIterations") or 0)
+            if mode == "chunk"
+            else int(opts["newtonKrylovIterations"])
+        )
         # single-device: CoupledSIMPLE (AMG pressure block); distributed:
         # block-Jacobi sweeps on the Picard surrogate (the dist coupled
         # default — dist AMG inside a traced block preconditioner is a
@@ -1206,7 +1279,7 @@ class FlowModel(Model):
             def precond_setup(self, A):
                 return self._M
 
-        def step(mesh, params, state, bcvals):
+        def step(mesh, params, state, bcvals, *extra):
             dim = mesh.dim
             B = dim + 1
             n_int = mesh.n_interior_cells
@@ -1312,6 +1385,35 @@ class FlowModel(Model):
                 mesh, jnp.sum(jnp.where(int_c, r0[:, dim], 0.0) ** 2)
             ))
 
+            if mode == "finish":
+                # apply an externally solved Newton increment (chunked
+                # inner Krylov ran in separate programs)
+                (dq,) = extra
+                dq = jnp.where(owned[:, None], dq, 0.0)
+                if not self._has_pressure_bc:
+                    pc = dq[:, dim]
+                    num = gsum(mesh, jnp.sum(jnp.where(int_c, pc, 0.0)))
+                    den = gsum(mesh, jnp.sum(int_c.astype(pc.dtype)))
+                    dq = dq.at[:, dim].add(-num / den)
+                q1 = maybe_sync(mesh, q0 + dq)
+                st1 = dict(
+                    state, velocity=q1[:, :dim], pressure=q1[:, dim]
+                )
+                st1 = self._refresh_ghosts(mesh, params, st1, bcvals)
+                new_state = dict(st1)
+                new_state["massFlux"] = mdot_of(st1)
+                _, mdot1, flux1, F_mom1 = fluxes_of(q1)
+                A_m1, _ = assembly.assemble(
+                    mesh, FaceFlux(F_mom1, flux1.dF_dO, flux1.dF_dN)
+                )
+                urf_v = float(opts["momentumURF"])
+                new_state["momAp"] = jnp.where(
+                    int_c, A_m1.diag / urf_v, A_m1.diag
+                )
+                return new_state, {
+                    "mom_norm": mom_norm, "cont_norm": cont_norm
+                }
+
             # ---- Picard block surrogate for the preconditioner (same
             # construction as _build_coupled_step, urf = 1: Newton solves
             # the unrelaxed equations)
@@ -1365,6 +1467,23 @@ class FlowModel(Model):
                 relative_tolerance=ktol,
                 max_iterations=kit,
             )
+            if mode == "chunk":
+                (dq_in,) = extra
+                # warm-restarted chunk on the FIXED system J dq = r0:
+                # the stop target is GLOBAL (ktol * |r0|), not relative
+                # to this chunk's already-reduced starting residual
+                rn_b = jnp.maximum(op.norm(r0), 1e-300)
+                dq, kstats = solver.solve_fn(
+                    op, r0, dq_in, target=ktol * rn_b
+                )
+                dq = jnp.where(owned[:, None], dq, 0.0)
+                return dq, {
+                    "mom_norm": mom_norm,
+                    "cont_norm": cont_norm,
+                    "inner_it": kstats.iterations,
+                    "inner_rel": kstats.residual / rn_b,
+                    "converged": kstats.converged,
+                }
             dq, kstats = solver.solve_fn(op, r0, jnp.zeros_like(r0))
             dq = jnp.where(owned[:, None], dq, 0.0)
             if not self._has_pressure_bc:

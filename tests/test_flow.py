@@ -498,3 +498,28 @@ def test_ideal_gas_compressible_channel():
     m, _ = run(slip=True)
     mdot = -m.getMassFluxIntegral("left")
     assert abs(mdot / (mdot_exact * 1.6) - 1) < 0.03  # (1 + 6*0.1/H) = 1.6
+
+
+def test_advance_newton_chunked_matches_single_program():
+    """newtonChunkIterations > 0 runs the inner Krylov as warm-restarted
+    chunks, one device program each (the axon TPU worker kills long
+    programs; restarts keep each bounded).  The chunked endgame must
+    reach the same SIMPLE fixed point as the single-program solve."""
+    dm = fvm.mesh.build_device_mesh(quad_2d(32, 32))
+    f = FlowModel(dm)
+    f.options["verbose"] = False
+    f.vc["viscosity"] = 0.01
+    for side in ("left", "right", "bottom", "top"):
+        f.bc[side].bc_type = "NoSlipWall"
+    f.bc["top"]["specifiedXVelocity"] = 1.0
+    f.options["newtonChunkIterations"] = 25  # force several restarts
+    f.init()
+    h = f.advance(60)
+    n0 = float(h[0][1])
+
+    hn = f.advanceNewton(4)
+    assert float(hn[-1][1]) / n0 < 1e-6  # entry of the last step
+
+    # the chunked Newton solution IS the SIMPLE fixed point
+    h2 = f.advance(1)
+    assert float(h2[0][1]) / n0 < 1e-9
