@@ -38,11 +38,21 @@ class CoupledSIMPLE(LinearSolver):
     scalar pressure sub-matrix keeps the roll-based SpMV fast path."""
 
     def __init__(self, amg: AMG | None = None, cycles: int = 2, dia=None,
-                 **kw):
+                 momentum: str = "jacobi", **kw):
+        """``momentum``: "jacobi" (diagonal predictor, the classic SIMPLE
+        distributive form) or "amg" (AMG cycles on the scalar momentum
+        stencil, one hierarchy shared by all velocity components).  The
+        momentum block is ELLIPTIC at practical resolutions (cell Peclet
+        u dx / 2 nu < 1 from ~256^2 up on the cavity benches), so a
+        diagonal predictor degrades like sqrt(kappa) ~ O(n_1d): measured,
+        the exact-Newton inner BiCGStab needs ~400 iterations at 32^2 and
+        makes NO progress in hundreds of iterations at 256^2-512^2, while
+        momentum-AMG keeps it bounded.  Used by flow.advanceNewton."""
         super().__init__(**kw)
         self.amg = amg or AMG(coarse_size=256)
         self.cycles = int(cycles)
         self.dia = dia
+        self.momentum = momentum
 
     def setup_structure(self, cols, mask) -> None:
         """Host-side AMG aggregation for the pressure block (call once per
@@ -86,16 +96,48 @@ class CoupledSIMPLE(LinearSolver):
                 dp = dp + amg._cycle0(levels, mats, denses, b2 - Ap2.mv(dp))
             return recover(dp)
 
+        if self.momentum == "amg":
+            # scalar momentum stencil: the vv block is dF * I (one face
+            # flux linearization shared by every component), so ONE
+            # hierarchy preconditions all dim components
+            Av = ELLMatrix(
+                diag=Ab.diag[:, 0, 0],
+                off=Ab.off[:, :, 0, 0],
+                cols=Ab.cols,
+                mask=Ab.mask,
+                halo=Ab.halo,
+                axis_name=Ab.axis_name,
+                n_owned=Ab.n_owned,
+                dia=self.dia,
+            ).prepare()
+            Av2, _, _ = condensed(
+                Av, jnp.zeros(Av.diag.shape[0], Ab.diag.dtype)
+            )
+            Av2 = Av2.prepare() if hasattr(Av2, "prepare") else Av2
+            levels_v, mats_v, denses_v = self.amg._build_hierarchy(Av2)
+
+            def mom_solve_1(rv1):
+                _, b2, recover = condensed(Av, rv1)
+                dv = amg._cycle0(levels_v, mats_v, denses_v, b2)
+                return recover(dv)
+
+            def mom_solve(rv):
+                return jnp.stack(
+                    [mom_solve_1(rv[:, d]) for d in range(dim)], axis=1
+                )
+        else:
+            mom_solve = lambda rv: rv / dvv
+
         def M(r):
             rv, rp = r[:, :dim], r[:, dim]
-            dVs = rv / dvv
+            dVs = mom_solve(rv)
             q = jnp.concatenate([dVs, jnp.zeros_like(rp)[:, None]], axis=1)
             rp2 = rp - Ab.mv(q)[:, dim]
             dp = pressure_solve(rp2)
             q2 = jnp.concatenate(
                 [jnp.zeros_like(dVs), dp[:, None]], axis=1
             )
-            dV = dVs - Ab.mv(q2)[:, :dim] / dvv
+            dV = dVs - mom_solve(Ab.mv(q2)[:, :dim])
             return jnp.concatenate([dV, dp[:, None]], axis=1)
 
         return M

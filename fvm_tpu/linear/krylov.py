@@ -81,13 +81,89 @@ class BiCGStab(LinearSolver):
         super().__init__(**kw)
         self.preconditioner = preconditioner
 
+    def init_carry(self, A, b: jnp.ndarray, x0: jnp.ndarray):
+        """Full BiCGStab state for chunked solves: chunking is a DEVICE-
+        PROGRAM split, not a mathematical restart — threading this carry
+        through ``solve_chunk`` reproduces the single-program iteration
+        exactly (a plain warm restart loses the Krylov shadow vector and
+        search directions, and the non-monotone transient then never
+        advances across small chunks; measured on the Newton endgame).
+        Matrix-free / non-condensing operators only."""
+        A = prepared(A)
+        r0 = b - A.mv(x0)
+        rnorm0 = A.norm(r0)
+        one = jnp.asarray(1.0, b.dtype)
+        return (
+            jnp.int32(0), x0, r0, jnp.zeros_like(b), jnp.zeros_like(b),
+            one, one, one, rnorm0, x0, rnorm0, r0, rnorm0,
+        )  # (i, x, r, p, v, rho, alpha, omega, rn, bx, brn, rhat, rnorm0)
+
+    def solve_chunk(self, A, carry, target):
+        """Run up to ``max_iterations`` MORE BiCGStab iterations from a
+        ``init_carry``/``solve_chunk`` carry toward the ABSOLUTE residual
+        ``target``.  Returns (x, stats, carry_out) — x is the last
+        iterate (best-seen on clear divergence), stats.iterations counts
+        GLOBALLY across chunks.  Matrix-free operators only (no boundary
+        condensation)."""
+        A = prepared(A)
+        M = _setup_precond(self.preconditioner, A)
+        maxit = self.nMaxIterations
+        atol = self.absoluteTolerance
+        (i0, x, r, p, v, rho, alpha, omega, rn, bx, brn, rhat, rnorm0) = carry
+        dtype = x.dtype
+        tiny = jnp.asarray(
+            1e-300 if dtype == jnp.float64 else 1e-30, dtype
+        )
+        target = jnp.asarray(target, dtype)
+        diverged_at = 1e8
+
+        def cond(state):
+            i, x, r, p, v, rho, alpha, omega, rn, bx, brn = state
+            ok = jnp.isfinite(rn) & (rn < diverged_at * (rnorm0 + atol))
+            return (i < i0 + maxit) & (rn > target) & ok
+
+        def body(state):
+            i, x, r, p, v, rho, alpha, omega, rn, bx, brn = state
+            rho_new = A.dot(rhat, r)
+            beta = (rho_new / jnp.where(jnp.abs(rho) > tiny, rho, tiny)) * (
+                alpha / jnp.where(jnp.abs(omega) > tiny, omega, tiny)
+            )
+            p = r + beta * (p - omega * v)
+            phat = M(p)
+            v = A.mv(phat)
+            denom = A.dot(rhat, v)
+            alpha = rho_new / jnp.where(jnp.abs(denom) > tiny, denom, tiny)
+            s = r - alpha * v
+            shat = M(s)
+            t = A.mv(shat)
+            tt = A.dot(t, t)
+            omega = A.dot(t, s) / jnp.where(tt > tiny, tt, tiny)
+            x = x + alpha * phat + omega * shat
+            r = s - omega * t
+            rn = A.norm(r)
+            better = jnp.isfinite(rn) & (rn < brn)
+            bx = jnp.where(better, x, bx)
+            brn = jnp.where(better, rn, brn)
+            return (i + 1, x, r, p, v, rho_new, alpha, omega, rn, bx, brn)
+
+        out = jax.lax.while_loop(
+            cond, body, (i0, x, r, p, v, rho, alpha, omega, rn, bx, brn)
+        )
+        i, x, r, p, v, rho, alpha, omega, rn, bx, brn = out
+        ok_last = jnp.isfinite(rn) & (rn < 100.0 * (rnorm0 + atol))
+        x_out = jnp.where(ok_last, x, bx)
+        rn_out = jnp.where(ok_last, rn, brn)
+        carry_out = (
+            i, x, r, p, v, rho, alpha, omega, rn, bx, brn, rhat, rnorm0
+        )
+        return x_out, SolveStats(
+            i, rnorm0, rn_out, rn_out <= target
+        ), carry_out
+
     def solve_fn(self, A: ELLMatrix, b: jnp.ndarray, x0: jnp.ndarray,
                  target=None):
         """``target``: optional traced ABSOLUTE residual-norm target that
-        overrides the default max(rtol*|b - A x0|, atol).  Used by
-        warm-restarted (chunked) solves, where |b - A x0| is the already-
-        reduced residual of the previous chunk and a relative tolerance
-        against it would mis-scale the stop."""
+        overrides the default max(rtol*|b - A x0|, atol)."""
         A, b, recover = condensed(A, b)
         A = prepared(A)
         M = _setup_precond(self.preconditioner, A)

@@ -1172,7 +1172,11 @@ class FlowModel(Model):
         if getattr(self, "_newton_pre", None) is None and not self._dist:
             from ..linear.coupled import CoupledSIMPLE
 
-            pre = CoupledSIMPLE(dia=self.mesh.dia)
+            # momentum="amg": the unrelaxed Newton momentum block is
+            # elliptic, so the diagonal predictor degrades like
+            # sqrt(kappa) with resolution (measured: inner BiCGStab
+            # makes NO progress at 256^2+ with block-Jacobi momentum)
+            pre = CoupledSIMPLE(dia=self.mesh.dia, momentum="amg")
             pre.setup_structure(*self.mesh.host_cf())
             self._newton_pre = pre
         chunk_its = int(self.options.get("newtonChunkIterations") or 0)
@@ -1196,26 +1200,32 @@ class FlowModel(Model):
             bcvals = self._resolve_bcvals()
             hist = ResidualHistory()
             dtype = self.state["velocity"].dtype
+            B = self.mesh.dim + 1
+            nc = self.mesh.n_cells
             for it in range(niter):
-                dq = jnp.zeros(
-                    (self.mesh.n_cells, self.mesh.dim + 1), dtype
+                z = jnp.zeros((nc, B), dtype)
+                s0 = jnp.zeros((), dtype)
+                # (i, x, r, p, v, rho, alpha, omega, rn, bx, brn, rhat,
+                #  rnorm0) — overwritten in-graph on the fresh chunk
+                kcarry = (
+                    jnp.int32(0), z, z, z, z, s0, s0, s0, s0, z, s0, z, s0,
                 )
+                fresh = True
                 tot = 0
                 aux0 = None
-                prev_rel = None
+                rel = float("nan")
                 while tot < kit:
-                    dq, aux = self._step_newton_chunk(
-                        self.mesh, self.params, self.state, bcvals, dq
+                    (dq, kcarry), aux = self._step_newton_chunk(
+                        self.mesh, self.params, self.state, bcvals,
+                        kcarry, jnp.asarray(fresh),
                     )
+                    fresh = False
                     if aux0 is None:
                         aux0 = aux
-                    tot += int(aux["inner_it"])
+                    tot = int(aux["inner_it"])  # global across chunks
                     rel = float(aux["inner_rel"])
-                    if bool(aux["converged"]):
+                    if bool(aux["converged"]) or not (rel == rel):
                         break
-                    if prev_rel is not None and rel > 0.95 * prev_rel:
-                        break  # restart stagnation: stop burning chunks
-                    prev_rel = rel
                 self.state, _ = self._step_newton_finish(
                     self.mesh, self.params, self.state, bcvals, dq
                 )
@@ -1468,16 +1478,23 @@ class FlowModel(Model):
                 max_iterations=kit,
             )
             if mode == "chunk":
-                (dq_in,) = extra
-                # warm-restarted chunk on the FIXED system J dq = r0:
-                # the stop target is GLOBAL (ktol * |r0|), not relative
-                # to this chunk's already-reduced starting residual
-                rn_b = jnp.maximum(op.norm(r0), 1e-300)
-                dq, kstats = solver.solve_fn(
-                    op, r0, dq_in, target=ktol * rn_b
+                # continue the SAME BiCGStab iteration across device-
+                # program boundaries: the full Krylov state (shadow
+                # vector, search directions) rides the carry, so the
+                # chunked iteration is exactly the single-program one —
+                # a plain warm restart loses the transient and never
+                # advances across small chunks (measured)
+                (kcarry, fresh) = extra
+                init = solver.init_carry(op, r0, jnp.zeros_like(r0))
+                kcarry = jax.tree.map(
+                    lambda a, b: jnp.where(fresh, a, b), init, kcarry
+                )
+                rn_b = jnp.maximum(kcarry[-1], 1e-300)
+                dq, kstats, kcarry = solver.solve_chunk(
+                    op, kcarry, ktol * rn_b
                 )
                 dq = jnp.where(owned[:, None], dq, 0.0)
-                return dq, {
+                return (dq, kcarry), {
                     "mom_norm": mom_norm,
                     "cont_norm": cont_norm,
                     "inner_it": kstats.iterations,
