@@ -320,7 +320,10 @@ def main():
                         os.environ.get("FVM_BENCH_NEWTON_KTOL", "1e-3")
                     )
                     flow64.options["newtonKrylovIterations"] = int(
-                        os.environ.get("FVM_BENCH_NEWTON_KIT", "1500")
+                        # measured at 512^2: ~800-1400 inner its/step to
+                        # eta=1e-3 with the momentum-AMG preconditioner;
+                        # give 1M headroom
+                        os.environ.get("FVM_BENCH_NEWTON_KIT", "4000")
                     )
                     # chunk small in f64: ~2.6 s/inner-iteration at 1M,
                     # and the worker kills long programs

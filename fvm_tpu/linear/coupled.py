@@ -116,9 +116,15 @@ class CoupledSIMPLE(LinearSolver):
             Av2 = Av2.prepare() if hasattr(Av2, "prepare") else Av2
             levels_v, mats_v, denses_v = self.amg._build_hierarchy(Av2)
 
+            mom_cycles = int(getattr(self, "momentum_cycles", 1) or 1)
+
             def mom_solve_1(rv1):
                 _, b2, recover = condensed(Av, rv1)
                 dv = amg._cycle0(levels_v, mats_v, denses_v, b2)
+                for _ in range(mom_cycles - 1):
+                    dv = dv + amg._cycle0(
+                        levels_v, mats_v, denses_v, b2 - Av2.mv(dv)
+                    )
                 return recover(dv)
 
             def mom_solve(rv):
