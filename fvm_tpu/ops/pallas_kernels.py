@@ -1,13 +1,24 @@
 """Pallas TPU kernels for the DIA solver hot path.
 
 The DIA SpMV ``y = diag*x + sum_d coef_d * shift(x, d)`` is
-HBM-bandwidth-bound; the XLA roll formulation materializes one shifted
-copy of ``x`` per offset in HBM (D extra read+write passes) plus separate
-passes for the axpy/scale around it.  The kernels here read each operand
-from HBM exactly once per call: ``x`` is kept in HBM and DMA'd blockwise
-with a halo of ``ceil(max|d|/128)`` lane-rows, the shifts become static
-row slices + lane rolls inside VMEM, and the surrounding vector algebra
-(residual, damped-Jacobi update) is fused into the same pass.
+HBM-bandwidth-bound; the XLA roll formulation re-reads ``x`` once per
+offset (D+1 read passes of the vector plus the coefficient streams) and
+measured ~220 GB/s effective at 1M cells.  The kernel here reads each
+operand from HBM exactly once per call:
+
+  * the per-offset coefficients, the diagonal, ``b`` and the output are
+    streamed block-by-block through the pallas pipeline (auto
+    double-buffered against compute);
+  * ``x`` needs a halo of ``H`` lane-rows around each block (offsets
+    reach up to max|d| elements away), which BlockSpec cannot express,
+    so it stays in HBM and is DMA'd manually with an explicitly
+    double-buffered pipeline: the copy for block i+1 is issued before
+    the compute for block i starts (the v1 kernel's serial
+    start();wait() stalled on every block and sustained only
+    ~170 GB/s);
+  * the shifts become static row slices + lane rolls inside VMEM, and
+    the surrounding vector algebra (residual, damped-Jacobi update) is
+    fused into the same pass.
 
 The per-offset coefficients and the diagonal are constant across the
 10-30 kernel calls of a solve, so their padded 2D layouts are
@@ -15,7 +26,7 @@ precomputed once per matrix (``pack``) and carried on the matrix pytree;
 only the vectors are padded per call (one fused pad each).
 
 Three fused modes over the same kernel body:
-  mv:       y = A x
+  mv:       y = A x          (no b stream at all)
   residual: y = b - A x
   jacobi:   y = x + omega * (b - A x) / diag
 
@@ -47,15 +58,16 @@ def tpu_available() -> bool:
 def use_pallas(n: int) -> bool:
     """Whether to route fused DIA ops through the Pallas kernels.
 
-    Default OFF: on the measured v5e, XLA fuses the precomputed-coef roll
-    formulation into a single pass (~450 GB/s effective) while this
-    kernel's manual-DMA pipeline sustains ~170 GB/s, so the XLA path wins
-    (mv 0.129 ms vs 0.232 ms, V-cycle 0.56 ms vs 0.98 ms at 1M cells).
-    Set FVM_TPU_PALLAS=1 to re-enable for kernel development."""
+    Gated to real-TPU, large-n, where the double-buffered kernel beats
+    the XLA roll formulation (measured at 1M cells on v5e: see module
+    docstring).  FVM_TPU_PALLAS=0 force-disables, =1 force-enables
+    (above the minimum size) for A/B runs."""
     import os
 
-    return (os.environ.get("FVM_TPU_PALLAS") == "1" and tpu_available()
-            and n >= 32768)
+    env = os.environ.get("FVM_TPU_PALLAS", "")
+    if env == "0":
+        return False
+    return tpu_available() and n >= 65536 * 4
 
 
 def _plan(n: int, offsets, rb: int = 512):
@@ -107,17 +119,32 @@ def _shift_rows(xt, d: int, H: int, rb: int):
     return jnp.where(col < LANES - s, a0, a1)
 
 
-def _dia_kernel(offsets, H, rb, mode, nrhs,
-                x_hbm, coef_ref, diag_ref, b_ref, omega_ref, out_ref,
-                xs, sem):
+def _dia_kernel(offsets, H, rb, nblk, mode, nrhs, has_b, *refs):
+    if has_b:
+        x_hbm, coef_ref, diag_ref, b_ref, omega_ref, out_ref, xs, sem = refs
+    else:
+        x_hbm, coef_ref, diag_ref, omega_ref, out_ref, xs, sem = refs
+        b_ref = None
     i = pl.program_id(0)
-    cp = pltpu.make_async_copy(
-        x_hbm.at[:, pl.ds(i * rb, rb + 2 * H), :], xs, sem
-    )
-    cp.start()
-    cp.wait()
+    W = rb + 2 * H
+
+    def dma(idx, slot):
+        # x_hbm rows are halo-padded: block idx's window starts at idx*rb
+        return pltpu.make_async_copy(
+            x_hbm.at[:, pl.ds(idx * rb, W), :], xs.at[slot], sem.at[slot]
+        )
+
+    @pl.when(i == 0)
+    def _():
+        dma(0, 0).start()
+
+    @pl.when(i + 1 < nblk)
+    def _():
+        dma(i + 1, (i + 1) % 2).start()
+
+    dma(i, i % 2).wait()
     for m in range(nrhs):
-        xt = xs[m]
+        xt = xs[i % 2, m]
         xc = xt[H:H + rb, :]
         ax = diag_ref[:] * xc
         for j, d in enumerate(offsets):
@@ -141,48 +168,56 @@ def _dia_apply_packed(offsets, mode, n, coef_p, diag_p, x, b, omega):
     xh = jnp.pad(x, ((0, 0), (H * LANES, grow + H * LANES))).reshape(
         nrhs, Rpad + 2 * H, LANES
     )
-    if b is None:
-        b2 = jnp.zeros((nrhs, Rpad, LANES), x.dtype)
-    else:
-        b2 = jnp.pad(b, ((0, 0), (0, grow))).reshape(nrhs, Rpad, LANES)
+    has_b = mode != "mv"
     om = jnp.full((1, 1), omega if omega is not None else 0.0, x.dtype)
 
-    kernel = functools.partial(_dia_kernel, tuple(offsets), H, rb, mode, nrhs)
+    kernel = functools.partial(
+        _dia_kernel, tuple(offsets), H, rb, nblk, mode, nrhs, has_b
+    )
     # NB: index-map constants must be i32 (the global x64 flag would make
     # bare python 0 trace as i64 and Mosaic rejects the mixed tuple)
     zero = np.int32(0)
     D = coef_p.shape[0]
-    out = pl.pallas_call(
-        kernel,
-        grid=(nblk,),
-        in_specs=[
-            pl.BlockSpec(
-                xh.shape, lambda i: (zero, zero, zero),
-                memory_space=pltpu.ANY,  # x (+halo) stays in HBM
-            ),
-            pl.BlockSpec(
-                (D, rb, LANES), lambda i: (zero, i, zero),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec((rb, LANES), lambda i: (i, zero),
-                         memory_space=pltpu.VMEM),
+    in_specs = [
+        pl.BlockSpec(
+            xh.shape, lambda i: (zero, zero, zero),
+            memory_space=pl.ANY,  # x (+halo) stays in HBM
+        ),
+        pl.BlockSpec(
+            (D, rb, LANES), lambda i: (zero, i, zero),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec((rb, LANES), lambda i: (i, zero),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [xh, coef_p, diag_p]
+    if has_b:
+        b2 = jnp.pad(b, ((0, 0), (0, grow))).reshape(nrhs, Rpad, LANES)
+        in_specs.append(
             pl.BlockSpec(
                 (nrhs, rb, LANES), lambda i: (zero, i, zero),
                 memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec((1, 1), lambda i: (zero, zero),
-                         memory_space=pltpu.SMEM),
-        ],
+            )
+        )
+        args.append(b2)
+    in_specs.append(
+        pl.BlockSpec((1, 1), lambda i: (zero, zero), memory_space=pltpu.SMEM)
+    )
+    args.append(om)
+    out = pl.pallas_call(
+        kernel,
+        grid=(nblk,),
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (nrhs, rb, LANES), lambda i: (zero, i, zero),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((nrhs, Rpad, LANES), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((nrhs, rb + 2 * H, LANES), x.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, nrhs, rb + 2 * H, LANES), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
-    )(xh, coef_p, diag_p, b2, om)
+    )(*args)
     return out.reshape(nrhs, Rpad * LANES)[:, :n]
 
 
