@@ -285,7 +285,10 @@ def fused_apply(offsets, diag, coef, x, b=None, omega=None, mode="mv",
     from . import pallas_kernels as pkm
 
     n = diag.shape[0]
-    if pkm.use_pallas(n):
+    # f32 only: Mosaic has no production f64 path (the f64 Newton-polish
+    # endgame at 1M would otherwise route through the kernel), and bf16
+    # AMG cycles use (16,128) tiles the f32-planned halo doesn't satisfy
+    if pkm.use_pallas(n) and diag.dtype == jnp.float32:
         y = pkm.dia_apply(offsets, mode, coef, diag, x, b=b, omega=omega,
                           pk=pk)
     else:
@@ -372,7 +375,8 @@ class DIAMatrix:
     def prepare(self):
         from . import pallas_kernels as pkm
 
-        if self.pk is None and pkm.use_pallas(self.n):
+        if (self.pk is None and pkm.use_pallas(self.n)
+                and self.diag.dtype == jnp.float32):
             return DIAMatrix(
                 self.diag, self.coef, self.offsets,
                 pk=pkm.pack(self.offsets, self.coef, self.diag),

@@ -60,7 +60,8 @@ class ELLMatrix:
         from . import pallas_kernels as pkm
 
         pk = (pkm.pack(self.dia.offsets, coef, self.diag)
-              if pkm.use_pallas(self.n) else None)
+              if pkm.use_pallas(self.n) and self.diag.dtype == jnp.float32
+              else None)
         return self.replace(dia_coef=coef, dia_fb_vals=fb, dia_pk=pk)
 
     @property

@@ -125,26 +125,34 @@ def _dia_kernel(offsets, H, rb, nblk, mode, nrhs, has_b, *refs):
     else:
         x_hbm, coef_ref, diag_ref, omega_ref, out_ref, xs, sem = refs
         b_ref = None
-    i = pl.program_id(0)
+    # all index arithmetic in explicit int32: mixed python-int/traced
+    # promotion inside the Mosaic trace recurses under the global x64 flag
+    one = jnp.int32(1)
+    i = pl.program_id(0).astype(jnp.int32)
     W = rb + 2 * H
 
     def dma(idx, slot):
         # x_hbm rows are halo-padded: block idx's window starts at idx*rb
         return pltpu.make_async_copy(
-            x_hbm.at[:, pl.ds(idx * rb, W), :], xs.at[slot], sem.at[slot]
+            x_hbm.at[:, pl.ds(idx * jnp.int32(rb), W), :],
+            xs.at[slot], sem.at[slot],
         )
+
+    slot_i = jax.lax.bitwise_and(i, one)
+    nxt = i + one
+    slot_n = jax.lax.bitwise_and(nxt, one)
 
     @pl.when(i == 0)
     def _():
-        dma(0, 0).start()
+        dma(jnp.int32(0), jnp.int32(0)).start()
 
-    @pl.when(i + 1 < nblk)
+    @pl.when(nxt < jnp.int32(nblk))
     def _():
-        dma(i + 1, (i + 1) % 2).start()
+        dma(nxt, slot_n).start()
 
-    dma(i, i % 2).wait()
+    dma(i, slot_i).wait()
     for m in range(nrhs):
-        xt = xs[i % 2, m]
+        xt = xs[slot_i, m]
         xc = xt[H:H + rb, :]
         ax = diag_ref[:] * xc
         for j, d in enumerate(offsets):
