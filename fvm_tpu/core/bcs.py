@@ -89,7 +89,7 @@ def dirichlet_rows(
     """
     s = 1.0 if scale is None else jnp.where(jnp.asarray(scale) > 0, scale, 1.0)
     diag = A.diag.at[gc].set(s)
-    off = A.off.at[gc].set(0.0)
+    off = A.off.at[:, gc].set(0.0)
     resid = (value - phi[gc]) * s
     if valid is not None:
         resid = jnp.where(valid, resid, 0.0)
@@ -108,8 +108,8 @@ def extrapolation_rows(
     """
     s = 1.0 if scale is None else jnp.where(jnp.asarray(scale) > 0, scale, 1.0)
     diag = A.diag.at[gc].set(s)
-    off = A.off.at[gc].set(0.0)
-    off = off.at[gc, 0].set(-s if scale is not None else -1.0)
+    off = A.off.at[:, gc].set(0.0)
+    off = off.at[0, gc].set(-s if scale is not None else -1.0)
     owners = ghost_owner_cells(mesh)
     sl0 = gc.start - mesh.n_interior_cells
     sl1 = gc.stop - mesh.n_interior_cells
@@ -139,7 +139,7 @@ def periodic_rows(
     """
     s = 1.0 if scale is None else jnp.where(jnp.asarray(scale) > 0, scale, 1.0)
     diag = A.diag.at[gc].set(s)
-    off = A.off.at[gc].set(0.0)
+    off = A.off.at[:, gc].set(0.0)
     # padded group slots (distributed shards) must NOT get the partner
     # coupling: their slot-1 neighbor is the row itself, which would make
     # the identity row singular (dx_g - dx_g = 0)
@@ -148,7 +148,7 @@ def periodic_rows(
     )
     if valid is not None:
         soff = jnp.where(valid, soff, 0.0)
-    off = off.at[gc, 1].set(-soff)
+    off = off.at[1, gc].set(-soff)
     resid = (phi[psrc] - phi[gc]) * s
     if valid is not None:
         resid = jnp.where(valid, resid, 0.0)

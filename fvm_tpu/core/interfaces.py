@@ -52,10 +52,10 @@ def balance_rows(mesh, name, A, r, flux, weight_R=1.0, valid=None):
     fL, fR, gL, gR = interface_slices(mesh, name)
     v = jnp.ones(gL.stop - gL.start, bool) if valid is None else valid
     diag = A.diag.at[gL].set(jnp.where(v, -flux.dF_dN[fL], 1.0))
-    off = A.off.at[gL].set(0.0)
-    off = off.at[gL, 0].set(jnp.where(v, -flux.dF_dO[fL], 0.0))
-    off = off.at[gL, 1].set(jnp.where(v, -weight_R * flux.dF_dN[fR], 0.0))
-    off = off.at[gL, 2].set(jnp.where(v, -weight_R * flux.dF_dO[fR], 0.0))
+    off = A.off.at[:, gL].set(0.0)
+    off = off.at[0, gL].set(jnp.where(v, -flux.dF_dO[fL], 0.0))
+    off = off.at[1, gL].set(jnp.where(v, -weight_R * flux.dF_dN[fR], 0.0))
+    off = off.at[2, gL].set(jnp.where(v, -weight_R * flux.dF_dO[fR], 0.0))
     r = r.at[gL].set(jnp.where(v, flux.F[fL] + weight_R * flux.F[fR], 0.0))
     return A.replace(diag=diag, off=off), r
 
@@ -73,8 +73,8 @@ def jump_rows(mesh, name, A, r, phi, A_coeff, B_coeff, scale=None, valid=None):
     v = jnp.ones(gR.stop - gR.start, bool) if valid is None else valid
     ones = jnp.ones(gR.stop - gR.start, r.dtype)
     diag = A.diag.at[gR].set(jnp.where(v, s * ones, 1.0))
-    off = A.off.at[gR].set(0.0)
-    off = off.at[gR, 1].set(jnp.where(v, -s * A_coeff * ones, 0.0))
+    off = A.off.at[:, gR].set(0.0)
+    off = off.at[1, gR].set(jnp.where(v, -s * A_coeff * ones, 0.0))
     resid = jnp.where(v, s * (A_coeff * phi[gL] + B_coeff - phi[gR]), 0.0)
     r = r.at[gR].set(resid)
     return A.replace(diag=diag, off=off), r
@@ -98,9 +98,9 @@ def flux_closure_rows(
     base = -flux.dF_dN[fR]  # positive transport diagonal
     diag_val = (base + jnp.where(dI_dR > 0.0, dI_dR, 0.0)) / urf
     diag = A.diag.at[gR].set(jnp.where(v, diag_val, 1.0))
-    off = A.off.at[gR].set(0.0)
-    off = off.at[gR, 0].set(jnp.where(v, -flux.dF_dO[fR], 0.0))
-    off = off.at[gR, 1].set(jnp.where(v, dI_dL, 0.0))
+    off = A.off.at[:, gR].set(0.0)
+    off = off.at[0, gR].set(jnp.where(v, -flux.dF_dO[fR], 0.0))
+    off = off.at[1, gR].set(jnp.where(v, dI_dL, 0.0))
     r = r.at[gR].set(jnp.where(v, flux.F[fR] - i_star, 0.0))
     return A.replace(diag=diag, off=off), r
 

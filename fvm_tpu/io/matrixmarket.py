@@ -63,9 +63,9 @@ def read_matrix_market(matrix_path: str, rhs_path: str | None = None):
     dt = config.dtype
     A = ELLMatrix(
         diag=jnp.asarray(diag, dt),
-        off=jnp.asarray(offE, dt),
-        cols=jnp.asarray(colsE, jnp.int32),
-        mask=jnp.asarray(maskE),
+        off=jnp.asarray(np.ascontiguousarray(offE.T), dt),
+        cols=jnp.asarray(np.ascontiguousarray(colsE.T), jnp.int32),
+        mask=jnp.asarray(np.ascontiguousarray(maskE.T)),
     )
     b = None
     if rhs_path:
@@ -90,9 +90,9 @@ def write_matrix_market(path: str, A, b=None, rhs_path: str | None = None):
     FlowModel_impl.h:1560 dumpContinuityMatrix writes <prefix>.mtx +
     rhs, consumed back through MMReader for solver debugging)."""
     diag = np.asarray(A.diag)
-    off = np.asarray(A.off)
-    cols = np.asarray(A.cols)
-    mask = np.asarray(A.mask)
+    off = np.asarray(A.off).T  # device layout is slot-leading (K, n)
+    cols = np.asarray(A.cols).T
+    mask = np.asarray(A.mask).T
     n = diag.shape[0]
     rows_i, cols_i, vals = [np.arange(n)], [np.arange(n)], [diag]
     r, c = np.nonzero(mask)

@@ -51,7 +51,7 @@ def build_scalar_diffusion_cycles(model, k_eff: float, dirichlet_types):
     )
     gh = slice(mesh0.n_interior_cells, mesh0.n_cells)
     A_T = A_T.replace(
-        diag=A_T.diag.at[gh].set(1.0), off=A_T.off.at[gh].set(0.0)
+        diag=A_T.diag.at[gh].set(1.0), off=A_T.off.at[:, gh].set(0.0)
     ).prepare()
     amg_T = _AMG(coarse_size=32)
     amg_T.setup_structure(*mesh0.host_cf())
@@ -60,10 +60,10 @@ def build_scalar_diffusion_cycles(model, k_eff: float, dirichlet_types):
     plan = None if A_T.dia is None else A_T.dia.cond_plan
     if plan is not None and plan.ok:
         er, es, ep, ir, ik, ie = plan.as_device()
-        offv = jnp.where(A_T.mask, A_T.off, 0.0)
-        vE = jnp.where(es >= 0, offv[er, jnp.maximum(es, 0)], 0.0)
+        offv = jnp.where(A_T.mask, A_T.off, 0.0)  # (K, n)
+        vE = jnp.where(es >= 0, offv[jnp.maximum(es, 0), er], 0.0)
         dE = A_T.diag[er]
-        vIn = offv[ir, ik]
+        vIn = offv[ik, ir]
 
         def _fold(b):
             bE = b[er]

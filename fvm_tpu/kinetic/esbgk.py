@@ -196,12 +196,12 @@ class _KineticOperator:
         self.pin = pin  # (nc, 1) bool: identity rows (immersed solid)
         # diagonal: sum over faces of s * (own ? dO : dN) + extra
         s = jnp.where(mesh.cf_is_owner, 1.0, -1.0)[:, :, None]
-        m = mesh.cf_mask[:, :, None]
+        m = mesh.cf_mask[:, :, None]  # (K, nc, 1)
         dOf = mesh.take_faces(dO)
         dNf = mesh.take_faces(dN)
         ownf = mesh.cf_is_owner[:, :, None]
         self.diag = (
-            jnp.where(m, s * jnp.where(ownf, dOf, dNf), 0.0).sum(axis=1)
+            jnp.where(m, s * jnp.where(ownf, dOf, dNf), 0.0).sum(axis=0)
             + diag_extra
         )
         if pin is not None:
@@ -225,7 +225,7 @@ class _KineticOperator:
         F = self.dO * fo + self.dN * fn  # (nf, N)
         s = jnp.where(mesh.cf_is_owner, 1.0, -1.0)[:, :, None]
         m = mesh.cf_mask[:, :, None]
-        y = jnp.where(m, s * mesh.take_faces(F), 0.0).sum(axis=1)
+        y = jnp.where(m, s * mesh.take_faces(F), 0.0).sum(axis=0)
         y = y + self.diag_extra * f
         if self.lowrank is not None:
             kappa, U, Vt = self.lowrank
@@ -910,6 +910,10 @@ class KineticModel(Model):
                 preconditioner=precond,
                 relative_tolerance=inner_tol,
                 max_iterations=inner_it,
+                # rho-breakdown shadow restart: the COMET Newton inner
+                # residual turns orthogonal to r0 near convergence and
+                # vanilla BiCGStab then stalls permanently
+                stall_restart=True,
             )
             df, _ = solver.solve_fn(op, r0, jnp.zeros_like(f))
             f_new = jnp.maximum(f + df, 0.0)
@@ -1267,7 +1271,7 @@ class KineticModel(Model):
             gJ = jax.grad(lambda ff: functional(ff[:n_int]))(f_st)
             # dead padded cells (uneven partitions) are frozen at f=0:
             # their true functional cotangent is 0
-            alive = lmesh.cf_mask.any(axis=1)
+            alive = lmesh.cf_mask.any(axis=0)
             gJ = jnp.where(alive[:, None], gJ, 0.0)
             # transpose of the tangent's mass-family projection (the mass
             # inner products are GLOBAL: psum across shards)

@@ -427,6 +427,7 @@ class PhononModel(Model):
                 preconditioner=precond,
                 relative_tolerance=inner_tol,
                 max_iterations=inner_it,
+                stall_restart=True,  # see esbgk COMET inner solve
             )
             de, _ = solver.solve_fn(op, r0, jnp.zeros_like(e))
             return dict(state, e=e + de), {"rnorm": rnorm}
@@ -670,7 +671,7 @@ class PhononModel(Model):
             )
             gJ = jax.grad(lambda ee: functional(ee[:n_int]))(e_loc)
             # dead padded cells are frozen: zero functional cotangent
-            alive = lmesh.cf_mask.any(axis=1)
+            alive = lmesh.cf_mask.any(axis=0)
             gJ = jnp.where(alive[:, None], gJ, 0.0)
             op = _JVPOperator(
                 op_plain, lambda ev: R_of(tau0_l, {}, ev), e_loc

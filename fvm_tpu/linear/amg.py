@@ -266,9 +266,11 @@ class _StructuredLevel:
             self.tail_agg = jnp.zeros((0,), jnp.int32)
 
         # own ELL-slot -> offset-role mapping, used when the fine matrix
-        # carries no DIA metadata (A.dia None / unprepared): bucket[i,k] in
+        # carries no DIA metadata (A.dia None / unprepared): bucket[k,i] in
         # {0..3} indexes (+1,-1,+nx,-nx); everything else (tail couplings)
         # goes to the fallback lists and folds into the coarse diagonal.
+        # ``cols``/``mask`` arrive in HOST (n, K) orientation; the device
+        # bucket is stored slot-leading (K, n) to match ELLMatrix.off.
         self._bucket = None
         if cols is not None:
             delta = np.where(mask, cols - np.arange(n)[:, None], 0)
@@ -282,7 +284,7 @@ class _StructuredLevel:
             fc = cols[fr, fk]
             # fold target = grid-side cell of the coupling
             tgt = np.where(fr < self.m, fr, fc)
-            self._bucket = jnp.asarray(bucket)
+            self._bucket = jnp.asarray(np.ascontiguousarray(bucket.T))
             self._fb_rows = jnp.asarray(fr.astype(np.int32))
             self._fb_slots = jnp.asarray(fk.astype(np.int32))
             self._fb_agg = jnp.asarray(
@@ -383,16 +385,16 @@ class _StructuredLevel:
         else:
             # no DIA metadata on the matrix: use the level's own slot
             # bucketing (built at setup from the same cols/mask)
-            offv = jnp.where(A.mask, A.off, 0.0)
+            offv = jnp.where(A.mask, A.off, 0.0)  # (K, n)
             coef = jnp.stack([
-                jnp.sum(jnp.where(self._bucket == i, offv, 0.0), axis=1)
+                jnp.sum(jnp.where(self._bucket == i, offv, 0.0), axis=0)
                 for i in range(4)
             ])
             offsets = (1, -1, self.nx, -self.nx)
             diag = A.diag
             if self._fb_rows.shape[0]:
                 fb = ("own", self._fb_agg,
-                      offv[self._fb_rows, self._fb_slots])
+                      offv[self._fb_slots, self._fb_rows])
             else:
                 fb = None
         lut = {int(d): i for i, d in enumerate(offsets)}
@@ -541,13 +543,24 @@ class _Level:
 
         self.n, self.K, self.nC, self.Kc = n, K, nC, Kc
         self.agg = jnp.asarray(agg, jnp.int32)
-        self.to_diag = jnp.asarray(to_diag, jnp.int32)
-        self.to_off = jnp.asarray(to_off, jnp.int32)
-        self.cols_c = jnp.asarray(cols_c, jnp.int32)
-        self.mask_c = jnp.asarray(mask_c)
+        # device copies follow the slot-leading layout: flat fine entries
+        # are ordered (k, i) to match A.off (K, n).reshape(-1), and the
+        # coarse off target index is sl*nC + ic so the segment_sum output
+        # reshapes straight to the (Kc, nC) coarse matrix
+        to_diag_T = np.ascontiguousarray(
+            to_diag.reshape(n, K).T
+        ).reshape(-1)
+        to_off_T = np.ascontiguousarray(to_off.reshape(n, K).T).reshape(-1)
+        ic, sl = to_off_T // Kc, to_off_T % Kc
+        to_off_T = np.where(to_off_T == nC * Kc, nC * Kc, sl * nC + ic)
+        self.to_diag = jnp.asarray(to_diag_T, jnp.int32)
+        self.to_off = jnp.asarray(to_off_T, jnp.int32)
+        self.cols_c = jnp.asarray(np.ascontiguousarray(cols_c.T), jnp.int32)
+        self.mask_c = jnp.asarray(np.ascontiguousarray(mask_c.T))
         self.cols_c_np = cols_c
         self.mask_c_np = mask_c
-        # host copies for the distributed stacked-hierarchy setup
+        # host copies for the distributed stacked-hierarchy setup (host
+        # (i, k) flat order and ic*Kc+sl coarse targets)
         self.agg_np = agg
         self.to_diag_np = to_diag
         self.to_off_np = to_off
@@ -558,14 +571,14 @@ class _Level:
 
     def galerkin(self, A: ELLMatrix) -> ELLMatrix:
         """Coarse matrix values = R A P on device (3 segment sums)."""
-        off_flat = jnp.where(A.mask, A.off, 0.0).reshape(-1)
+        off_flat = jnp.where(A.mask, A.off, 0.0).reshape(-1)  # (k,i) order
         diag_c = jax.ops.segment_sum(A.diag, self.agg, num_segments=self.nC)
         diag_c = diag_c + jax.ops.segment_sum(
             off_flat, self.to_diag, num_segments=self.nC + 1
         )[: self.nC]
         off_c = jax.ops.segment_sum(
             off_flat, self.to_off, num_segments=self.nC * self.Kc + 1
-        )[: self.nC * self.Kc].reshape(self.nC, self.Kc)
+        )[: self.nC * self.Kc].reshape(self.Kc, self.nC)
         return ELLMatrix(
             diag=diag_c, off=off_c, cols=self.cols_c, mask=self.mask_c, dia=self.dia_c
         )
@@ -580,7 +593,8 @@ class _Level:
 def _dense_from_ell(A: ELLMatrix, n: int) -> jnp.ndarray:
     D = jnp.zeros((n, n), dtype=A.diag.dtype)
     D = D + jnp.diag(A.diag)
-    rows = jnp.repeat(jnp.arange(n, dtype=A.cols.dtype), A.cols.shape[1])
+    # slot-leading (K, n): flat order is (k, i), row index tiles
+    rows = jnp.tile(jnp.arange(n, dtype=A.cols.dtype), A.cols.shape[0])
     cols = A.cols.reshape(-1)
     vals = jnp.where(A.mask, A.off, 0.0).reshape(-1)
     return D.at[rows, cols].add(vals)
@@ -605,10 +619,10 @@ def _local_condense(A, arrs):
     padded to uniform length, with validity masks making padded entries
     no-ops).  Returns (diag2, offv, fold_b, recover)."""
     (er, es, ep, ir, ik, ie, e_val, in_val) = arrs
-    offv = jnp.where(A.mask, A.off, 0.0)
-    vE = jnp.where(e_val & (es >= 0), offv[er, jnp.maximum(es, 0)], 0.0)
+    offv = jnp.where(A.mask, A.off, 0.0)  # (K, n)
+    vE = jnp.where(e_val & (es >= 0), offv[jnp.maximum(es, 0), er], 0.0)
     dE = jnp.where(e_val, A.diag[er], 1.0)
-    vIn = jnp.where(in_val, offv[ir, ik], 0.0)
+    vIn = jnp.where(in_val, offv[ik, ir], 0.0)
     # all scatters below are .add with padded entries contributing exactly
     # zero — scatter-set would be order-dependent for the padded duplicate
     # indices
@@ -666,12 +680,14 @@ class _StackedGraphLevel:
         for d, lev in enumerate(shard_levels):
             agg[d, : lev.n] = lev.agg_np
             # flat (i, k) reindex from the shard's (n_d, K_d) layout to the
-            # padded (n_pad, K_pad) layout; trash targets remap too
+            # padded (n_pad, K_pad) layout; trash targets remap too.  The
+            # coarse off target uses the slot-leading flat order sl*nC+ic
+            # (matches the (Kc, nC) coarse matrix reshape).
             td = lev.to_diag_np.reshape(lev.n, lev.K)
             to = lev.to_off_np.reshape(lev.n, lev.K)
             td = np.where(td == lev.nC, nC, td)
             ic, sl = to // lev.Kc, to % lev.Kc
-            to = np.where(to == lev.nC * lev.Kc, nC * Kc, ic * Kc + sl)
+            to = np.where(to == lev.nC * lev.Kc, nC * Kc, sl * nC + ic)
             block_d = to_diag.reshape(S, n_pad, K_pad)
             block_o = to_off.reshape(S, n_pad, K_pad)
             block_d[d, : lev.n, : lev.K] = td
@@ -680,10 +696,15 @@ class _StackedGraphLevel:
             mask_c[d, : lev.nC, : lev.Kc] = lev.mask_c_np
             live_c[d, : lev.nC] = True
         self._agg = agg
-        self._to_diag = to_diag.reshape(S, -1)
-        self._to_off = to_off.reshape(S, -1)
-        self._cols_c = cols_c
-        self._mask_c = mask_c
+        # device flat order is (k, i) — transpose the per-shard blocks
+        self._to_diag = np.ascontiguousarray(
+            to_diag.reshape(S, n_pad, K_pad).transpose(0, 2, 1)
+        ).reshape(S, -1)
+        self._to_off = np.ascontiguousarray(
+            to_off.reshape(S, n_pad, K_pad).transpose(0, 2, 1)
+        ).reshape(S, -1)
+        self._cols_c = np.ascontiguousarray(cols_c.transpose(0, 2, 1))
+        self._mask_c = np.ascontiguousarray(mask_c.transpose(0, 2, 1))
         self._live_c = live_c
 
     def select(self, idx):
@@ -711,7 +732,7 @@ class _ShardGraphLevel:
 
     def galerkin(self, A: ELLMatrix) -> ELLMatrix:
         nC, Kc = self.nC, self.Kc
-        off_flat = jnp.where(A.mask, A.off, 0.0).reshape(-1)
+        off_flat = jnp.where(A.mask, A.off, 0.0).reshape(-1)  # (k,i) order
         diag_c = jax.ops.segment_sum(
             A.diag, self.agg, num_segments=nC + 1
         )[:nC]
@@ -720,7 +741,7 @@ class _ShardGraphLevel:
         )[:nC]
         off_c = jax.ops.segment_sum(
             off_flat, self.to_off, num_segments=nC * Kc + 1
-        )[: nC * Kc].reshape(nC, Kc)
+        )[: nC * Kc].reshape(Kc, nC)
         diag_c = jnp.where(self.live_c, diag_c, 1.0)
         return ELLMatrix(
             diag=diag_c, off=off_c, cols=self.cols_c, mask=self.mask_c
@@ -783,12 +804,17 @@ class AMG(LinearSolver):
     def setup_structure(self, cols_np: np.ndarray, mask_np: np.ndarray, key=None):
         """Build the static aggregation hierarchy from matrix structure.
 
+        ``cols_np``/``mask_np`` are HOST (n, K) tables (mesh.host_cf()).
         When the row graph is a tensor-product grid (structured meshes,
         which is also where the DIA SpMV fast path applies), the hierarchy
         uses index-pairing levels whose transfers/Galerkin products are
         pure reshapes (no gathers/segment-sums); otherwise greedy graph
         agglomeration (the general path)."""
-        key = key if key is not None else (cols_np.shape, cols_np.tobytes()[:64])
+        # cache key leads with the DEVICE (K, n) shape so _get_levels can
+        # match a traced A.cols against it under jit
+        key = key if key is not None else (
+            cols_np.shape[::-1], cols_np.tobytes()[:64]
+        )
         if key in self._levels_cache:
             return self._levels_cache[key]
         # mirror the solve-entry boundary condensation: levels must match
@@ -907,7 +933,10 @@ class AMG(LinearSolver):
             "kind": "general",
             "arrays": tuple(np.asarray(a) for a in
                             (er, es, ep, ir, ik, ie, e_val, in_val)),
-            "mask2": np.stack([p.mask2 for p in plans]),
+            # device orientation: (S, K, n) slot-leading like ELLMatrix
+            "mask2": np.ascontiguousarray(
+                np.stack([p.mask2 for p in plans]).transpose(0, 2, 1)
+            ),
             "levels": stacked,
         }
         return True
@@ -968,7 +997,8 @@ class AMG(LinearSolver):
         self._dist_setup = {
             "arrays": tuple(np.asarray(a) for a in
                             (er, es, ep, ir, ik, ie, e_val, in_val)),
-            "buckets": buckets,
+            # (S, K, n) slot-leading to match the device offv orientation
+            "buckets": np.ascontiguousarray(buckets.transpose(0, 2, 1)),
             "offsets": offsets,
             "levels": levels,
         }
@@ -985,10 +1015,10 @@ class AMG(LinearSolver):
         idx = jax.lax.axis_index(A.axis_name)
         arrs = tuple(jnp.asarray(a)[idx] for a in ds["arrays"])
         diag2, offv, fold_b, recover = _local_condense(A, arrs)
-        bkt = jnp.asarray(ds["buckets"])[idx]
+        bkt = jnp.asarray(ds["buckets"])[idx]  # (K, n)
         offsets = ds["offsets"]
         coef = jnp.stack([
-            jnp.sum(jnp.where(bkt == i, offv, 0.0), axis=1)
+            jnp.sum(jnp.where(bkt == i, offv, 0.0), axis=0)
             for i in range(len(offsets))
         ])
         A2 = DIAMatrix(diag2, coef, offsets).prepare()
@@ -1063,7 +1093,8 @@ class AMG(LinearSolver):
                         and key[0] == tuple(A.cols.shape)):
                     return lev
             return next(iter(self._levels_cache.values()))
-        return self.setup_structure(np.asarray(cols), np.asarray(A.mask))
+        # device tables are slot-leading; setup takes host (n, K)
+        return self.setup_structure(np.asarray(cols).T, np.asarray(A.mask).T)
 
     # -- cycle --------------------------------------------------------------
 

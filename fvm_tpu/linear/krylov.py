@@ -74,12 +74,31 @@ class CG(LinearSolver):
         return recover(x), SolveStats(i, rnorm0, rn, rn <= target)
 
 
-class BiCGStab(LinearSolver):
-    """Preconditioned BiCGStab (general nonsymmetric systems)."""
+def _stall_tol(dtype):
+    """Shadow-orthogonality threshold for the rho-breakdown restart:
+    when |<rhat, r>| < tol * |rhat| |r| the next beta/alpha are pure
+    round-off and the iteration can stall PERMANENTLY (measured: the
+    COMET Newton inner solve returned zero progress for every outer once
+    the residual turned orthogonal to r0).  Restarting the shadow at the
+    current residual (rhat = r, p = r) opens a fresh Krylov sequence from
+    the current iterate — the classical BiCGStab breakdown cure.  OPT-IN
+    (stall_restart=True): on near-symmetric systems (plate JFNK) rho
+    legitimately passes through near-orthogonality and the forced
+    restart destroys convergence."""
+    return 1e-8 if dtype == jnp.float64 else 1e-4
 
-    def __init__(self, preconditioner: LinearSolver | None = None, **kw):
+
+class BiCGStab(LinearSolver):
+    """Preconditioned BiCGStab (general nonsymmetric systems).
+
+    ``stall_restart=True`` enables the rho-breakdown shadow restart
+    (see _stall_tol) — used by the kinetic COMET inner solves."""
+
+    def __init__(self, preconditioner: LinearSolver | None = None,
+                 stall_restart: bool = False, **kw):
         super().__init__(**kw)
         self.preconditioner = preconditioner
+        self.stall_restart = stall_restart
 
     def init_carry(self, A, b: jnp.ndarray, x0: jnp.ndarray):
         """Full BiCGStab state for chunked solves: chunking is a DEVICE-
@@ -116,19 +135,25 @@ class BiCGStab(LinearSolver):
         )
         target = jnp.asarray(target, dtype)
         diverged_at = 1e8
+        stol = _stall_tol(dtype) if self.stall_restart else 0.0
+        rhn0 = A.norm(rhat)
 
         def cond(state):
-            i, x, r, p, v, rho, alpha, omega, rn, bx, brn = state
+            i, x, r, p, v, rho, alpha, omega, rn, bx, brn, rhat, rhn = state
             ok = jnp.isfinite(rn) & (rn < diverged_at * (rnorm0 + atol))
             return (i < i0 + maxit) & (rn > target) & ok
 
         def body(state):
-            i, x, r, p, v, rho, alpha, omega, rn, bx, brn = state
-            rho_new = A.dot(rhat, r)
+            i, x, r, p, v, rho, alpha, omega, rn, bx, brn, rhat, rhn = state
+            rho_raw = A.dot(rhat, r)
+            stall = jnp.abs(rho_raw) < stol * rhn * rn
+            rhat = jnp.where(stall, r, rhat)
+            rhn = jnp.where(stall, rn, rhn)
+            rho_new = jnp.where(stall, rn * rn, rho_raw)
             beta = (rho_new / jnp.where(jnp.abs(rho) > tiny, rho, tiny)) * (
                 alpha / jnp.where(jnp.abs(omega) > tiny, omega, tiny)
             )
-            p = r + beta * (p - omega * v)
+            p = jnp.where(stall, r, r + beta * (p - omega * v))
             phat = M(p)
             v = A.mv(phat)
             denom = A.dot(rhat, v)
@@ -144,12 +169,14 @@ class BiCGStab(LinearSolver):
             better = jnp.isfinite(rn) & (rn < brn)
             bx = jnp.where(better, x, bx)
             brn = jnp.where(better, rn, brn)
-            return (i + 1, x, r, p, v, rho_new, alpha, omega, rn, bx, brn)
+            return (i + 1, x, r, p, v, rho_new, alpha, omega, rn, bx, brn,
+                    rhat, rhn)
 
         out = jax.lax.while_loop(
-            cond, body, (i0, x, r, p, v, rho, alpha, omega, rn, bx, brn)
+            cond, body,
+            (i0, x, r, p, v, rho, alpha, omega, rn, bx, brn, rhat, rhn0),
         )
-        i, x, r, p, v, rho, alpha, omega, rn, bx, brn = out
+        (i, x, r, p, v, rho, alpha, omega, rn, bx, brn, rhat, _rhn) = out
         ok_last = jnp.isfinite(rn) & (rn < 100.0 * (rnorm0 + atol))
         x_out = jnp.where(ok_last, x, bx)
         rn_out = jnp.where(ok_last, rn, brn)
@@ -175,7 +202,6 @@ class BiCGStab(LinearSolver):
         tiny = jnp.asarray(1e-300, b.dtype) if b.dtype == jnp.float64 else jnp.asarray(1e-30, b.dtype)
 
         r0 = b - A.mv(x0)
-        rhat = r0
         rnorm0 = A.norm(r0)
         if target is None:
             target = jnp.maximum(rtol * rnorm0, atol)
@@ -187,20 +213,27 @@ class BiCGStab(LinearSolver):
         # round-off floor), the iterates can diverge violently while the
         # while_loop keeps spinning to maxit.  Track the best iterate seen
         # and stop on clear divergence; return the best, not the last.
+        # Shadow-orthogonality stalls instead RESTART the Krylov sequence
+        # at the current residual (see _stall_tol).
         diverged_at = 1e8
+        stol = _stall_tol(b.dtype) if self.stall_restart else 0.0
 
         def cond(state):
-            i, x, r, p, v, rho, alpha, omega, rn, bx, brn = state
+            i, x, r, p, v, rho, alpha, omega, rn, bx, brn, rhat, rhn = state
             ok = jnp.isfinite(rn) & (rn < diverged_at * (rnorm0 + atol))
             return (i < maxit) & (rn > target) & ok
 
         def body(state):
-            i, x, r, p, v, rho, alpha, omega, rn, bx, brn = state
-            rho_new = A.dot(rhat, r)
+            i, x, r, p, v, rho, alpha, omega, rn, bx, brn, rhat, rhn = state
+            rho_raw = A.dot(rhat, r)
+            stall = jnp.abs(rho_raw) < stol * rhn * rn
+            rhat = jnp.where(stall, r, rhat)
+            rhn = jnp.where(stall, rn, rhn)
+            rho_new = jnp.where(stall, rn * rn, rho_raw)
             beta = (rho_new / jnp.where(jnp.abs(rho) > tiny, rho, tiny)) * (
                 alpha / jnp.where(jnp.abs(omega) > tiny, omega, tiny)
             )
-            p = r + beta * (p - omega * v)
+            p = jnp.where(stall, r, r + beta * (p - omega * v))
             phat = M(p)
             v = A.mv(phat)
             denom = A.dot(rhat, v)
@@ -216,7 +249,8 @@ class BiCGStab(LinearSolver):
             better = jnp.isfinite(rn) & (rn < brn)
             bx = jnp.where(better, x, bx)
             brn = jnp.where(better, rn, brn)
-            return (i + 1, x, r, p, v, rho_new, alpha, omega, rn, bx, brn)
+            return (i + 1, x, r, p, v, rho_new, alpha, omega, rn, bx, brn,
+                    rhat, rhn)
 
         one = jnp.asarray(1.0, b.dtype)
         state = (
@@ -231,10 +265,11 @@ class BiCGStab(LinearSolver):
             rnorm0,
             x0,
             rnorm0,
+            r0,
+            rnorm0,
         )
-        i, x, r, p, v, rho, alpha, omega, rn, bx, brn = jax.lax.while_loop(
-            cond, body, state
-        )
+        out = jax.lax.while_loop(cond, body, state)
+        (i, x, r, p, v, rho, alpha, omega, rn, bx, brn, rhat, rhn) = out
         return recover(bx), SolveStats(i, rnorm0, brn, brn <= target)
 
 

@@ -55,10 +55,13 @@ class DeviceMesh:
     # --- topology (int32 device arrays) ----------------------------------
     face_cell0: jnp.ndarray  # (nf,) owner
     face_cell1: jnp.ndarray  # (nf,) neighbor (ghost for boundary faces)
-    cf_face: jnp.ndarray  # (nc, K) face id per slot (pad: 0)
-    cf_is_owner: jnp.ndarray  # (nc, K) bool: this cell is the face's owner
-    cf_mask: jnp.ndarray  # (nc, K) bool: slot valid
-    cf_nbr: jnp.ndarray  # (nc, K) neighbor cell across slot face (pad: self)
+    # cell->face tables are SLOT-LEADING (K, nc): each slot plane is one
+    # contiguous (nc,)-lane vector, so assembly masks/selects/reductions
+    # run on full VPU lanes instead of period-K interleaves
+    cf_face: jnp.ndarray  # (K, nc) face id per slot (pad: 0)
+    cf_is_owner: jnp.ndarray  # (K, nc) bool: this cell is the face's owner
+    cf_mask: jnp.ndarray  # (K, nc) bool: slot valid
+    cf_nbr: jnp.ndarray  # (K, nc) neighbor cell across slot face (pad: self)
 
     # --- geometry ---------------------------------------------------------
     face_area: jnp.ndarray  # (nf, dim) owner -> neighbor
@@ -127,13 +130,13 @@ class DeviceMesh:
         return x[self.face_cell1]
 
     def take_faces(self, F):
-        """F[self.cf_face] -> (nc, K, ...)."""
+        """F[self.cf_face] -> (K, nc, ...)."""
         if self.gathers is not None:
             return self.gathers.take_faces(F, self.cf_face)
         return F[self.cf_face]
 
     def take_cells(self, x):
-        """x[self.cf_nbr] -> (nc, K, ...); padded slots return x[row]."""
+        """x[self.cf_nbr] -> (K, nc, ...); padded slots return x[row]."""
         if self.dia is not None:
             from ..ops.dia import dia_gather_slots
 
@@ -176,11 +179,15 @@ class DeviceMesh:
         return slice(start, start + g[4])
 
     def host_cf(self):
-        """(cf_nbr, cf_mask) as HOST numpy arrays without device readback
-        (AMG setup, coloring, LS coefficients run on the host)."""
+        """(cf_nbr, cf_mask) as HOST numpy (n, K) arrays without device
+        readback (AMG setup, coloring, LS coefficients run on the host).
+        Note host tables stay ROW-LEADING (n, K); only the device copies
+        are slot-leading."""
         if self.host is not None:
             return self.host.cf_nbr, self.host.cf_mask
-        return np.asarray(self.cf_nbr), np.asarray(self.cf_mask)
+        nbr = np.asarray(self.cf_nbr)
+        mask = np.asarray(self.cf_mask)
+        return nbr.swapaxes(-1, -2), mask.swapaxes(-1, -2)
 
     def interface(self, name: str):
         """(left_group, right_group) tuples of a double-shell interface."""
@@ -298,11 +305,11 @@ def assemble_device_mesh(
             np.asarray(cf_mask, dtype=bool),
         )
     if axis_name is None and not as_numpy:
-        from ..ops.dia import DIAInfo, MeshGathers, SlotMajorGathers
+        from ..ops.dia import DIAInfo, MeshGathers, PlaneMajorGathers
 
         dia = DIAInfo.build(cf_nbr, cf_mask)
         if face_valid is not None and n_interior_faces == n_interior_cells * K:
-            gathers = SlotMajorGathers(
+            gathers = PlaneMajorGathers(
                 owner, nbr, cf_face, cf_mask, face_valid,
                 n_cells, n_interior_cells, nf, n_interior_faces, K,
             )
@@ -337,6 +344,12 @@ def assemble_device_mesh(
     scale = np.abs(np.asarray(face_area_mag)).max() if nf else 1.0
     orthogonal = bool(tmag <= 1e-12 * max(scale, 1e-300))
 
+    # device cf tables are stored SLOT-LEADING (K, n); the host (n, K)
+    # originals feed DIAInfo/HostMeshData/gather builders above
+    cf_face_d = np.ascontiguousarray(cf_face.T)
+    cf_is_owner_d = np.ascontiguousarray(cf_is_owner.T)
+    cf_mask_d = np.ascontiguousarray(cf_mask.T)
+    cf_nbr_d = np.ascontiguousarray(cf_nbr.T)
     if as_numpy:
         f = lambda x: np.asarray(x, dtype=dtype)
         i = lambda x: np.asarray(x, dtype=np.int32)
@@ -360,10 +373,10 @@ def assemble_device_mesh(
         groups=tuple(groups),
         face_cell0=i(owner),
         face_cell1=i(nbr),
-        cf_face=i(cf_face),
-        cf_is_owner=b(cf_is_owner),
-        cf_mask=b(cf_mask),
-        cf_nbr=i(cf_nbr),
+        cf_face=i(cf_face_d),
+        cf_is_owner=b(cf_is_owner_d),
+        cf_mask=b(cf_mask_d),
+        cf_nbr=i(cf_nbr_d),
         face_area=f(face_area),
         face_area_mag=f(face_area_mag),
         face_centroid=f(face_centroid),
@@ -390,18 +403,21 @@ def build_device_mesh(
     mesh: Mesh,
     geom: MeshGeometry | None = None,
     dtype=None,
-    slot_major: bool = True,
+    plane_major: bool = True,
 ) -> DeviceMesh:
     """Bake a host Mesh (+geometry) into the device layout.
 
-    slot_major=True renumbers interior faces into OWNER-SLOT-MAJOR order
-    (face owned by cell c at its j-th owned slot lives at id c*K + j, with
-    padding holes as zero-area dummy faces attached to one extra dummy
-    cell).  In this layout every face<->cell index map has a handful of
-    constant offsets, so the whole assembly fabric (take_owner/take_nbr/
-    take_faces) compiles to broadcasts/rolls instead of XLA gathers —
-    the TPU has no hardware gather (~6 cycles/element), which made these
-    maps the single largest cost of every solver step.
+    plane_major=True renumbers interior faces into PLANE-MAJOR order:
+    the face owned by cell c at its j-th owned rank lives at id
+    j*n_int_cells + c (padding holes are zero-area dummy faces attached
+    to one extra dummy cell).  A flat face array is then a (K, nci)
+    stack of contiguous cell-length planes, so the whole assembly fabric
+    (take_owner/take_nbr/take_faces) compiles to broadcasts + contiguous
+    slices — no gathers (TPU has no hardware gather, ~6 cycles/element)
+    AND no period-K interleaves (the previous owner-slot-major layout
+    c*K + j needed a repeat/stride-K shuffle per map, which was ~35 ms
+    of every 1M-cell step; plane-major measured 30x faster on the
+    assembly fabric).
     """
     if geom is None:
         geom = compute_geometry(mesh)
@@ -439,7 +455,7 @@ def build_device_mesh(
         periodic_ghost = jnp.asarray(np.asarray(pg, dtype=np.int32))
         periodic_src = jnp.asarray(np.asarray(ps, dtype=np.int32))
 
-    if slot_major and n_int_c > 0:
+    if plane_major and n_int_c > 0:
         # global slot stride = max faces per interior cell
         counts_all = np.bincount(
             np.concatenate([fc[:, 0], fc[fc[:, 1] < n_int_c, 1]]),
@@ -453,7 +469,7 @@ def build_device_mesh(
         seq = np.arange(n_int_f)
         starts = np.searchsorted(own_int[order], np.arange(n_int_c))
         ranks[order] = seq - starts[own_int[order]]
-        new_pos_int = own_int * K + ranks
+        new_pos_int = ranks * n_int_c + own_int  # plane-major
         n_int_f_new = n_int_c * K
         nf_new = n_int_f_new + (nf - n_int_f)
         dummy_cell = nc  # one extra trash cell

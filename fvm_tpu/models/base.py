@@ -369,7 +369,12 @@ class Model:
         cols_ext[ib_np, K:] = fi_np
         mask_ext[ib_np, K:] = fw_np > 0
         dia_ext = DIAInfo.build(cols_ext, mask_ext)
-        self._ib_ext = (jnp.asarray(cols_ext), jnp.asarray(mask_ext), dia_ext)
+        # device tables are slot-leading (K+k, n)
+        self._ib_ext = (
+            jnp.asarray(np.ascontiguousarray(cols_ext.T)),
+            jnp.asarray(np.ascontiguousarray(mask_ext.T)),
+            dia_ext,
+        )
         # AMG hierarchies for the widened pattern (added ALONGSIDE any
         # existing entries: a flow model's pressure matrix keeps the
         # original pattern, and AMG._get_levels matches by pattern shape)
@@ -431,20 +436,20 @@ class Model:
             valid[d, :m] = True
         # widened static ELL structure per shard (stacked — shard_map
         # closures are not sharded, so the structure flows through params)
-        cols_np = np.asarray(self.mesh.cf_nbr)
+        cols_np = np.asarray(self.mesh.cf_nbr)  # (S, K, ncl) slot-leading
         mask_np = np.asarray(self.mesh.cf_mask)
-        K = cols_np.shape[-1]
+        K = cols_np.shape[1]
         self_ix = np.tile(
-            np.arange(ncl, dtype=cols_np.dtype)[None, :, None], (S, 1, k)
+            np.arange(ncl, dtype=cols_np.dtype)[None, None, :], (S, k, 1)
         )
-        cols_ext = np.concatenate([cols_np, self_ix], axis=2)
+        cols_ext = np.concatenate([cols_np, self_ix], axis=1)
         mask_ext = np.concatenate(
-            [mask_np, np.zeros((S, ncl, k), bool)], axis=2
+            [mask_np, np.zeros((S, k, ncl), bool)], axis=1
         )
         for d in range(S):
             vd = valid[d]
-            cols_ext[d, cells[d, vd], K:] = fluid[d, vd]
-            mask_ext[d, cells[d, vd], K:] = fw[d, vd] > 0
+            cols_ext[d, K:, cells[d, vd]] = fluid[d, vd]
+            mask_ext[d, K:, cells[d, vd]] = fw[d, vd] > 0
         self.params["ibs_cells"] = jnp.asarray(cells, jnp.int32)
         self.params["ibs_fluid"] = jnp.asarray(fluid, jnp.int32)
         self.params["ibs_fw"] = jnp.asarray(fw, dtype)

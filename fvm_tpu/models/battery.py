@@ -591,7 +591,7 @@ class BatteryModel(Model):
             )
             gJ = jax.grad(lambda uu: functional(uu[:n_int]))(u)
             # dead padded cells are frozen -> zero functional cotangent
-            alive = lmesh.cf_mask.any(axis=1)
+            alive = lmesh.cf_mask.any(axis=0)
             gJ = jnp.where(alive[:, None] if gJ.ndim == 2 else alive, gJ, 0.0)
             lam, _ = solver.solve_fn(opT, gJ, jnp.zeros_like(gJ))
 

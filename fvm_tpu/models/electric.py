@@ -401,8 +401,8 @@ class ElectricModel(TangentMixin, Model):
             nbr, msk = mesh.host.cf_nbr, mesh.host.cf_mask
         else:
             cc = np.asarray(mesh.cell_centroid)
-            nbr = np.asarray(mesh.cf_nbr)
-            msk = np.asarray(mesh.cf_mask)
+            nbr = np.asarray(mesh.cf_nbr).T  # device tables are (K, n)
+            msk = np.asarray(mesh.cf_mask).T
         # most-positive-ds interior neighbor per cell: the reference's
         # "neighborUp" walk ascends the tunneling axis (:125-131)
         ds = cc[nbr, axis] - cc[:, axis][:, None]

@@ -205,7 +205,8 @@ class FlowModel(Model):
                 # admits it; Jacobi otherwise
                 amg_p = AMG(coarse_size=64)
                 if amg_p.setup_structure_dist(
-                    np.asarray(mesh.cf_nbr), np.asarray(mesh.cf_mask),
+                    np.asarray(mesh.cf_nbr).transpose(0, 2, 1),
+                    np.asarray(mesh.cf_mask).transpose(0, 2, 1),
                     mesh.n_owned_cells,
                 ):
                     pres = BiCGStab(
@@ -231,8 +232,8 @@ class FlowModel(Model):
                         ok = (
                             getattr(ss, "_dist_setup", None) is not None
                             or ss.setup_structure_dist(
-                                np.asarray(mesh.cf_nbr),
-                                np.asarray(mesh.cf_mask),
+                                np.asarray(mesh.cf_nbr).transpose(0, 2, 1),
+                                np.asarray(mesh.cf_mask).transpose(0, 2, 1),
                                 mesh.n_owned_cells,
                             )
                         )
@@ -343,7 +344,7 @@ class FlowModel(Model):
         p_f = assembly.cells_to_faces_distance_weighted(mesh, p)
         contrib = p_f[:, None] * mesh.face_area  # (nf, dim)
         s = jnp.where(mesh.cf_is_owner, 1.0, -1.0) * mesh.cf_mask
-        g = jnp.einsum("nk,nkd->nd", s, mesh.take_faces(contrib))
+        g = jnp.einsum("kn,knd->nd", s, mesh.take_faces(contrib))
         return g / jnp.maximum(mesh.cell_volume, 1e-300)[:, None]
 
     # ------------------------------------------------------------------
@@ -397,7 +398,7 @@ class FlowModel(Model):
             def identity_ghost_rows(A, r):
                 gh = slice(n_int, mesh.n_cells)
                 A = A.replace(
-                    diag=A.diag.at[gh].set(1.0), off=A.off.at[gh].set(0.0)
+                    diag=A.diag.at[gh].set(1.0), off=A.off.at[:, gh].set(0.0)
                 )
                 r = r.at[gh].set(0.0)
                 return A, r
@@ -475,7 +476,7 @@ class FlowModel(Model):
             # CORRECTION uses it; the Rhie-Chow dissipation stays on
             # vol/aP so the converged solution is algorithm-independent.
             if simplec:
-                sum_off = jnp.where(A.mask, A.off, 0.0).sum(axis=1)
+                sum_off = jnp.where(A.mask, A.off, 0.0).sum(axis=0)
                 den = Aur.diag + sum_off
                 corr_den = jnp.where(den > 1e-300, den, aP)
                 vol_corr = jnp.where(
@@ -742,7 +743,7 @@ class FlowModel(Model):
             # explicitly from the BCs each outer iteration)
             eyeB = jnp.eye(B, dtype=V.dtype)
             A_b = A_b.replace(
-                diag=A_b.diag.at[gh].set(eyeB), off=A_b.off.at[gh].set(0.0)
+                diag=A_b.diag.at[gh].set(eyeB), off=A_b.off.at[:, gh].set(0.0)
             )
             r_b = r_b.at[gh].set(0.0)
             cont_norm = jnp.sqrt(A_b.psum(jnp.sum(r_b[:, dim] ** 2)))
@@ -966,7 +967,7 @@ class FlowModel(Model):
 
             # dead padded interior cells (uneven partitions) are frozen:
             # their functional cotangent is 0
-            alive = lmesh.cf_mask.any(axis=1)
+            alive = lmesh.cf_mask.any(axis=0)
 
             def G(s, p_sub, b_sub):
                 new_s, _ = step_t(
@@ -1372,7 +1373,7 @@ class FlowModel(Model):
                 s = jnp.where(mesh.cf_is_owner, 1.0, -1.0)[:, :, None]
                 m = mesh.cf_mask[:, :, None]
                 r = -jnp.sum(
-                    jnp.where(m, s * mesh.take_faces(F_blk), 0.0), axis=1
+                    jnp.where(m, s * mesh.take_faces(F_blk), 0.0), axis=0
                 )
                 # ghost closure rows (JFNK: ghosts are unknowns tied by
                 # their BC closures, like structure/plate/battery)
@@ -1458,7 +1459,7 @@ class FlowModel(Model):
             A_b, _ = bell.assemble_block(mesh, F_blk0, dO, dN)
             eyeB = jnp.eye(B, dtype=q0.dtype)
             A_b = A_b.replace(
-                diag=A_b.diag.at[gh].set(eyeB), off=A_b.off.at[gh].set(0.0)
+                diag=A_b.diag.at[gh].set(eyeB), off=A_b.off.at[:, gh].set(0.0)
             )
             if not self._has_pressure_bc:
                 A_b = A_b.replace(
@@ -1677,7 +1678,7 @@ class FlowModel(Model):
         Ap, rp = assembly.assemble(mesh, cont_flux)
         gh = slice(mesh.n_interior_cells, mesh.n_cells)
         Ap = Ap.replace(
-            diag=Ap.diag.at[gh].set(1.0), off=Ap.off.at[gh].set(0.0)
+            diag=Ap.diag.at[gh].set(1.0), off=Ap.off.at[:, gh].set(0.0)
         )
         rp = rp.at[gh].set(0.0)
         write_matrix_market(prefix + ".mtx", Ap, rp)

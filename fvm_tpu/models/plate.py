@@ -209,18 +209,18 @@ class PlateModel(Model):
         S_c = S / (1.0 + S * V / (alpha * jnp.maximum(D, 1e-300)))
         from ..ops.bell import small_inv
 
-        Qf_cell = mesh.take_faces(Qf)  # (nc, K, 2)
-        Af = mesh.take_faces(mesh.face_area)  # (nc, K, 2)
+        Qf_cell = mesh.take_faces(Qf)  # (K, nc, 2)
+        Af = mesh.take_faces(mesh.face_area)  # (K, nc, 2)
         Amag = jnp.sqrt(jnp.maximum(jnp.sum(Af * Af, axis=2), 1e-300))
         sK = jnp.where(mesh.cf_is_owner, 1.0, -1.0)
         n_out = sK[:, :, None] * Af / Amag[:, :, None]
         n_out = jnp.where(mesh.cf_mask[:, :, None], n_out, 0.0)
-        qn = jnp.einsum("nki,nki->nk", Qf_cell, n_out)
-        M2 = jnp.einsum("nki,nkj->nij", n_out, n_out)
+        qn = jnp.einsum("kni,kni->kn", Qf_cell, n_out)
+        M2 = jnp.einsum("kni,knj->nij", n_out, n_out)
         eye2m = jnp.eye(2, dtype=u.dtype)
         M2 = M2 + 1e-10 * eye2m
         Qc = jnp.einsum(
-            "nij,nj->ni", small_inv(M2), jnp.einsum("nki,nk->ni", n_out, qn)
+            "nij,nj->ni", small_inv(M2), jnp.einsum("kni,kn->ni", n_out, qn)
         )
         r_cell = jnp.concatenate(
             [-Qc * V[:, None], (params["q"] * V)[:, None]], axis=1
@@ -276,7 +276,7 @@ class PlateModel(Model):
         if mesh.n_owned_cells_ is not None and mesh.n_owned_cells < mesh.n_cells:
             hs = slice(mesh.n_owned_cells, mesh.n_cells)
             eyeh = jnp.eye(3, dtype=u.dtype)
-            A = A.replace(diag=A.diag.at[hs].set(eyeh), off=A.off.at[hs].set(0.0))
+            A = A.replace(diag=A.diag.at[hs].set(eyeh), off=A.off.at[:, hs].set(0.0))
             r = r.at[hs].set(0.0)
         return A, r
 

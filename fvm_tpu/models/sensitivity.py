@@ -157,7 +157,7 @@ def jfnk_adjoint(
         gJ = jax.grad(lambda ww: functional(ww[: lmesh.n_interior_cells]))(w)
         # dead padded cells (uneven partitions) have zero Jacobian rows:
         # their values are frozen, so their true functional gradient is 0
-        alive = lmesh.cf_mask.any(axis=1)
+        alive = lmesh.cf_mask.any(axis=0)
         gJ = jnp.where(alive[:, None] if gJ.ndim == 2 else alive, gJ, 0.0)
         lam, _ = solver.solve_fn(opT, gJ, jnp.zeros_like(gJ))
 

@@ -317,7 +317,7 @@ class StructureModel(Model):
 
         if mesh.n_owned_cells_ is not None and mesh.n_owned_cells < mesh.n_cells:
             hs = slice(mesh.n_owned_cells, mesh.n_cells)
-            A = A.replace(diag=A.diag.at[hs].set(eyeF), off=A.off.at[hs].set(0.0))
+            A = A.replace(diag=A.diag.at[hs].set(eyeF), off=A.off.at[:, hs].set(0.0))
             r = r.at[hs].set(0.0)
         return A, r
 

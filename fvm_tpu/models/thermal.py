@@ -160,7 +160,8 @@ class ThermalModel(TangentMixin, Model):
             if isinstance(s, AMG):
                 if self._dist:
                     ok = s.setup_structure_dist(
-                        np.asarray(mesh.cf_nbr), np.asarray(mesh.cf_mask),
+                        np.asarray(mesh.cf_nbr).transpose(0, 2, 1),
+                        np.asarray(mesh.cf_mask).transpose(0, 2, 1),
                         mesh.n_owned_cells,
                     )
                     if not ok:

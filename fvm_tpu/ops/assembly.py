@@ -66,7 +66,7 @@ def assemble(mesh: DeviceMesh, flux: FaceFlux, r_cell=None, diag_cell=None):
     (the reference's GenericBCS writes the boundary equations the same way,
     GenericBCS.h:77-360).
     """
-    f = mesh.cf_face  # (nc, K)
+    f = mesh.cf_face  # (K, nc) slot-leading
     own = mesh.cf_is_owner
     mask = mesh.cf_mask
 
@@ -78,21 +78,21 @@ def assemble(mesh: DeviceMesh, flux: FaceFlux, r_cell=None, diag_cell=None):
     diag_contrib = jnp.where(mask, s * jnp.where(own, dO, dN), 0.0)
     off = jnp.where(mask, s * jnp.where(own, dN, dO), 0.0)
 
-    diag = diag_contrib.sum(axis=1)
+    diag = diag_contrib.sum(axis=0)
     if diag_cell is not None:
         diag = diag + diag_cell
     # rows with no valid face slot (padding cells on distributed shards)
     # get an identity equation so the system stays nonsingular
-    alive = mask.any(axis=1)
+    alive = mask.any(axis=0)
     diag = jnp.where(alive, diag, 1.0)
 
-    Ff = mesh.take_faces(flux.F)  # (nc, K) or (nc, K, m)
+    Ff = mesh.take_faces(flux.F)  # (K, nc) or (K, nc, m)
     if Ff.ndim == 3:
         s_ = s[:, :, None]
         m_ = mask[:, :, None]
     else:
         s_, m_ = s, mask
-    r = -(jnp.where(m_, s_ * Ff, 0.0)).sum(axis=1)
+    r = -(jnp.where(m_, s_ * Ff, 0.0)).sum(axis=0)
     if r_cell is not None:
         r = r + r_cell
     r = jnp.where(alive if r.ndim == 1 else alive[:, None], r, 0.0)
@@ -116,7 +116,7 @@ def identity_unowned_rows(mesh: DeviceMesh, A: ELLMatrix, r):
     if mesh.n_owned_cells_ is None or mesh.n_owned_cells >= mesh.n_cells:
         return A, r
     sl = slice(mesh.n_owned_cells, mesh.n_cells)
-    A = A.replace(diag=A.diag.at[sl].set(1.0), off=A.off.at[sl].set(0.0))
+    A = A.replace(diag=A.diag.at[sl].set(1.0), off=A.off.at[:, sl].set(0.0))
     r = r.at[sl].set(0.0)
     return A, r
 
@@ -144,7 +144,7 @@ def dirichlet_cells(A: ELLMatrix, r, mask, value, phi):
     """
     s = jnp.where(jnp.abs(A.diag) > 0, jnp.abs(A.diag), 1.0)
     diag = jnp.where(mask, s, A.diag)
-    off = jnp.where(mask[:, None], 0.0, A.off)
+    off = jnp.where(mask[None, :], 0.0, A.off)
     if r.ndim == 1:
         r = jnp.where(mask, s * (value - phi), r)
     elif jnp.ndim(value) == 2:
@@ -174,7 +174,7 @@ def ib_stencil_rows_implicit(
     tables to a uniform static length with the dead dummy cell) and leave
     their target rows untouched.  Returns the widened (A, r).
     """
-    n, K = A.off.shape
+    K, n = A.off.shape
     k = fluid_idx.shape[1]
     if valid is None:
         valid = jnp.ones(ib_cells.shape, bool)
@@ -197,13 +197,13 @@ def ib_stencil_rows_implicit(
             jnp.where(valid[:, None], resid, 0.0))
         r = jnp.where(band[:, None], rs, r)
     diag = jnp.where(band, s_full, A.diag)
-    off0 = jnp.where(band[:, None], 0.0, A.off)
-    off_ext = jnp.zeros((n, k), A.off.dtype).at[ib_cells].set(
-        jnp.where(valid[:, None], -s[:, None] * fw / W[:, None], 0.0)
+    off0 = jnp.where(band[None, :], 0.0, A.off)
+    off_ext = jnp.zeros((k, n), A.off.dtype).at[:, ib_cells].set(
+        jnp.where(valid[:, None], -s[:, None] * fw / W[:, None], 0.0).T
     )
     A2 = A.replace(
         diag=diag,
-        off=jnp.concatenate([off0, off_ext], axis=1),
+        off=jnp.concatenate([off0, off_ext], axis=0),
         cols=cols_ext,
         mask=mask_ext,
         dia=dia_ext,

@@ -79,12 +79,15 @@ def small_inv(M: jnp.ndarray) -> jnp.ndarray:
 
 @struct.dataclass
 class BlockELLMatrix:
-    """y_i = diag_i x_i + sum_k off[i,k] x[cols[i,k]]; x is (n, B)."""
+    """y_i = diag_i x_i + sum_k off[k,i] x[cols[k,i]]; x is (n, B).
+
+    Slot-leading layout like ELLMatrix: the block planes are contiguous
+    per slot."""
 
     diag: jnp.ndarray  # (n, B, B)
-    off: jnp.ndarray  # (n, K, B, B)
-    cols: jnp.ndarray  # (n, K)
-    mask: jnp.ndarray  # (n, K)
+    off: jnp.ndarray  # (K, n, B, B)
+    cols: jnp.ndarray  # (K, n)
+    mask: jnp.ndarray  # (K, n)
     halo: object = None
     axis_name: str | None = struct.field(pytree_node=False, default=None)
     n_owned: int | None = struct.field(pytree_node=False, default=None)
@@ -123,10 +126,10 @@ class BlockELLMatrix:
 
     def mv(self, x: jnp.ndarray) -> jnp.ndarray:
         x = self.sync(x)
-        xn = x[self.cols]  # (n, K, B)
+        xn = x[self.cols]  # (K, n, B)
         off = jnp.where(self.mask[:, :, None, None], self.off, 0.0)
         y = jnp.einsum("nij,nj->ni", self.diag, x) + jnp.einsum(
-            "nkij,nkj->ni", off, xn
+            "knij,knj->ni", off, xn
         )
         return self._mask_owned(y)
 
@@ -143,29 +146,29 @@ def assemble_block(mesh, F, dF_dO, dF_dN, r_cell=None, diag_cell=None):
     F: (nf, B) flux leaving owner; dF_dO/dF_dN: (nf, B, B) Jacobian blocks.
     Same conventions: A = -dr/dx, r_c = sources - sum_f s F_f.
     """
-    f = mesh.cf_face
+    f = mesh.cf_face  # (K, nc)
     own = mesh.cf_is_owner
     mask = mesh.cf_mask
     s = jnp.where(own, 1.0, -1.0)
 
-    dO = dF_dO[f]  # (nc, K, B, B)
+    dO = dF_dO[f]  # (K, nc, B, B)
     dN = dF_dN[f]
     s4 = s[:, :, None, None]
     m4 = mask[:, :, None, None]
     diag = (jnp.where(m4, s4 * jnp.where(own[:, :, None, None], dO, dN), 0.0)).sum(
-        axis=1
+        axis=0
     )
     off = jnp.where(m4, s4 * jnp.where(own[:, :, None, None], dN, dO), 0.0)
     if diag_cell is not None:
         diag = diag + diag_cell
     # dead rows -> identity blocks
-    alive = mask.any(axis=1)
+    alive = mask.any(axis=0)
     B = F.shape[-1]
     eye = jnp.eye(B, dtype=F.dtype)
     diag = jnp.where(alive[:, None, None], diag, eye)
 
-    Ff = F[f]  # (nc, K, B)
-    r = -(jnp.where(mask[:, :, None], s[:, :, None] * Ff, 0.0)).sum(axis=1)
+    Ff = F[f]  # (K, nc, B)
+    r = -(jnp.where(mask[:, :, None], s[:, :, None] * Ff, 0.0)).sum(axis=0)
     if r_cell is not None:
         r = r + r_cell
     r = jnp.where(alive[:, None], r, 0.0)
@@ -189,7 +192,7 @@ def dirichlet_rows_block(mesh, A, r, gc, value, x, valid=None, scale=None):
     s = 1.0 if scale is None else jnp.where(jnp.asarray(scale) > 0, scale, 1.0)
     sM = (s[:, None, None] if hasattr(s, "ndim") and getattr(s, "ndim", 0) else s) * eye
     diag = A.diag.at[gc].set(sM)
-    off = A.off.at[gc].set(0.0)
+    off = A.off.at[:, gc].set(0.0)
     resid = (value - x[gc]) * (s[:, None] if hasattr(s, "ndim") and getattr(s, "ndim", 0) else s)
     if valid is not None:
         resid = jnp.where(valid[:, None], resid, 0.0)
@@ -212,8 +215,8 @@ def transform_rows_block(mesh, A, r, gc, T, x, valid=None, scale=None, extra=Non
     s = 1.0 if scale is None else jnp.where(jnp.asarray(scale) > 0, scale, 1.0)
     sv = s[:, None, None] if hasattr(s, "ndim") and getattr(s, "ndim", 0) else s
     diag = A.diag.at[gc].set(sv * eye)
-    off = A.off.at[gc].set(0.0)
-    off = off.at[gc, 0].set(-sv * T)
+    off = A.off.at[:, gc].set(0.0)
+    off = off.at[0, gc].set(-sv * T)
     owners = ghost_owner_cells(mesh)
     own = owners[gc.start - mesh.n_interior_cells : gc.stop - mesh.n_interior_cells]
     target = jnp.einsum("fij,fj->fi", T, x[own])

@@ -142,11 +142,16 @@ class CondensePlan:
 
 
 class DIAInfo:
-    """Static DIA metadata attached to a mesh or AMG level (hashable by id)."""
+    """Static DIA metadata attached to a mesh or AMG level (hashable by id).
+
+    Built from HOST (n, K) cols/mask tables; the device ``bucket`` array is
+    stored SLOT-LEADING (K, n) to match the slot-leading ELL value layout
+    (contiguous (n,)-lane selects on the VPU instead of period-K
+    interleaves)."""
 
     def __init__(self, offsets, bucket, fb_rows, fb_slots, cols):
         self.offsets = offsets
-        self.bucket = jnp.asarray(bucket)
+        self.bucket = jnp.asarray(np.ascontiguousarray(bucket.T))  # (K, n)
         self.fb_rows = jnp.asarray(fb_rows)
         self.fb_slots = jnp.asarray(fb_slots)
         # fallback column indices (static): cols[fb_rows, fb_slots]
@@ -233,40 +238,42 @@ class ShiftGather:
 
 
 def dia_gather_slots(dia: DIAInfo, cols, mask, x):
-    """x[cols] per ELL slot using the DIA buckets: (n, K, ...) result.
+    """x[cols] per ELL slot using the DIA buckets: (K, n, ...) result.
 
     Used by gradient evaluation; identical semantics to a plain gather but
     built from rolls + selects (padded slots return x[row]).
     """
-    n, K = cols.shape
+    K, n = cols.shape
     trailing = x.shape[1:]
-    out = jnp.broadcast_to(x[:, None], (n, K) + trailing)
-    bshape = (n, K) + (1,) * len(trailing)
+    out = jnp.broadcast_to(x[None], (K, n) + trailing)
+    bshape = (K, n) + (1,) * len(trailing)
     for i, d in enumerate(dia.offsets):
         rolled = jnp.roll(x, -d, axis=0)
         out = jnp.where(
-            (dia.bucket == i).reshape(bshape), rolled[:, None], out
+            (dia.bucket == i).reshape(bshape), rolled[None], out
         )
     if dia.fb_rows.shape[0]:
-        out = out.at[dia.fb_rows, dia.fb_slots].set(x[dia.fb_cols])
+        out = out.at[dia.fb_slots, dia.fb_rows].set(x[dia.fb_cols])
     return out
 
 
 def build_coef(dia: DIAInfo, off, mask):
     """Precompute per-offset DIA coefficients from the ELL values.
 
-    Returns (coef (D, n), fb_vals (n_fb,)).  Hoists the K-way select that
-    dia_mv otherwise redoes on every SpMV: one pass per assembled matrix
-    instead of one per mv (solvers do 10-30 mv per assembly)."""
+    ``off``/``mask`` are slot-leading (K, n).  Returns (coef (D, n),
+    fb_vals (n_fb,)).  Hoists the K-way select that dia_mv otherwise redoes
+    on every SpMV: one pass per assembled matrix instead of one per mv
+    (solvers do 10-30 mv per assembly); each select runs on contiguous
+    (n,) lanes in this layout."""
     offv = jnp.where(mask, off, 0.0)
     coef = jnp.stack(
         [
-            jnp.sum(jnp.where(dia.bucket == i, offv, 0.0), axis=1)
+            jnp.sum(jnp.where(dia.bucket == i, offv, 0.0), axis=0)
             for i in range(len(dia.offsets))
         ]
     )
     if dia.fb_rows.shape[0]:
-        fb_vals = offv[dia.fb_rows, dia.fb_slots]
+        fb_vals = offv[dia.fb_slots, dia.fb_rows]
     else:
         fb_vals = jnp.zeros((0,), off.dtype)
     return coef, fb_vals
@@ -327,18 +334,19 @@ def dia_apply_coef(dia: DIAInfo, diag, coef, fb_vals, x, b=None, omega=None,
 
 
 def dia_mv(dia: DIAInfo, diag, off, mask, x):
-    """y = A x using the DIA fast path; x is (n,) or (n, m)."""
+    """y = A x using the DIA fast path; off/mask are (K, n); x is (n,) or
+    (n, m)."""
     squeeze = x.ndim == 1
     if squeeze:
         x = x[:, None]
     offv = jnp.where(mask, off, 0.0)
     y = diag[:, None] * x
     for i, d in enumerate(dia.offsets):
-        # coef_i[c] = sum_k off[c,k] * (bucket[c,k] == i)
-        coef = jnp.sum(jnp.where(dia.bucket == i, offv, 0.0), axis=1)
+        # coef_i[c] = sum_k off[k,c] * (bucket[k,c] == i)
+        coef = jnp.sum(jnp.where(dia.bucket == i, offv, 0.0), axis=0)
         y = y + coef[:, None] * jnp.roll(x, -d, axis=0)
     if dia.fb_rows.shape[0]:
-        vals = offv[dia.fb_rows, dia.fb_slots]  # small gather
+        vals = offv[dia.fb_slots, dia.fb_rows]  # small gather
         contrib = vals[:, None] * x[dia.fb_cols]
         y = y.at[dia.fb_rows].add(contrib)
     return y[:, 0] if squeeze else y
@@ -442,63 +450,78 @@ class MeshGathers:
             self.slots = None
 
     def take_faces(self, F, cf_face):
-        """F[cf_face] -> (nc, K, ...)."""
+        """F[cf_face] -> (K, nc, ...); ``cf_face`` is the device
+        slot-leading (K, nc) table."""
         if self.slots is None:
             return F[cf_face]
-        return jnp.stack([sg(F) for sg in self.slots], axis=1)
+        return jnp.stack([sg(F) for sg in self.slots], axis=0)
 
 
-class SlotMajorGathers:
-    """Gather bundle for the owner-slot-major face layout.
+class PlaneMajorGathers:
+    """Gather bundle for the PLANE-MAJOR face layout.
 
-    Interior face f = c*K + j is the j-th face owned by cell c, so:
-      * owner(x)[f]  = x[f // K]          -> a repeat/broadcast, no gather;
-      * nbr(x)[f]    = x[c + delta_b]     -> per-offset slices + repeat;
-      * F[cf_face]   -> plain ShiftGather on the flattened table (all
-        offsets constant in this layout).
+    Interior face f = j*nci + c is the j-th face owned by cell c: a flat
+    (nf,) face array IS a (K, nci) stack of contiguous cell-length planes
+    (plus the boundary tail).  Every hot map is then lane-contiguous:
+
+      * owner(x)[f] = x[f mod nci]      -> broadcast + reshape (no gather,
+        no period-K repeat — the slot-major layout's repeats were the
+        single largest VPU cost of assembly, measured 30x at 1M cells);
+      * nbr(x)       -> per-(plane, offset) contiguous slices + selects;
+      * take_faces(F) -> per-slot ShiftGathers stacked to (K, nc): in this
+        numbering cf_face[c, k] - c is constant for owner slots (k*nci)
+        and near-constant for neighbor slots, so each plane is a handful
+        of contiguous slices.
     Boundary faces live in a contiguous tail handled by small gathers.
     """
 
     def __init__(self, owner, nbr, cf_face, cf_mask, face_valid,
                  n_cells, n_int_cells, n_faces, n_int_faces, K):
         self.K = int(K)
-        self.nc_int = int(n_int_cells)
+        self.nci = int(n_int_cells)
         self.n_int_f = int(n_int_faces)
         self.n_src_cells = int(n_cells)
-        assert self.n_int_f == self.nc_int * self.K
+        assert self.n_int_f == self.nci * self.K
         self.bnd_owner = jnp.asarray(owner[self.n_int_f:], jnp.int32)
         self.bnd_nbr = jnp.asarray(nbr[self.n_int_f:], jnp.int32)
 
-        # neighbor offsets (cell space) for valid interior faces
-        fint = np.arange(self.n_int_f)
-        c_of = fint // self.K
-        delta = np.where(face_valid[: self.n_int_f],
-                         nbr[: self.n_int_f] - c_of, 0)
-        vals, counts = np.unique(delta[face_valid[: self.n_int_f]],
-                                 return_counts=True)
+        # neighbor cell offsets per (plane, cell): delta[j, c] = nbr - c
+        validP = face_valid[: self.n_int_f].reshape(self.K, self.nci)
+        nbrP = nbr[: self.n_int_f].reshape(self.K, self.nci)
+        delta = np.where(validP, nbrP - np.arange(self.nci)[None, :], 0)
+        vals, counts = np.unique(delta[validP], return_counts=True)
         order = np.argsort(counts)[::-1]
         keep = [int(v) for v, c in zip(vals[order][:16], counts[order][:16])
                 if c >= 0.002 * max(self.n_int_f, 1)]
-        bucket = np.full(self.n_int_f, -1, dtype=np.int32)
+        bucket = np.full((self.K, self.nci), -1, dtype=np.int32)
         for i, v in enumerate(keep):
-            bucket[(delta == v) & face_valid[: self.n_int_f]] = i
-        fb = face_valid[: self.n_int_f] & (bucket < 0)
+            bucket[(delta == v) & validP] = i
+        fb = validP & (bucket < 0)
         self.nbr_offsets = tuple(keep)
         self.nbr_bucket = jnp.asarray(bucket)
-        self.nbr_fb_pos = jnp.asarray(np.nonzero(fb)[0].astype(np.int32))
-        self.nbr_fb_idx = jnp.asarray(nbr[: self.n_int_f][fb].astype(np.int32))
+        fbj, fbc = np.nonzero(fb)
+        self.nbr_fb_pos = jnp.asarray(
+            (fbj * self.nci + fbc).astype(np.int32))
+        self.nbr_fb_idx = jnp.asarray(nbrP[fb].astype(np.int32))
         self.pad_lo = max(0, -min(keep)) if keep else 0
-        self.pad_hi = (max(0, max(keep) + self.nc_int - self.n_src_cells)
+        self.pad_hi = (max(0, max(keep) + self.nci - self.n_src_cells)
                        if keep else 0)
 
-        # flattened cf_face map (affine in this layout)
-        self.cf_sg = ShiftGather.build(cf_face.reshape(-1), n_faces)
-        self.slots = None  # signals take_faces to use cf_sg
+        # per-slot cf_face maps (constant/near-constant offsets per plane)
+        self.slots = []
+        for k in range(cf_face.shape[1]):
+            sg = ShiftGather.build(cf_face[:, k], n_faces)
+            if sg is None:
+                self.slots = None
+                break
+            self.slots.append(sg)
 
-    # -- face <- cell maps -------------------------------------------------
+    # -- face <- cell maps --------------------------------------------------
 
     def owner(self, x):
-        head = jnp.repeat(x[: self.nc_int], self.K, axis=0)
+        head = jnp.broadcast_to(
+            x[None, : self.nci], (self.K, self.nci) + x.shape[1:]
+        ).reshape((self.n_int_f,) + x.shape[1:])
         tail = x[self.bnd_owner]
         return jnp.concatenate([head, tail], axis=0)
 
@@ -506,22 +529,27 @@ class SlotMajorGathers:
         trailing = x.shape[1:]
         pad = [(self.pad_lo, self.pad_hi)] + [(0, 0)] * len(trailing)
         xp = jnp.pad(x, pad)
-        head = jnp.repeat(x[: self.nc_int], self.K, axis=0)
-        bshape = (self.n_int_f,) + (1,) * len(trailing)
+        head = jnp.broadcast_to(
+            x[None, : self.nci], (self.K, self.nci) + trailing
+        )
+        bshape = (self.K, self.nci) + (1,) * len(trailing)
         for i, d in enumerate(self.nbr_offsets):
             seg = jax.lax.slice_in_dim(
-                xp, self.pad_lo + d, self.pad_lo + d + self.nc_int, axis=0
+                xp, self.pad_lo + d, self.pad_lo + d + self.nci, axis=0
             )
-            cand = jnp.repeat(seg, self.K, axis=0)
-            head = jnp.where((self.nbr_bucket == i).reshape(bshape), cand, head)
+            head = jnp.where(
+                (self.nbr_bucket == i).reshape(bshape), seg[None], head
+            )
+        head = head.reshape((self.n_int_f,) + trailing)
         if self.nbr_fb_pos.shape[0]:
             head = head.at[self.nbr_fb_pos].set(x[self.nbr_fb_idx])
         tail = x[self.bnd_nbr]
         return jnp.concatenate([head, tail], axis=0)
 
     def take_faces(self, F, cf_face):
-        if self.cf_sg is None:
+        """-> (K, nc, ...); ``cf_face`` is the device (K, nc) table."""
+        if self.slots is None:
             return F[cf_face]
-        out = self.cf_sg(F)
-        n, Kt = cf_face.shape
-        return out.reshape((n, Kt) + F.shape[1:])
+        return jnp.stack([sg(F) for sg in self.slots], axis=0)
+
+

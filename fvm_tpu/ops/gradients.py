@@ -3,11 +3,11 @@
 TPU-native counterpart of the reference's gradient machinery
 (reference: GradientMatrix.h:31, GradientModel.h:92-106).  The reference
 builds a per-cell least-squares "gradient matrix" over the cellCells stencil;
-here that becomes a static (n_cells, K, dim) coefficient tensor aligned with
-the ELL cell->neighbor table, so a gradient evaluation is one gather and one
-einsum:
+here that becomes a static SLOT-LEADING (K, n_cells, dim) coefficient tensor
+aligned with the ELL cell->neighbor table, so a gradient evaluation is one
+gather and one einsum:
 
-    grad_c = sum_k  coeff[c, k, :] * (phi_nbr(c,k) - phi_c)
+    grad_c = sum_k  coeff[k, c, :] * (phi_nbr(c,k) - phi_c)
 
 Ghost (boundary) neighbors participate in the stencil, which is what makes
 boundary-adjacent gradients first-order accurate (the reference does the
@@ -26,7 +26,7 @@ from ..mesh.device import DeviceMesh
 
 
 def ls_gradient_coefficients(mesh: DeviceMesh):
-    """Precompute least-squares gradient coefficients, (nc, K, dim).
+    """Precompute least-squares gradient coefficients, (K, nc, dim).
 
     Single-device meshes route to the HOST numpy implementation: the
     coefficients are static per-mesh geometry, and compiling the 1M-cell
@@ -36,8 +36,10 @@ def ls_gradient_coefficients(mesh: DeviceMesh):
     vmapped distributed path (stacked per-shard meshes).
     """
     if not isinstance(mesh.cf_mask, jnp.ndarray) or mesh.axis_name is None:
+        coeff = _ls_gradient_coefficients_host(mesh)  # (n, K, dim)
         return jnp.asarray(
-            _ls_gradient_coefficients_host(mesh), mesh.cell_volume.dtype
+            np.ascontiguousarray(coeff.transpose(1, 0, 2)),
+            mesh.cell_volume.dtype,
         )
     return _ls_gradient_coefficients_jnp(mesh)
 
@@ -51,8 +53,8 @@ def _ls_gradient_coefficients_host(mesh) -> np.ndarray:
         mask = mesh.host.cf_mask
     else:
         cc = np.asarray(mesh.cell_centroid, dtype=np.float64)
-        cf_nbr = np.asarray(mesh.cf_nbr)
-        mask = np.asarray(mesh.cf_mask)
+        cf_nbr = np.asarray(mesh.cf_nbr).T  # device tables are (K, n)
+        mask = np.asarray(mesh.cf_mask).T
     d = cc[cf_nbr] - cc[:, None, :]
     d = np.where(mask[:, :, None], d, 0.0)
     d2 = np.sum(d * d, axis=2)
@@ -81,12 +83,12 @@ def _ls_gradient_coefficients_jnp(mesh: DeviceMesh) -> jnp.ndarray:
     Degenerate rows (ghost cells with one neighbor) fall back to the
     two-point difference along d (handled by Tikhonov regularization of M).
     """
-    d = mesh.take_cells(mesh.cell_centroid) - mesh.cell_centroid[:, None, :]
-    mask = mesh.cf_mask[:, :, None]
+    d = mesh.take_cells(mesh.cell_centroid) - mesh.cell_centroid[None, :, :]
+    mask = mesh.cf_mask[:, :, None]  # (K, nc, 1)
     d = jnp.where(mask, d, 0.0)
     d2 = jnp.sum(d * d, axis=2)
     w = jnp.where(mesh.cf_mask, 1.0 / jnp.maximum(d2, 1e-300), 0.0)
-    M = jnp.einsum("nk,nki,nkj->nij", w, d, d)
+    M = jnp.einsum("kn,kni,knj->nij", w, d, d)
     # regularize directions with no information (rank-deficient stencils):
     # adding eps*I leaves well-posed directions untouched and zeroes the
     # gradient along unseen directions instead of blowing up.
@@ -96,7 +98,7 @@ def _ls_gradient_coefficients_jnp(mesh: DeviceMesh) -> jnp.ndarray:
     from .bell import small_inv
 
     Minv = small_inv(Mreg)
-    coeff = jnp.einsum("nij,nkj,nk->nki", Minv, d, w)
+    coeff = jnp.einsum("nij,knj,kn->kni", Minv, d, w)
     # rank-deficient stencils (ghost cells: one neighbor) leave near-null
     # directions in M whose regularized inverse amplifies fp noise by
     # ~1/eps; physically no coefficient can exceed O(1/|d|), so clamp
@@ -110,10 +112,12 @@ def _ls_gradient_coefficients_jnp(mesh: DeviceMesh) -> jnp.ndarray:
 
 
 def gradient(mesh: DeviceMesh, coeff: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
-    """Cell gradients: x is (nc,) -> (nc, dim); (nc, m) -> (nc, m, dim)."""
+    """Cell gradients: x is (nc,) -> (nc, dim); (nc, m) -> (nc, m, dim).
+
+    ``coeff`` is slot-leading (K, nc, dim)."""
     xn = mesh.take_cells(x)
     if x.ndim == 1:
-        dphi = xn - x[:, None]
-        return jnp.einsum("nk,nki->ni", dphi, coeff)
-    dphi = xn - x[:, None, :]  # (nc, K, m)
-    return jnp.einsum("nkm,nki->nmi", dphi, coeff)
+        dphi = xn - x[None, :]
+        return jnp.einsum("kn,kni->ni", dphi, coeff)
+    dphi = xn - x[None, :, :]  # (K, nc, m)
+    return jnp.einsum("knm,kni->nmi", dphi, coeff)

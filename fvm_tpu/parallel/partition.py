@@ -382,12 +382,12 @@ class Partition:
             rebuilt = []
             for d, lm in enumerate(local_meshes):
                 if lm.max_faces_per_cell == Kmax:
-                    padK = Kmax - lm.max_faces_per_cell
                     rebuilt.append(lm)
                 else:
+                    # cf tables are slot-leading (K, ncl): pad slot axis 0
                     pad = lambda a, fill: np.concatenate(
-                        [a, np.full((a.shape[0], Kmax - a.shape[1]) + a.shape[2:], fill, a.dtype)],
-                        axis=1,
+                        [a, np.full((Kmax - a.shape[0],) + a.shape[1:], fill, a.dtype)],
+                        axis=0,
                     )
                     rebuilt.append(
                         lm.replace(
@@ -398,11 +398,11 @@ class Partition:
                                 [
                                     np.asarray(lm.cf_nbr),
                                     np.tile(
-                                        np.arange(lm.n_cells, dtype=np.int32)[:, None],
-                                        (1, Kmax - lm.cf_nbr.shape[1]),
+                                        np.arange(lm.n_cells, dtype=np.int32)[None, :],
+                                        (Kmax - lm.cf_nbr.shape[0], 1),
                                     ),
                                 ],
-                                axis=1,
+                                axis=0,
                             ),
                             max_faces_per_cell=Kmax,
                         )

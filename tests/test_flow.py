@@ -317,7 +317,7 @@ def test_piso_transient_correctors():
             mesh.cf_mask
         )
         div = np.abs(
-            (s * mdot[np.asarray(mesh.cf_face)]).sum(axis=1)
+            (s * mdot[np.asarray(mesh.cf_face)]).sum(axis=0)
         )[: mesh.n_interior_cells]
         return m.getVelocity(), div.max()
 

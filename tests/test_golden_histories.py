@@ -94,8 +94,8 @@ def run_cavity(solver_name, n_shards, niter=30):
     if isinstance(pres, AMG):
         if dist:
             ok = pres.setup_structure_dist(
-                np.asarray(part.sharded_mesh.cf_nbr),
-                np.asarray(part.sharded_mesh.cf_mask),
+                np.asarray(part.sharded_mesh.cf_nbr).transpose(0, 2, 1),
+                np.asarray(part.sharded_mesh.cf_mask).transpose(0, 2, 1),
                 part.sharded_mesh.n_owned_cells,
             )
             assert ok

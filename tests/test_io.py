@@ -241,7 +241,7 @@ def test_matrix_market_round_trip(tmp_path):
         ),
     )
     gh = slice(mesh.n_interior_cells, mesh.n_cells)
-    Ap = Ap.replace(diag=Ap.diag.at[gh].set(1.0), off=Ap.off.at[gh].set(0.0))
+    Ap = Ap.replace(diag=Ap.diag.at[gh].set(1.0), off=Ap.off.at[:, gh].set(0.0))
     rp = rp.at[gh].set(0.0)
     np.testing.assert_allclose(
         np.asarray(A2.mv(x)), np.asarray(Ap.mv(x)), rtol=1e-10, atol=1e-12

@@ -36,9 +36,9 @@ def poisson_ell(nx, ny):
             cols[c, k:] = c
     A = ELLMatrix(
         diag=jnp.asarray(diag),
-        off=jnp.asarray(off),
-        cols=jnp.asarray(cols, jnp.int32),
-        mask=jnp.asarray(mask),
+        off=jnp.asarray(off.T.copy()),
+        cols=jnp.asarray(cols.T.copy(), jnp.int32),
+        mask=jnp.asarray(mask.T.copy()),
     )
     rows = np.repeat(np.arange(n), 4)
     S = sp.csr_matrix(
@@ -101,7 +101,7 @@ def test_amg_standalone(sys16):
 def test_cg_amg_preconditioned(sys16):
     A, b, x_ref = sys16
     amg = AMG()
-    amg.setup_structure(np.asarray(A.cols), np.asarray(A.mask))
+    amg.setup_structure(np.asarray(A.cols).T, np.asarray(A.mask).T)
     x, stats = CG(preconditioner=amg, max_iterations=100, relative_tolerance=1e-12).solve(A, b)
     assert bool(stats.converged)
     assert int(stats.iterations) < 30  # AMG-preconditioned CG must be fast
@@ -153,8 +153,8 @@ def test_ilu0_beats_jacobi_on_anisotropic():
     from fvm_tpu.ops.dia import DIAInfo
 
     m = fvm.mesh.build_device_mesh(fvm.mesh.generate.quad_2d(32, 32))
-    cols = np.asarray(m.cf_nbr)
-    mask = np.asarray(m.cf_mask)
+    cols = np.asarray(m.cf_nbr).T  # host (n, K) view of the device tables
+    mask = np.asarray(m.cf_mask).T
     n = cols.shape[0]
     i = np.arange(n)
     delta = np.where(mask, cols - i[:, None], 0)
@@ -163,8 +163,9 @@ def test_ilu0_beats_jacobi_on_anisotropic():
     diag = -off.sum(1) + 0.5
     diag = np.where(mask.any(1), diag, 1.0)
     A = ELLMatrix(
-        diag=jnp.asarray(diag), off=jnp.asarray(off),
-        cols=jnp.asarray(cols, jnp.int32), mask=jnp.asarray(mask),
+        diag=jnp.asarray(diag), off=jnp.asarray(off.T.copy()),
+        cols=jnp.asarray(cols.T.copy(), jnp.int32),
+        mask=jnp.asarray(mask.T.copy()),
         dia=DIAInfo.build(cols, mask),
     )
     rng = np.random.default_rng(0)

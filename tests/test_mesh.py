@@ -101,8 +101,9 @@ def test_device_mesh_tables():
     dm = build_device_mesh(m)
     import numpy as np
 
-    cf = np.asarray(dm.cf_face)
-    mask = np.asarray(dm.cf_mask)
+    # device tables are slot-leading (K, nc); view row-leading for checks
+    cf = np.asarray(dm.cf_face).T
+    mask = np.asarray(dm.cf_mask).T
     owner = np.asarray(dm.face_cell0)
     nbr = np.asarray(dm.face_cell1)
     # every interior cell has 4 faces
@@ -113,7 +114,7 @@ def test_device_mesh_tables():
     gh = slice(m.n_interior_cells, m.n_interior_cells + n_gh)
     assert (mask[gh].sum(axis=1) == 1).all()
     # cf_nbr consistent with face_cells
-    cn = np.asarray(dm.cf_nbr)
+    cn = np.asarray(dm.cf_nbr).T
     for c in range(dm.n_cells):
         for k in range(dm.max_faces_per_cell):
             if mask[c, k]:
