@@ -325,11 +325,31 @@ def main():
                         # give 1M headroom
                         os.environ.get("FVM_BENCH_NEWTON_KIT", "4000")
                     )
-                    # chunk small in f64: ~2.6 s/inner-iteration at 1M,
-                    # and the worker kills long programs
-                    flow64.options["newtonChunkIterations"] = int(
-                        os.environ.get("FVM_BENCH_NEWTON_CHUNK64", "80")
+                    # mixed-precision inner solve (default float32): the
+                    # Newton state/rhs/update stay f64 but the Jacobian
+                    # matvecs + CoupledSIMPLE preconditioner run on
+                    # f32-cast views — ~20x cheaper per inner iteration
+                    # on TPU (f64 is emulated).  The rhs comes from the
+                    # f64 "resid" program, so this avoids the all-f32
+                    # stall (rhs = representation noise at the f32
+                    # floor).  FVM_BENCH_NEWTON_PREC="" restores the
+                    # all-f64 inner solve.
+                    nprec = os.environ.get(
+                        "FVM_BENCH_NEWTON_PREC", "float32"
                     )
+                    if nprec:
+                        flow64.options["newtonInnerPrecision"] = nprec
+                    # chunk size bounds each device program (the worker
+                    # kills long programs): f64 inner iterations cost
+                    # ~2.6 s each at 1M -> chunk 80; f32 ~0.15-0.3 s ->
+                    # chunk 240 keeps programs ~1 min
+                    flow64.options["newtonChunkIterations"] = int(
+                        os.environ.get(
+                            "FVM_BENCH_NEWTON_CHUNK64",
+                            "240" if nprec else "80",
+                        )
+                    )
+                    flow64.options["newtonVerboseInner"] = True
                     thermal64 = build_thermal(flow64.mesh)
                     flow64.options["residualSync"] = False
                     thermal64.options["residualSync"] = False

@@ -128,6 +128,26 @@ class FlowModelOptions(ModelOptions):
         # this many iterations, one device program each (required at
         # scale on the axon TPU backend, which kills long programs)
         "newtonChunkIterations": 0,
+        # mixed-precision inexact Newton ("float32"): the Newton STATE,
+        # residual r0 = R(q) and update stay in the model dtype (f64 for
+        # the endgame — an f32 state cannot satisfy the discrete
+        # equations below rel ~4e-5), but the inner Krylov (Jacobian
+        # jvp matvecs + CoupledSIMPLE/AMG preconditioner) runs on an
+        # f32-cast view of (mesh, params, state) with the f64-computed
+        # rhs cast down.  The historical all-f32 failure (inner rel
+        # stuck at 1.0 from 256^2 up) came from the RHS being pure f32
+        # representation noise at the f32 floor, not from the operator:
+        # with a clean f64 rhs the f32 matvec noise only limits the
+        # inner tolerance (~1e-3 relative), which inexact-Newton
+        # forcing absorbs.  f64 is ~20x slower than f32 on TPU, so
+        # this makes each inner iteration ~20x cheaper.  Requires
+        # newtonChunkIterations > 0 (single-device chunked path).
+        "newtonInnerPrecision": None,
+        # None = auto: BiCGStab rho-breakdown shadow restarts on iff the
+        # inner runs at reduced precision (f32 loses shadow
+        # orthogonality to round-off and bounces at O(10)x|r0| forever;
+        # f64 never needs it and forced restarts can slow it down)
+        "newtonStallRestart": None,
         # mix every K-th outer step (Anderson over the K-step composite
         # map): the extrapolation coefficients scale like 1/(1 - rho^K),
         # so larger K amplifies the loose inner-solve noise less — use
@@ -135,6 +155,20 @@ class FlowModelOptions(ModelOptions):
         "andersonInterval": 1,
         "verbose": True,
     }
+
+
+def _cast_floats(tree, dtype):
+    """Cast every floating pytree leaf to ``dtype`` (mixed-precision
+    Newton views).  Static fields (DeviceMesh DIA/gather index tables,
+    group tuples) are not pytree leaves and are shared, so a cast
+    DeviceMesh is a cheap f32 VIEW of the same mesh: only the float
+    geometry arrays are re-created, once per polish."""
+    def c(x):
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+            return jnp.asarray(x, dtype)
+        return x
+
+    return jax.tree.map(c, tree)
 
 
 class FlowModel(Model):
@@ -1188,14 +1222,15 @@ class FlowModel(Model):
             # iteration inner while_loop crashes it from 512^2 up
             # (measured; 400 iterations at 512^2 is fine) — so at scale
             # the inner solve MUST return to the host periodically.
-            import jax as _jax
-
             if getattr(self, "_step_newton_chunk", None) is None:
-                self._step_newton_chunk = _jax.jit(
+                self._step_newton_chunk = jax.jit(
                     self._build_newton_step(mode="chunk")
                 )
-                self._step_newton_finish = _jax.jit(
+                self._step_newton_finish = jax.jit(
                     self._build_newton_step(mode="finish")
+                )
+                self._step_newton_resid = jax.jit(
+                    self._build_newton_step(mode="resid")
                 )
             kit = int(self.options["newtonKrylovIterations"])
             bcvals = self._resolve_bcvals()
@@ -1203,9 +1238,42 @@ class FlowModel(Model):
             dtype = self.state["velocity"].dtype
             B = self.mesh.dim + 1
             nc = self.mesh.n_cells
+            # mixed-precision inner solve (see newtonInnerPrecision in
+            # the options table): Jacobian matvecs + preconditioner run
+            # on a cast view of (mesh, params, state); the rhs comes
+            # from the full-precision "resid" program.  The cast mesh
+            # shares every static index table (DIA/gather machinery is
+            # dtype-free int32) — only float leaves are re-created, once.
+            prec = self.options.get("newtonInnerPrecision")
+            inner_dt = jnp.dtype(prec) if prec else jnp.dtype(dtype)
+            mixed = inner_dt != jnp.dtype(dtype)
+            if mixed:
+                views = getattr(self, "_newton_views", None)
+                if views is None or views[0] != inner_dt:
+                    views = (
+                        inner_dt,
+                        _cast_floats(self.mesh, inner_dt),
+                        _cast_floats(self.params, inner_dt),
+                    )
+                    self._newton_views = views
+                _, mesh_i, params_i = views
+            else:
+                mesh_i, params_i = self.mesh, self.params
             for it in range(niter):
-                z = jnp.zeros((nc, B), dtype)
-                s0 = jnp.zeros((), dtype)
+                # Newton rhs in the MODEL dtype (f64 for the endgame):
+                # at the f32 floor the residual is pure representation
+                # noise in f32, so it must never be evaluated there
+                r0, aux0 = self._step_newton_resid(
+                    self.mesh, self.params, self.state, bcvals
+                )
+                if mixed:
+                    state_i = _cast_floats(self.state, inner_dt)
+                    bcvals_i = _cast_floats(bcvals, inner_dt)
+                    r0_i = r0.astype(inner_dt)
+                else:
+                    state_i, bcvals_i, r0_i = self.state, bcvals, r0
+                z = jnp.zeros((nc, B), inner_dt)
+                s0 = jnp.zeros((), inner_dt)
                 # (i, x, r, p, v, rho, alpha, omega, rn, bx, brn, rhat,
                 #  rnorm0) — overwritten in-graph on the fresh chunk
                 kcarry = (
@@ -1213,22 +1281,49 @@ class FlowModel(Model):
                 )
                 fresh = True
                 tot = 0
-                aux0 = None
                 rel = float("nan")
+                prev_rel = None
+                stalled = 0
                 while tot < kit:
                     (dq, kcarry), aux = self._step_newton_chunk(
-                        self.mesh, self.params, self.state, bcvals,
+                        mesh_i, params_i, state_i, bcvals_i, r0_i,
                         kcarry, jnp.asarray(fresh),
                     )
                     fresh = False
-                    if aux0 is None:
-                        aux0 = aux
                     tot = int(aux["inner_it"])  # global across chunks
                     rel = float(aux["inner_rel"])
+                    if self.options.get("newtonVerboseInner"):
+                        import sys as _sys
+
+                        print(
+                            f"# newton inner: {tot} its rel {rel:.3e}",
+                            file=_sys.stderr,
+                        )
                     if bool(aux["converged"]) or not (rel == rel):
                         break
+                    # inner noise floor (mixed precision: the f32 matvec
+                    # round-off bounds the achievable inner residual at
+                    # ~1e-3-1e-4 relative): two consecutive chunks with
+                    # <10% progress AFTER real progress has been made
+                    # (rel < 0.1 — BiCGStab's non-monotone transient can
+                    # sit above 1 for hundreds of iterations and must
+                    # not be mistaken for a floor) -> accept the current
+                    # iterate; the next Newton step recomputes the rhs
+                    # in f64 and is self-correcting
+                    if (
+                        rel < 0.1
+                        and prev_rel is not None
+                        and rel > 0.9 * prev_rel
+                    ):
+                        stalled += 1
+                        if stalled >= 2:
+                            break
+                    else:
+                        stalled = 0
+                    prev_rel = rel
                 self.state, _ = self._step_newton_finish(
-                    self.mesh, self.params, self.state, bcvals, dq
+                    self.mesh, self.params, self.state, bcvals,
+                    dq.astype(dtype),
                 )
                 self._last_aux = {
                     "newton_inner": tot,
@@ -1242,6 +1337,14 @@ class FlowModel(Model):
                     f" (inner {tot} its to {rel:.1e})"
                 )
             return hist
+        if self.options.get("newtonInnerPrecision"):
+            raise ConfigError(
+                "newtonInnerPrecision needs the single-device chunked "
+                "path (set newtonChunkIterations > 0): the one-program "
+                "Newton step computes its rhs in the inner precision, "
+                "which is exactly the f32-floor failure the mixed mode "
+                "exists to avoid"
+            )
         if getattr(self, "_step_newton", None) is None:
             self._step_newton = self._wrap_step(self._build_newton_step())
         segregated, self._step = self._step, self._step_newton
@@ -1255,13 +1358,17 @@ class FlowModel(Model):
 
     def _build_newton_step(self, mode="full"):
         """``mode``: "full" = one program (residual + inner solve +
-        update); "chunk" = inner-Krylov chunk only, signature
-        step(mesh, params, state, bcvals, dq_in) -> (dq, aux) with a
-        warm-restarted BiCGStab capped at newtonChunkIterations (the
-        axon TPU worker kills programs that run too long — a 1500-
-        iteration inner while_loop at 512^2+ is a worker crash; chunked
-        restarts keep each program bounded); "finish" = apply a solved
-        dq, signature step(mesh, params, state, bcvals, dq) ->
+        update); "resid" = evaluate the Newton rhs only, signature
+        step(mesh, params, state, bcvals) -> (r0, aux) (run once per
+        Newton step, in the model dtype); "chunk" = inner-Krylov chunk
+        only, signature step(mesh, params, state, bcvals, r0, kcarry,
+        fresh) -> ((dq, kcarry), aux) with a warm-restarted BiCGStab
+        capped at newtonChunkIterations (the axon TPU worker kills
+        programs that run too long — a 1500-iteration inner while_loop
+        at 512^2+ is a worker crash; chunked restarts keep each program
+        bounded); under newtonInnerPrecision the chunk program is traced
+        on f32-cast views with the f64 rhs cast down; "finish" = apply
+        a solved dq, signature step(mesh, params, state, bcvals, dq) ->
         (new_state, aux)."""
         from ..ops import bell
         from ..linear.base import MatrixFreeOperator, newton_operator
@@ -1387,14 +1494,33 @@ class FlowModel(Model):
             q0 = jnp.concatenate(
                 [state["velocity"], state["pressure"][:, None]], axis=1
             )
-            r0 = R(q0)
-            mom_norm = jnp.sqrt(gsum(
-                mesh,
-                jnp.sum(jnp.where(int_c[:, None], r0[:, :dim], 0.0) ** 2),
-            ))
-            cont_norm = jnp.sqrt(gsum(
-                mesh, jnp.sum(jnp.where(int_c, r0[:, dim], 0.0) ** 2)
-            ))
+            if mode == "chunk":
+                # the rhs is supplied by the caller (computed ONCE per
+                # Newton step by the "resid" program — in the model
+                # dtype, so a mixed-precision inner solve still sees the
+                # true residual, not its f32 representation noise) and
+                # stays fixed across chunks: saves one residual
+                # evaluation per chunk vs recomputing it here
+                (r0, kcarry, fresh) = extra
+            elif mode == "finish":
+                r0 = None
+            else:
+                r0 = R(q0)
+            if r0 is not None:
+                mom_norm = jnp.sqrt(gsum(
+                    mesh,
+                    jnp.sum(
+                        jnp.where(int_c[:, None], r0[:, :dim], 0.0) ** 2
+                    ),
+                ))
+                cont_norm = jnp.sqrt(gsum(
+                    mesh, jnp.sum(jnp.where(int_c, r0[:, dim], 0.0) ** 2)
+                ))
+            else:  # finish applies an externally solved dq; norms unused
+                mom_norm = cont_norm = jnp.zeros((), q0.dtype)
+
+            if mode == "resid":
+                return r0, {"mom_norm": mom_norm, "cont_norm": cont_norm}
 
             if mode == "finish":
                 # apply an externally solved Newton increment (chunked
@@ -1473,10 +1599,21 @@ class FlowModel(Model):
                 M = pre.precond_setup(A_b)
             else:
                 M = JacobiSolver(sweeps=4).precond_setup(A_b)
+            # rho-breakdown shadow restarts (see linear/krylov._stall_tol)
+            # are REQUIRED for the reduced-precision inner solve: in f32
+            # the shadow-vector orthogonality <rhat, r> drowns in
+            # round-off within a few hundred iterations on the 256^2+
+            # coupled system and BiCGStab then bounces at O(10) x |r0|
+            # indefinitely (measured; the f64 solve exits its transient
+            # by ~250 its on the same system and never needs this)
+            stall = self.options.get("newtonStallRestart")
+            if stall is None:
+                stall = bool(self.options.get("newtonInnerPrecision"))
             solver = BiCGStab(
                 preconditioner=_FixedM(M),
                 relative_tolerance=ktol,
                 max_iterations=kit,
+                stall_restart=bool(stall),
             )
             if mode == "chunk":
                 # continue the SAME BiCGStab iteration across device-
@@ -1485,7 +1622,6 @@ class FlowModel(Model):
                 # chunked iteration is exactly the single-program one —
                 # a plain warm restart loses the transient and never
                 # advances across small chunks (measured)
-                (kcarry, fresh) = extra
                 init = solver.init_carry(op, r0, jnp.zeros_like(r0))
                 kcarry = jax.tree.map(
                     lambda a, b: jnp.where(fresh, a, b), init, kcarry

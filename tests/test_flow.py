@@ -523,3 +523,38 @@ def test_advance_newton_chunked_matches_single_program():
     # the chunked Newton solution IS the SIMPLE fixed point
     h2 = f.advance(1)
     assert float(h2[0][1]) / n0 < 1e-9
+
+
+def test_advance_newton_mixed_precision_inner():
+    """newtonInnerPrecision="float32": the Newton state/rhs/update stay
+    f64 but the inner Krylov (jvp matvecs + CoupledSIMPLE/AMG
+    preconditioner) runs on f32-cast views — the TPU endgame mode (f64
+    is ~20x slower on TPU, and an all-f32 inner solve stalls at rel 1.0
+    from 256^2 up because its rhs is representation noise at the f32
+    floor).  The mixed endgame must still reach the f64 SIMPLE fixed
+    point: the f32 matvec noise only bounds the INNER tolerance, and
+    inexact-Newton forcing absorbs that with extra outer steps."""
+    import jax.numpy as jnp
+
+    if jnp.dtype(fvm.config.dtype) != jnp.dtype("float64"):
+        pytest.skip("mixed-precision endgame is an f64-state mode")
+    dm = fvm.mesh.build_device_mesh(quad_2d(32, 32))
+    f = FlowModel(dm)
+    f.options["verbose"] = False
+    f.vc["viscosity"] = 0.01
+    for side in ("left", "right", "bottom", "top"):
+        f.bc[side].bc_type = "NoSlipWall"
+    f.bc["top"]["specifiedXVelocity"] = 1.0
+    f.options["newtonChunkIterations"] = 40
+    f.options["newtonInnerPrecision"] = "float32"
+    f.options["newtonKrylovTolerance"] = 1e-3  # inexact-Newton forcing
+    f.init()
+    h = f.advance(60)
+    n0 = float(h[0][1])
+
+    f.advanceNewton(6)
+    # state stayed f64 and reached the f64 fixed point (well below the
+    # f32 representation floor)
+    assert f.state["velocity"].dtype == jnp.dtype("float64")
+    h2 = f.advance(1)
+    assert float(h2[0][1]) / n0 < 1e-8
