@@ -153,6 +153,8 @@ class FlowModelOptions(ModelOptions):
         # so larger K amplifies the loose inner-solve noise less — use
         # K ~ 5-10 at large mesh sizes where rho -> 1
         "andersonInterval": 1,
+        # echo per-chunk inner-Krylov progress to stderr (bench harness)
+        "newtonVerboseInner": False,
         "verbose": True,
     }
 
@@ -1248,10 +1250,15 @@ class FlowModel(Model):
             inner_dt = jnp.dtype(prec) if prec else jnp.dtype(dtype)
             mixed = inner_dt != jnp.dtype(dtype)
             if mixed:
+                # cache key includes mesh/params identity: a rebuilt mesh
+                # or params (set_immersed_boundary, vc change + re-init)
+                # must invalidate the cast views or the inner Jacobian
+                # silently disagrees with the f64 rhs
+                vkey = (inner_dt, id(self.mesh), id(self.params))
                 views = getattr(self, "_newton_views", None)
-                if views is None or views[0] != inner_dt:
+                if views is None or views[0] != vkey:
                     views = (
-                        inner_dt,
+                        vkey,
                         _cast_floats(self.mesh, inner_dt),
                         _cast_floats(self.params, inner_dt),
                     )
@@ -1279,12 +1286,18 @@ class FlowModel(Model):
                 kcarry = (
                     jnp.int32(0), z, z, z, z, s0, s0, s0, s0, z, s0, z, s0,
                 )
+                if kit <= 0:
+                    raise ConfigError(
+                        "advanceNewton: newtonKrylovIterations must be > 0"
+                    )
                 fresh = True
+                dq = z
                 tot = 0
                 rel = float("nan")
                 prev_rel = None
                 stalled = 0
                 while tot < kit:
+                    prev_tot = tot
                     (dq, kcarry), aux = self._step_newton_chunk(
                         mesh_i, params_i, state_i, bcvals_i, r0_i,
                         kcarry, jnp.asarray(fresh),
@@ -1301,17 +1314,26 @@ class FlowModel(Model):
                         )
                     if bool(aux["converged"]) or not (rel == rel):
                         break
-                    # inner noise floor (mixed precision: the f32 matvec
-                    # round-off bounds the achievable inner residual at
-                    # ~1e-3-1e-4 relative): two consecutive chunks with
-                    # <10% progress AFTER real progress has been made
-                    # (rel < 0.1 — BiCGStab's non-monotone transient can
-                    # sit above 1 for hundreds of iterations and must
-                    # not be mistaken for a floor) -> accept the current
-                    # iterate; the next Newton step recomputes the rhs
-                    # in f64 and is self-correcting
+                    if tot == prev_tot:
+                        # the chunk while_loop exited without advancing
+                        # the iteration counter (finite-ratio divergence
+                        # guard tripped): repeating the chunk would spin
+                        # forever on the same best iterate
+                        break
+                    # inner noise floor, MIXED precision only (the f32
+                    # matvec round-off bounds the achievable inner
+                    # residual at ~1e-3-1e-4 relative; an all-f64 inner
+                    # solve has no such floor and a BiCGStab non-monotone
+                    # plateau must not cut it short of the tolerance):
+                    # two consecutive chunks with <10% progress AFTER
+                    # real progress has been made (rel < 0.1 — the
+                    # transient can sit above 1 for hundreds of
+                    # iterations) -> accept the current iterate; the
+                    # next Newton step recomputes the rhs in f64 and is
+                    # self-correcting
                     if (
-                        rel < 0.1
+                        mixed
+                        and rel < 0.1
                         and prev_rel is not None
                         and rel > 0.9 * prev_rel
                     ):
