@@ -51,9 +51,24 @@ def sn_directions(n_polar: int = 4, n_azimuthal: int = 8):
 
 
 class PhononBC(BoundaryCondition):
-    _allowed_types = ("Isothermal", "Symmetry", "Adiabatic")
+    """Boundary kinds (reference: phononbase/PhononModel.h:246-260
+    callBoundaryConditions — "temperature" -> Isothermal,
+    "reflecting" -> Reflecting; Symmetry/Adiabatic are the pure
+    specular / pure diffuse limits kept as named types).
+
+    Reflecting blends specular and diffuse reflection by the
+    ``specifiedReflection`` weight (reference:
+    PhononBoundary.h:69-155 applyReflectingWall): for each incoming
+    direction the ghost carries refl x the specularly mirrored outgoing
+    energy plus (1-refl) x the flux-weighted diffuse redistribution of
+    ALL outgoing energy (per band, so each band's wall interaction is
+    energy-conserving on its own — the reference redistributes per
+    frequency bin)."""
+
+    _allowed_types = ("Isothermal", "Symmetry", "Adiabatic", "Reflecting")
     _defaults = {
         "specifiedTemperature": 300.0,
+        "specifiedReflection": 1.0,
     }
 
 
@@ -97,6 +112,12 @@ class PhononModelOptions(ModelOptions):
 
 class PhononModel(Model):
     name = "PhononModel"
+    # double-shell interfaces (mesh.make_interface) carry the two-material
+    # transmission closure; options per interface name in self.interface:
+    # {"t_LR": per-band L->R transmissivity, "t_RL": ...} — absent entries
+    # default to the diffuse-mismatch (DMM) split from the two sides'
+    # C*vg and detailed balance (t_RL = t_LR * C_L vg_L / C_R vg_R)
+    _supports_interfaces = True
 
     def __init__(self, mesh: DeviceMesh, n_polar=4, n_azimuthal=8,
                  bands=None, partition=None, ordinate_shards=None):
@@ -129,25 +150,74 @@ class PhononModel(Model):
 
     # ------------------------------------------------------------------
 
+    def _extend_cells(self, v):
+        """(n_interior,) or shorter cell array -> (n_cells,) with each
+        boundary/interface ghost carrying its OWNER's value (the ghost
+        belongs to the owner's material) and padding cells set to the
+        first value (inert)."""
+        mesh = self.mesh
+        v = np.asarray(v, float)
+        out = np.full(mesh.n_cells, float(v.flat[0]))
+        n = min(v.shape[0], mesh.n_cells)
+        out[:n] = v[:n]
+        if v.shape[0] < mesh.n_cells:
+            nif = mesh.n_interior_faces
+            fc0 = np.asarray(mesh.face_cell0)[nif:]
+            gh = mesh.n_interior_cells + np.arange(mesh.n_faces - nif)
+            out[gh] = out[fc0]
+        return out
+
     def _band_arrays(self):
+        """Per-band (C, vg, tau) — each (B,) for spatially uniform
+        materials, or (n_cells, B) when any band entry is a per-cell
+        array (multi-material meshes, e.g. across a phonon interface;
+        the reference couples dissimilar materials as separate meshes
+        with their own Kspace, COMETInterface.h:44 — here they are cell
+        zones of one mesh with cell-valued dispersion)."""
+        cached = getattr(self, "_bands_cache", None)
+        if cached is not None:
+            return cached
         if self.bands is None:
             self.bands = [(
                 float(self.vc["specificHeat"]),
                 float(self.vc["groupVelocity"]),
                 float(self.vc["relaxationTime"]),
             )]
-        C = np.array([b[0] for b in self.bands])
-        vg = np.array([b[1] for b in self.bands])
-        tau = np.array([b[2] for b in self.bands])
-        return C, vg, tau
 
-    def _e0_of_T(self, T):
-        """Per-band equilibrium (..., B) from lattice temperature."""
-        C, _, _ = self._band_arrays()
+        def col(i):
+            vals = [b[i] for b in self.bands]
+            if any(np.ndim(v) > 0 for v in vals):
+                return np.stack(
+                    [
+                        self._extend_cells(
+                            np.broadcast_to(
+                                np.asarray(v, float),
+                                (self.mesh.n_interior_cells,),
+                            )
+                            if np.ndim(v) == 0
+                            else v
+                        )
+                        for v in vals
+                    ],
+                    axis=-1,
+                )
+            return np.array([float(v) for v in vals])
+
+        self._bands_cache = (col(0), col(1), col(2))
+        return self._bands_cache
+
+    def _e0_of_T(self, T, C=None):
+        """Per-band equilibrium (..., B) from lattice temperature.
+        ``C`` overrides the specific-heat array (cell-sliced for ghost
+        rows on per-cell-material meshes)."""
+        if C is None:
+            C, _, _ = self._band_arrays()
         Tref = float(self.vc["referenceTemperature"])
-        return (
-            jnp.asarray(T)[..., None] - Tref
-        ) * jnp.asarray(C) / (4.0 * np.pi)
+        T = jnp.asarray(T)
+        C = jnp.asarray(C)
+        if C.ndim > 1 and C.shape[0] != T.shape[-1]:
+            C = C[: T.shape[-1]]
+        return (T[..., None] - Tref) * C / (4.0 * np.pi)
 
     def temperature(self, e=None):
         """Lattice temperature from total energy (reference updateTL).
@@ -161,10 +231,14 @@ class PhononModel(Model):
         C, _, _ = self._band_arrays()
         Tref = float(self.vc["referenceTemperature"])
         w = jnp.asarray(self.w, e.dtype)
-        B = len(C)
+        B = C.shape[-1]
         eb = e.reshape(e.shape[0], self.D, B)
         etot = jnp.einsum("cdb,d->c", eb, w)
-        return Tref + etot / float(C.sum())
+        if C.ndim > 1:  # per-cell material
+            Csum = jnp.asarray(C.sum(axis=-1), e.dtype)[: e.shape[0]]
+        else:
+            Csum = float(C.sum())
+        return Tref + etot / Csum
 
     def getTemperature(self) -> np.ndarray:
         T = self.temperature()
@@ -180,12 +254,45 @@ class PhononModel(Model):
         C, vg, tau = self._band_arrays()
         w = jnp.asarray(self.w, e.dtype)
         s = jnp.asarray(self.s, e.dtype)
-        B = len(C)
+        B = C.shape[-1]
         eb = e.reshape(e.shape[0], self.D, B)
-        q = jnp.einsum("cdb,b,d,di->ci", eb, jnp.asarray(vg), w, s)
+        if np.ndim(vg) > 1:  # per-cell material
+            q = jnp.einsum(
+                "cdb,cb,d,di->ci", eb,
+                jnp.asarray(vg[: e.shape[0]], e.dtype), w, s,
+            )
+        else:
+            q = jnp.einsum("cdb,b,d,di->ci", eb, jnp.asarray(vg), w, s)
         if self._dist:
             return np.asarray(q)  # gathered input -> global interior rows
         return np.asarray(q[: self.mesh.n_interior_cells])
+
+    def getHeatFluxIntegral(self, group_name: str) -> float:
+        """Net energy flux OUT through a boundary/interface group,
+        sum_f sum_db w_db (vg s . A)_f e_upwind (reference:
+        PhononModel.h:623 HeatFluxIntegral).  Single-device."""
+        if self._dist:
+            raise ConfigError(
+                "getHeatFluxIntegral: single-device states only"
+            )
+        mesh = self.mesh
+        bcvals = self._resolve_bcvals()
+        e = self._refresh_ghosts(mesh, self.params, self.state["e"], bcvals)
+        g = mesh.group_by_name(group_name)
+        sl = mesh.group_faces(g)
+        gc = mesh.ghost_cells_of_group(g)
+        eo = e[mesh.face_cell0[sl]]
+        eg = e[gc]
+        wB = jnp.repeat(jnp.asarray(self.w, e.dtype), self.B)
+        return float(
+            jnp.sum(
+                wB
+                * (
+                    self.params["dO"][sl] * eo
+                    + self.params["dN"][sl] * eg
+                )
+            )
+        )
 
     # ------------------------------------------------------------------
 
@@ -193,8 +300,14 @@ class PhononModel(Model):
         mesh = self.mesh
         dtype = mesh.cell_volume.dtype
         C, vg, tau = self._band_arrays()
-        B = len(C)
+        B = C.shape[-1]
         self.B = B
+        self._per_cell = C.ndim > 1 or np.ndim(vg) > 1 or np.ndim(tau) > 1
+        if self._per_cell and (self._dist or self.ordinate_shards):
+            raise ConfigError(
+                "PhononModel: per-cell material properties are "
+                "single-device only"
+            )
         T0 = self._cell_field(self.vc, "initialTemperature")
         e0 = self._e0_of_T(T0)  # (..., nc, B)
         self.state = {
@@ -205,15 +318,33 @@ class PhononModel(Model):
         if self.options["transient"]:
             self.state["e_N1"] = self.state["e"]
         # tau_db is a shard-independent (D*B,) constant: closed over by the
-        # step (implicitly replicated), NOT in params (P(axis) would split it)
-        self._tau_db = jnp.tile(
-            jnp.asarray(tau, dtype)[None, :], (self.D, 1)
-        ).reshape(-1)
+        # step (implicitly replicated), NOT in params (P(axis) would split
+        # it).  Per-cell materials carry (n_cells, D*B) instead.
+        if np.ndim(tau) > 1:
+            self._tau_db = jnp.asarray(
+                np.tile(tau[:, None, :], (1, self.D, 1)).reshape(
+                    mesh.n_cells, -1
+                ),
+                dtype,
+            )
+        else:
+            self._tau_db = jnp.tile(
+                jnp.asarray(tau, dtype)[None, :], (self.D, 1)
+            ).reshape(-1)
         s = jnp.asarray(self.s, dtype)
         sA = jnp.einsum("...fd,nd->...fn", mesh.face_area, s[:, : mesh.dim])
-        mdot = (
-            sA[..., :, None] * jnp.asarray(vg, dtype)[None, None, :]
-        ).reshape(*sA.shape[:-1], self.D * B)
+        if np.ndim(vg) > 1:
+            # face group velocity = the OWNER cell's (faces strictly
+            # inside a zone see that zone's vg; interface faces are split
+            # into per-side groups whose owners are their own side)
+            vgO = jnp.asarray(vg, dtype)[mesh.face_cell0]  # (nf, B)
+            mdot = (sA[..., :, None] * vgO[..., None, :]).reshape(
+                *sA.shape[:-1], self.D * B
+            )
+        else:
+            mdot = (
+                sA[..., :, None] * jnp.asarray(vg, dtype)[None, None, :]
+            ).reshape(*sA.shape[:-1], self.D * B)
         # face-sized, per-shard: flows through params so shard_map shards it
         self.params = {
             "dO": jnp.maximum(mdot, 0.0),
@@ -227,7 +358,7 @@ class PhononModel(Model):
 
         fa = np.asarray(mesh.face_area)
         for g, bc in self._group_bcs():
-            if bc.bc_type != "Symmetry":
+            if bc.bc_type not in ("Symmetry", "Reflecting"):
                 continue
             sl = mesh.group_faces(g)
             fa_g = fa[..., sl, :]
@@ -245,6 +376,7 @@ class PhononModel(Model):
                 idx, wgt = tables(fa_g)
             self.params[f"refl_idx:{g[1]}"] = jnp.asarray(idx)
             self.params[f"refl_w:{g[1]}"] = jnp.asarray(wgt, dtype)
+        self._init_interfaces(C, vg, dtype)
         if self._dist:
             self.state = self.partition.device_put(self.state)
             self.params = self.partition.device_put(self.params)
@@ -257,6 +389,54 @@ class PhononModel(Model):
         self._step = self._wrap_step(self._build_step())
         self._initial_norm = None
         self._initialized = True
+
+    def _init_interfaces(self, C, vg, dtype):
+        """Resolve per-interface transmissivity tables (see
+        _interface_ghosts).  Spatially uniform materials keep (1, B)
+        closure constants (shard-replicated under shard_map); per-cell
+        materials resolve per-face (count, B) tables from each side's
+        OWNER material."""
+        mesh = self.mesh
+        self._ifc = {}
+        for nm, _, _ in getattr(mesh, "interfaces", ()):
+            gL, gR = mesh.interface(nm)
+            opts = self.interface.get(nm) or {}
+            Cv = np.asarray(C, float) * np.asarray(vg, float)
+            if self._per_cell:
+                fc0 = np.asarray(mesh.face_cell0)
+                oL = fc0[mesh.group_faces(gL)]
+                oR = fc0[mesh.group_faces(gR)]
+                CvL, CvR = Cv[oL], Cv[oR]  # (count, B)
+                vgb = np.broadcast_to(
+                    np.asarray(vg, float), Cv.shape
+                )
+                vgL, vgR = vgb[oL], vgb[oR]
+            else:
+                CvL = CvR = Cv[None, :]  # (1, B)
+                vgL = vgR = np.asarray(vg, float)[None, :]
+            t12 = opts.get("t_LR")
+            t21 = opts.get("t_RL")
+            if t12 is None and t21 is None:
+                # DMM: t_{L->R} = C_R vg_R / (C_L vg_L + C_R vg_R)
+                t12 = CvR / (CvL + CvR)
+                t21 = CvL / (CvL + CvR)
+            elif t21 is None:
+                t12 = np.broadcast_to(np.asarray(t12, float), CvL.shape)
+                t21 = np.clip(t12 * CvL / CvR, 0.0, 1.0)
+            elif t12 is None:
+                t21 = np.broadcast_to(np.asarray(t21, float), CvR.shape)
+                t12 = np.clip(t21 * CvR / CvL, 0.0, 1.0)
+            else:
+                t12 = np.broadcast_to(np.asarray(t12, float), CvL.shape)
+                t21 = np.broadcast_to(np.asarray(t21, float), CvR.shape)
+            self._ifc[nm] = (
+                jnp.asarray(t12, dtype), jnp.asarray(t21, dtype),
+                jnp.asarray(vgL, dtype), jnp.asarray(vgR, dtype),
+            )
+            if self._dist:
+                self.params[f"ifc_valid:{nm}"] = (
+                    self.partition.group_valid_mask(gL[1])
+                )
 
     def _refresh_ghosts(self, mesh, params, e, bcvals):
         s3 = jnp.asarray(self.s, e.dtype)
@@ -280,7 +460,10 @@ class PhononModel(Model):
             t = bc.bc_type
             if t == "Isothermal":
                 Tw = bcvals[f"{g[1]}:specifiedTemperature"]
-                ewb = self._e0_of_T(Tw)  # (count, B)
+                Cb, _, _ = self._band_arrays()
+                ewb = self._e0_of_T(
+                    Tw, C=Cb[gc] if Cb.ndim > 1 else None
+                )  # (count, B)
                 ew = jnp.tile(ewb[:, None, :], (1, self.D, 1)).reshape(
                     g[4], self.D * B
                 )
@@ -293,6 +476,40 @@ class PhononModel(Model):
                 in_unit = jnp.sum(jnp.where(incoming, wB * sn, 0.0), axis=1)
                 e_refl = out_flux / jnp.maximum(-in_unit, 1e-300)
                 e = e.at[gc].set(jnp.where(incoming, e_refl[:, None], eo))
+            elif t == "Reflecting":
+                # reflectivity-blended specular/diffuse wall (reference:
+                # PhononBoundary.h:69-155 applyReflectingWall; blend
+                # weight = specifiedReflection): incoming ghost slots get
+                # refl x the specular mirror plus (1-refl) x the
+                # PER-BAND flux-conserving diffuse redistribution;
+                # outgoing slots are upwinded (e_ghost = e_owner)
+                refl = jnp.broadcast_to(
+                    jnp.asarray(
+                        bcvals[f"{g[1]}:specifiedReflection"], e.dtype
+                    ),
+                    (g[4],),
+                )[:, None]
+                idx = params[f"refl_idx:{g[1]}"]  # (L, D, k)
+                wgt = params[f"refl_w:{g[1]}"]
+                L = idx.shape[0]
+                eoB = eo.reshape(L, self.D, B)
+                eg_spec = jnp.einsum(
+                    "fnk,fnkb->fnb",
+                    wgt,
+                    eoB[jnp.arange(L)[:, None, None], idx],
+                ).reshape(L, self.D * B)
+                w = jnp.asarray(self.w, e.dtype)
+                wpos = w[None, :] * jnp.maximum(sn_d, 0.0)  # (count, D)
+                out_b = jnp.einsum("fd,fdb->fb", wpos, eoB)  # (count, B)
+                in_unit = jnp.einsum(
+                    "d,fd->f", w, jnp.maximum(-sn_d, 0.0)
+                )
+                e_diff = out_b / jnp.maximum(in_unit, 1e-300)[:, None]
+                e_diff_full = jnp.tile(
+                    e_diff[:, None, :], (1, self.D, 1)
+                ).reshape(L, self.D * B)
+                blend = refl * eg_spec + (1.0 - refl) * e_diff_full
+                e = e.at[gc].set(jnp.where(incoming, blend, eo))
             else:  # Symmetry: specular (general orientation)
                 idx = params[f"refl_idx:{g[1]}"]  # (L, D, k)
                 wgt = params[f"refl_w:{g[1]}"]
@@ -304,6 +521,75 @@ class PhononModel(Model):
                     eoB[jnp.arange(L)[:, None, None], idx],
                 )
                 e = e.at[gc].set(eg.reshape(L, self.D * B))
+        for nm, _, _ in getattr(mesh, "interfaces", ()):
+            e = self._interface_ghosts(mesh, params, e, nm)
+        return e
+
+    def _interface_ghosts(self, mesh, params, e, nm):
+        """Two-material interface closure: diffuse transmission/reflection
+        with per-band transmissivities (reference:
+        phononbase/COMETInterface.h:44 makeDMMcoeffs, default
+        transmissivities user-set per frequency bin via
+        Kspace::setTransmission, Kspace.h:1000 — here per band, with the
+        DMM detailed-balance split as the default).
+
+        For each side, incoming ghost slots carry the side's own
+        reflected incident flux plus the partner side's transmitted
+        incident flux, redistributed DIFFUSELY per band and normalized so
+        the emitted energy flux is exactly r*Phi_self + t_partner*
+        Phi_partner (energy conservation to round-off for r+t=1).
+        Outgoing slots are upwinded.  The i-th face of ``nm:L`` pairs
+        with the i-th face of ``nm:R`` (Mesh.make_interface)."""
+        t12, t21, vgL, vgR = self._ifc[nm]
+        gL, gR = mesh.interface(nm)
+        B = self.B
+        s3 = jnp.asarray(self.s, e.dtype)
+        w = jnp.asarray(self.w, e.dtype)
+        valid = params.get(f"ifc_valid:{nm}")
+
+        def side_tables(g):
+            sl = mesh.group_faces(g)
+            amag = jnp.maximum(mesh.face_area_mag[sl], 1e-300)
+            nhat = jnp.concatenate(
+                [
+                    mesh.face_area[sl] / amag[:, None],
+                    jnp.zeros((g[4], 3 - mesh.dim), e.dtype),
+                ],
+                axis=1,
+            )
+            sn_d = jnp.einsum("nd,fd->fn", s3, nhat)  # (count, D)
+            eo = e[mesh.face_cell0[sl]]  # (count, D*B)
+            eoB = eo.reshape(g[4], self.D, B)
+            # incident flux per unit area & band (without vg)
+            phi_u = jnp.einsum(
+                "fd,fdb->fb", w[None, :] * jnp.maximum(sn_d, 0.0), eoB
+            )
+            inorm = jnp.einsum("d,fd->f", w, jnp.maximum(-sn_d, 0.0))
+            return sn_d, eo, phi_u, inorm
+
+        snL, eoL, phiL, inormL = side_tables(gL)
+        snR, eoR, phiR, inormR = side_tables(gR)
+        for g, sn_d, eo, e_in in (
+            (
+                gL, snL, eoL,
+                ((1.0 - t12) * vgL * phiL + t21 * vgR * phiR)
+                / (vgL * jnp.maximum(inormL, 1e-300)[:, None]),
+            ),
+            (
+                gR, snR, eoR,
+                ((1.0 - t21) * vgR * phiR + t12 * vgL * phiL)
+                / (vgR * jnp.maximum(inormR, 1e-300)[:, None]),
+            ),
+        ):
+            gc = mesh.ghost_cells_of_group(g)
+            incoming = jnp.repeat(sn_d, B, axis=1) < 0  # (count, D*B)
+            e_in_full = jnp.tile(e_in[:, None, :], (1, self.D, 1)).reshape(
+                g[4], self.D * B
+            )
+            val = jnp.where(incoming, e_in_full, eo)
+            if valid is not None:
+                val = jnp.where(valid[:, None], val, eo)
+            e = e.at[gc].set(val)
         return e
 
     def _build_dsa(self):
@@ -340,9 +626,13 @@ class PhononModel(Model):
         comet = str(opts["solver"]).upper() == "COMET"
 
         # ---- DSA coarse machinery (constant; built once, closed over) ----
+        # (per-cell-material meshes skip it: the synthetic-diffusion
+        # prolongation coefficient C/4pi is spatially uniform in the
+        # current cycle machinery; the Woodbury point preconditioner
+        # alone remains exact for the local collision coupling)
         dsa = None
         if comet and bool(opts.get("coarseAcceleration", True)) and \
-                not self._dist:
+                not self._dist and not self._per_cell:
             dsa = self._build_dsa()
 
         def step(mesh, params, state, bcvals):
@@ -358,7 +648,7 @@ class PhononModel(Model):
                 mesh.n_cells, self.D * B
             )
             V = mesh.cell_volume[:, None]
-            tau = tau_db[None, :]
+            tau = tau_db if tau_db.ndim == 2 else tau_db[None, :]
             diag_extra = V / tau
             b = V / tau * e0
             if opts["transient"]:
@@ -383,15 +673,24 @@ class PhononModel(Model):
                 # e0 feedback is rank-1 per band stack:
                 #   d e0_{db} / d e_{d'b'} = C_b w_d' / (4 pi sum C)
                 dtype = e.dtype
-                Csum = float(Carr.sum())
-                u_db = jnp.tile(
-                    jnp.asarray(Carr, dtype)[None, :], (self.D, 1)
-                ).reshape(-1) / (4.0 * np.pi * Csum)
                 Vt = jnp.repeat(jnp.asarray(w, dtype), B)[:, None]  # (DB,1)
                 alive = op_plain.interior[:, 0] & op_plain.owned[:, 0]
-                U = jnp.broadcast_to(
-                    u_db[None, :, None], (mesh.n_cells, self.D * B, 1)
-                )
+                if Carr.ndim > 1:  # per-cell material
+                    Cc = jnp.asarray(Carr, dtype)
+                    u_cdb = jnp.tile(
+                        Cc[:, None, :], (1, self.D, 1)
+                    ).reshape(mesh.n_cells, self.D * B) / (
+                        4.0 * np.pi * Cc.sum(axis=-1)[:, None]
+                    )
+                    U = u_cdb[:, :, None]
+                else:
+                    Csum = float(Carr.sum())
+                    u_db = jnp.tile(
+                        jnp.asarray(Carr, dtype)[None, :], (self.D, 1)
+                    ).reshape(-1) / (4.0 * np.pi * Csum)
+                    U = jnp.broadcast_to(
+                        u_db[None, :, None], (mesh.n_cells, self.D * B, 1)
+                    )
                 U = jnp.where(alive[:, None, None], U, 0.0)
                 kappa = jnp.where(alive[:, None], V / tau, 0.0)
 
@@ -497,6 +796,11 @@ class PhononModel(Model):
         for k, v in (param_tangents or {}).items():
             if k != "tau":
                 raise ConfigError(f"phonon solve_tangent: unknown param {k!r}")
+            if getattr(self, "_per_cell", False):
+                raise ConfigError(
+                    "phonon solve_tangent: tau tangents not supported "
+                    "with per-cell material properties"
+                )
             v = np.atleast_1d(np.asarray(v, float))
             if v.size == 1:
                 v = np.full(self.D * B, float(v.reshape(())))
@@ -527,7 +831,7 @@ class PhononModel(Model):
             )
             op_plain = _KOp(
                 lmesh, params_all["dO"], params_all["dN"],
-                V / tau0_l[None, :],
+                V / (tau0_l if tau0_l.ndim == 2 else tau0_l[None, :]),
             )
             op = _JVPOperator(
                 op_plain, lambda ev: R_of(tau0_l, {}, ev), e_loc
@@ -591,7 +895,7 @@ class PhononModel(Model):
 
         def R_of(tau_db, b_sub, ev):
             bcv = dict(bcvals, **b_sub)
-            tau = tau_db[None, :]
+            tau = tau_db if tau_db.ndim == 2 else tau_db[None, :]
             op = _KOp(mesh, params_all["dO"], params_all["dN"], V / tau)
             # halo slots current before the ghost refresh (periodic
             # partners ride the halo); op.mv re-syncs idempotently
@@ -667,7 +971,7 @@ class PhononModel(Model):
             R_of = self._comet_R_of(lmesh, params_all, lbc)
             op_plain = _KOp(
                 lmesh, params_all["dO"], params_all["dN"],
-                V / tau0_l[None, :],
+                V / (tau0_l if tau0_l.ndim == 2 else tau0_l[None, :]),
             )
             gJ = jax.grad(lambda ee: functional(ee[:n_int]))(e_loc)
             # dead padded cells are frozen: zero functional cotangent
