@@ -41,7 +41,16 @@ RTOL = 1e-8
 # informative (many decaying points) exactly like the reference configs.
 
 
-def _solver(name, dist):
+def _solver(name, dist, partition=None):
+    if name == "SPIKE" and dist:
+        # cross-shard SPIKE: chunk-edge interfaces solved across the
+        # shard boundaries (SpikeStorage.h:15 role)
+        pre = SpikeSolver()
+        pre.setup_structure_dist(partition)
+        return BiCGStab(
+            preconditioner=pre, relative_tolerance=1e-3,
+            max_iterations=200,
+        )
     if name == "AMG":
         s = AMG(coarse_size=16, relative_tolerance=1e-3, max_iterations=30)
         return s
@@ -76,6 +85,7 @@ def _solver(name, dist):
 
 def run_cavity(solver_name, n_shards, niter=30):
     mesh = quad_2d(32, 32)
+    part = None
     if n_shards > 1:
         if len(jax.devices()) < n_shards:
             pytest.skip(f"needs {n_shards} virtual devices")
@@ -90,7 +100,7 @@ def run_cavity(solver_name, n_shards, niter=30):
         m.bc[s].bc_type = "NoSlipWall"
     m.bc["top"]["specifiedXVelocity"] = 1.0
     dist = n_shards > 1
-    pres = _solver(solver_name, dist)
+    pres = _solver(solver_name, dist, part)
     if isinstance(pres, AMG):
         if dist:
             ok = pres.setup_structure_dist(
@@ -107,6 +117,7 @@ def run_cavity(solver_name, n_shards, niter=30):
 
 def run_thermal(solver_name, n_shards, niter=10):
     mesh = quad_2d(32, 32)
+    part = None
     if n_shards > 1:
         if len(jax.devices()) < n_shards:
             pytest.skip(f"needs {n_shards} virtual devices")
@@ -115,7 +126,7 @@ def run_thermal(solver_name, n_shards, niter=10):
     else:
         t = ThermalModel(fvm.mesh.build_device_mesh(mesh))
     t.options["verbose"] = False
-    s = _solver(solver_name, n_shards > 1)
+    s = _solver(solver_name, n_shards > 1, part)
     # loose inner solve => informative multi-point outer history, like the
     # reference's per-sweep convergence.dat lines
     s.relativeTolerance = 5e-2
@@ -140,17 +151,31 @@ CONFIGS = {
     "cavity/ILU0/np1": lambda: run_cavity("ILU0", 1),
     "cavity/JACOBI/np1": lambda: run_cavity("JACOBI", 1),
     "cavity/SPIKE/np1": lambda: run_cavity("SPIKE", 1),
-    # sharded runs (TESTS:2-4 role; virtual CPU devices)
+    # sharded runs (TESTS:2-4 role; virtual CPU devices) — the full
+    # solver matrix at np=4 and np=8 (PARALLEL_CAVITY_{CG,ILU0,JACOBI,
+    # SPIKE}/TESTS:2-4; ILU0/JACOBI/SPIKE run as shard-local Schwarz
+    # variants like the reference's additive pattern, SPIKE with the
+    # cross-shard chunk-edge interfaces wired)
     "cavity/AMG/np4": lambda: run_cavity("AMG", 4),
     "cavity/AMG/np8": lambda: run_cavity("AMG", 8),
     "cavity/BCGStab/np4": lambda: run_cavity("BCGStab", 4),
     "cavity/BCGStab/np8": lambda: run_cavity("BCGStab", 8),
+    "cavity/CG/np4": lambda: run_cavity("CG", 4),
+    "cavity/CG/np8": lambda: run_cavity("CG", 8),
+    "cavity/ILU0/np4": lambda: run_cavity("ILU0", 4),
+    "cavity/ILU0/np8": lambda: run_cavity("ILU0", 8),
+    "cavity/JACOBI/np4": lambda: run_cavity("JACOBI", 4),
+    "cavity/JACOBI/np8": lambda: run_cavity("JACOBI", 8),
+    "cavity/SPIKE/np4": lambda: run_cavity("SPIKE", 4),
+    "cavity/SPIKE/np8": lambda: run_cavity("SPIKE", 8),
     # thermal (AMG_MERGING_THERMAL role)
     "thermal/AMG/np1": lambda: run_thermal("AMG", 1),
     "thermal/AMG/np8": lambda: run_thermal("AMG", 8),
     "thermal/BCGStab/np1": lambda: run_thermal("BCGStab", 1),
     "thermal/ILU0/np1": lambda: run_thermal("ILU0", 1),
     "thermal/SPIKE/np1": lambda: run_thermal("SPIKE", 1),
+    "thermal/SPIKE/np8": lambda: run_thermal("SPIKE", 8),
+    "thermal/ILU0/np8": lambda: run_thermal("ILU0", 8),
 }
 
 

@@ -273,3 +273,65 @@ def test_spike_multi_rhs():
         )
     )
     np.testing.assert_allclose(out, X, atol=1e-9)
+
+
+def test_spike_cross_shard_dist():
+    """SPMD SPIKE: on an 8-shard stretched column whose strong-coupling
+    lines are CUT by the partition, the cross-shard interface solves
+    (chunk-edge tips exchanged over lax.ppermute, the reference's
+    inter-rank spike system, SpikeStorage.h:15) restore near-single-
+    device convergence, far ahead of the per-shard diagonal fallback."""
+    import jax
+    import fvm_tpu as fvm
+    from fvm_tpu.mesh.generate import quad_2d
+    from fvm_tpu.models import ThermalModel
+    from fvm_tpu.parallel import Partition
+    from fvm_tpu.linear import BiCGStab, JacobiSolver, SpikeSolver
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+
+    def run(pre):
+        mesh = quad_2d(2, 512, lx=0.1, ly=1.0)
+        part = Partition(mesh, 8)
+        t = ThermalModel(part.sharded_mesh, partition=part)
+        t.options["verbose"] = False
+        t.bc["bottom"].bc_type = "SpecifiedTemperature"
+        t.bc["bottom"]["specifiedTemperature"] = 400.0
+        t.bc["top"].bc_type = "SpecifiedTemperature"
+        t.bc["top"]["specifiedTemperature"] = 300.0
+        t.bc["left"].bc_type = "Symmetry"
+        t.bc["right"].bc_type = "Symmetry"
+        if pre == "spike":
+            p = SpikeSolver()
+            assert p.setup_structure_dist(part)  # found cross couplings
+        else:
+            p = JacobiSolver(sweeps=1)
+        t.options["linearSolver"] = BiCGStab(
+            preconditioner=p, relative_tolerance=1e-12, max_iterations=6
+        )
+        t.init()
+        h = t.advance(6)
+        return [x[1] / h[0][1] for x in h], t
+
+    rel_s, ts = run("spike")
+    rel_j, _ = run("jacobi")
+    assert rel_s[1] < 1e-3  # one capped outer nails the lines
+    assert min(rel_s) < 1e-9
+    assert min(rel_j) > 1e-3  # diagonal Schwarz nowhere close
+    # parity with the single-device field
+    m1 = ThermalModel(
+        fvm.mesh.build_device_mesh(quad_2d(2, 512, lx=0.1, ly=1.0))
+    )
+    m1.options["verbose"] = False
+    m1.bc["bottom"].bc_type = "SpecifiedTemperature"
+    m1.bc["bottom"]["specifiedTemperature"] = 400.0
+    m1.bc["top"].bc_type = "SpecifiedTemperature"
+    m1.bc["top"]["specifiedTemperature"] = 300.0
+    m1.bc["left"].bc_type = "Symmetry"
+    m1.bc["right"].bc_type = "Symmetry"
+    m1.init()
+    m1.advance(6)
+    T1 = np.asarray(m1.state["T"][: m1.mesh.n_interior_cells])
+    TN = ts.partition.gather_cells(ts.state["T"])
+    np.testing.assert_allclose(TN, T1, rtol=0, atol=1e-6 * 400)
