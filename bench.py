@@ -364,35 +364,34 @@ def main():
                     thermal64.options["residualSync"] = False
                     restore_state(flow64, snap_flow)
                     restore_state(thermal64, snap_thermal)
+                    # stop as soon as the post-update residual meets the
+                    # target (the per-call loop used to overshoot by one
+                    # full Newton step); ONE advanceNewton call keeps the
+                    # Eisenstat-Walker forcing schedule alive across steps
+                    flow64.options["newtonTargetResidual"] = (
+                        target_rel * norm0
+                    )
                     phases["polish_setup_s"] = time.time() - t_p
                     print(
                         f"# polish setup: {time.time()-t_p:.1f}s",
                         file=sys.stderr,
                     )
-                    nmax = int(os.environ.get("FVM_BENCH_NEWTON_MAX", "8"))
-                    for k in range(nmax):
-                        t_n = time.time()
-                        hn = flow64.advanceNewton(1)
-                        rel = float(hn[-1][1]) / norm0
-                        steps += 1
-                        aux = getattr(flow64, "_last_aux", {})
-                        inner = int(aux.get("newton_inner", -1))
-                        irel = float(aux.get("newton_inner_rel", -1.0))
-                        phases["newton"].append(
-                            {
-                                "entry_rel": rel, "inner_its": inner,
-                                "inner_rel": irel,
-                                "s": round(time.time() - t_n, 1),
-                            }
-                        )
+                    nmax = int(os.environ.get("FVM_BENCH_NEWTON_MAX", "10"))
+                    hn = flow64.advanceNewton(nmax)
+                    rel = float(hn[-1][1]) / norm0
+                    steps += len(hn)
+                    for k, tr in enumerate(
+                        getattr(flow64, "_newton_trace", [])
+                    ):
+                        tr = dict(tr, entry_rel=tr["entry_mom"] / norm0)
+                        phases["newton"].append(tr)
                         print(
-                            f"# newton {k}: entry mom rel {rel:.3e} "
-                            f"inner {inner} its to {irel:.1e} "
-                            f"({time.time()-t_n:.1f}s)",
+                            f"# newton {k}: entry mom rel "
+                            f"{tr['entry_rel']:.3e} eta {tr['eta']:.1e} "
+                            f"inner {tr['inner_its']} its to "
+                            f"{tr['inner_rel']:.1e} ({tr['s']}s)",
                             file=sys.stderr,
                         )
-                        if rel < target_rel:
-                            break
                     # converge the (linear, given massFlux) thermal field
                     # on the Newton flow solution
                     thermal64.state["massFlux"] = flow64.state["massFlux"]

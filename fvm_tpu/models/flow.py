@@ -155,6 +155,16 @@ class FlowModelOptions(ModelOptions):
         "andersonInterval": 1,
         # echo per-chunk inner-Krylov progress to stderr (bench harness)
         "newtonVerboseInner": False,
+        # chunked-path inexact-Newton forcing: "ew" = Eisenstat-Walker
+        # adaptive inner tolerance in [newtonKrylovTolerance,
+        # newtonForcingMax]; "fixed" = newtonKrylovTolerance every step
+        "newtonForcing": "ew",
+        "newtonForcingMax": 0.1,
+        # absolute momentum-residual target: the chunked Newton loop
+        # stops BEFORE the next inner solve once the entry residual is
+        # below it (avoids overshooting the caller's tolerance by a
+        # whole Newton step)
+        "newtonTargetResidual": None,
         "verbose": True,
     }
 
@@ -1266,13 +1276,56 @@ class FlowModel(Model):
                 _, mesh_i, params_i = views
             else:
                 mesh_i, params_i = self.mesh, self.params
+            # inexact-Newton forcing schedule: "ew" (default) adapts the
+            # inner tolerance per step (Eisenstat-Walker choice 2,
+            # eta_k = 0.9 (|r_k|/|r_{k-1}|)^2 with the standard
+            # oversolve safeguard), clipped to [newtonKrylovTolerance,
+            # newtonForcingMax].  Early steps are limited by the
+            # nonlinearity (measured at 1M: contraction ~ 100 x rel per
+            # step), so solving the linear system below that is pure
+            # waste — the fixed 1e-3 schedule spent ~14k inner
+            # iterations where the adaptive one needs a fraction.
+            forcing = str(self.options.get("newtonForcing") or "ew")
+            eta_max = float(self.options.get("newtonForcingMax") or 0.1)
+            ktol = float(self.options["newtonKrylovTolerance"])
+            target_abs = self.options.get("newtonTargetResidual")
+            prev_norm = None
+            eta_prev = None
+            self._newton_trace = []  # per-step diagnostics (bench)
+            import time as _time
+
             for it in range(niter):
+                t_step = _time.time()
                 # Newton rhs in the MODEL dtype (f64 for the endgame):
                 # at the f32 floor the residual is pure representation
                 # noise in f32, so it must never be evaluated there
                 r0, aux0 = self._step_newton_resid(
                     self.mesh, self.params, self.state, bcvals
                 )
+                mom0 = float(aux0["mom_norm"])
+                cont0 = float(aux0["cont_norm"])
+                if target_abs is not None and mom0 < float(target_abs):
+                    # post-update residual of the PREVIOUS step already
+                    # meets the caller's target: stop before paying for
+                    # another inner solve (the old loop always overshot
+                    # by one full Newton step)
+                    hist.append((it, mom0, cont0))
+                    self._log_iteration(
+                        f"{self.name}: newton {it}: {mom0:.6e} (target met)"
+                    )
+                    break
+                norm_k = (mom0**2 + cont0**2) ** 0.5
+                if forcing == "ew":
+                    if prev_norm is None or prev_norm == 0.0:
+                        eta = eta_max
+                    else:
+                        eta = 0.9 * (norm_k / prev_norm) ** 2
+                        if eta_prev is not None:
+                            eta = max(eta, 0.9 * eta_prev**2)
+                        eta = min(max(eta, ktol), eta_max)
+                else:
+                    eta = ktol
+                prev_norm, eta_prev = norm_k, eta
                 if mixed:
                     state_i = _cast_floats(self.state, inner_dt)
                     bcvals_i = _cast_floats(bcvals, inner_dt)
@@ -1296,11 +1349,12 @@ class FlowModel(Model):
                 rel = float("nan")
                 prev_rel = None
                 stalled = 0
+                eta_i = jnp.asarray(eta, inner_dt)
                 while tot < kit:
                     prev_tot = tot
                     (dq, kcarry), aux = self._step_newton_chunk(
                         mesh_i, params_i, state_i, bcvals_i, r0_i,
-                        kcarry, jnp.asarray(fresh),
+                        kcarry, jnp.asarray(fresh), eta_i,
                     )
                     fresh = False
                     tot = int(aux["inner_it"])  # global across chunks
@@ -1351,12 +1405,19 @@ class FlowModel(Model):
                     "newton_inner": tot,
                     "newton_inner_rel": rel,
                 }
-                hist.append(
-                    (it, float(aux0["mom_norm"]), float(aux0["cont_norm"]))
+                self._newton_trace.append(
+                    {
+                        "entry_mom": mom0,
+                        "eta": eta,
+                        "inner_its": tot,
+                        "inner_rel": rel,
+                        "s": round(_time.time() - t_step, 1),
+                    }
                 )
+                hist.append((it, mom0, cont0))
                 self._log_iteration(
-                    f"{self.name}: newton {it}: {float(aux0['mom_norm']):.6e}"
-                    f" (inner {tot} its to {rel:.1e})"
+                    f"{self.name}: newton {it}: {mom0:.6e}"
+                    f" (inner {tot} its to {rel:.1e}, eta {eta:.1e})"
                 )
             return hist
         if self.options.get("newtonInnerPrecision"):
@@ -1522,8 +1583,11 @@ class FlowModel(Model):
                 # dtype, so a mixed-precision inner solve still sees the
                 # true residual, not its f32 representation noise) and
                 # stays fixed across chunks: saves one residual
-                # evaluation per chunk vs recomputing it here
-                (r0, kcarry, fresh) = extra
+                # evaluation per chunk vs recomputing it here.  ``eta``
+                # is the inexact-Newton forcing tolerance — a DYNAMIC
+                # argument so the Eisenstat-Walker adaptive schedule
+                # (advanceNewton) reuses one compiled program
+                (r0, kcarry, fresh, eta) = extra
             elif mode == "finish":
                 r0 = None
             else:
@@ -1650,7 +1714,7 @@ class FlowModel(Model):
                 )
                 rn_b = jnp.maximum(kcarry[-1], 1e-300)
                 dq, kstats, kcarry = solver.solve_chunk(
-                    op, kcarry, ktol * rn_b
+                    op, kcarry, eta * rn_b
                 )
                 dq = jnp.where(owned[:, None], dq, 0.0)
                 return (dq, kcarry), {
