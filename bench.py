@@ -494,5 +494,156 @@ def main():
     )
 
 
+def suite():
+    """The remaining BASELINE.md benchmark configs, one JSON line each:
+    homoCase thermal diffusion (the reference's own demos/homoCase
+    10k-cell beam mesh), a heated-channel conjugate flow+thermal case
+    (solid slab conducting under an IBM-pinned channel flow), and
+    electrostatics on the reference's unstructured tet cavity with
+    BCGStab (cav_tetra.cas).  The headline 1M coupled cavity is main().
+
+    Run: python bench.py --suite     (TPU; CPU works for smoke tests)
+    """
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_fvm")
+    import numpy as np
+    import jax.numpy as jnp
+    import fvm_tpu as fvm
+    from fvm_tpu.io.fluent import read_fluent_mesh
+    from fvm_tpu.models import ThermalModel
+    from fvm_tpu.models.flow import FlowModel
+    from fvm_tpu.models.electric import ElectricModel
+    from fvm_tpu.linear import AMG, BiCGStab, JacobiSolver
+
+    fvm.set_default_dtype(os.environ.get("FVM_BENCH_DTYPE", "float32"))
+    ref = "/root/reference"
+    baseline_cps = 2.5e5  # est. reference C++ per CPU core (see main())
+
+    def emit(metric, value, unit, vs, **kw):
+        print(json.dumps(dict(
+            {"metric": metric, "value": value, "unit": unit,
+             "vs_baseline": vs}, **kw)))
+
+    # ---- 1) homoCase thermal diffusion (serial) ----------------------
+    mesh = read_fluent_mesh(f"{ref}/demos/homoCase/homoCase-10000.cas")
+    dm = fvm.mesh.build_device_mesh(mesh)
+    t = ThermalModel(dm)
+    t.options["verbose"] = False
+    t.options["linearSolver"] = AMG(
+        coarse_size=64, relative_tolerance=1e-3, max_iterations=20
+    )
+    t.bc["assembly.top"].bc_type = "SpecifiedTemperature"
+    t.bc["assembly.top"]["specifiedTemperature"] = 400.0
+    t.bc["assembly.bot"].bc_type = "SpecifiedTemperature"
+    t.bc["assembly.bot"]["specifiedTemperature"] = 300.0
+    for g in ("assembly.left", "assembly.right", "assembly.front",
+              "assembly.back"):
+        t.bc[g].bc_type = "Symmetry"
+    t.init()
+    h = t.advance(1)  # compile + converge check
+    t0 = time.time()
+    iters = 20
+    for _ in range(iters):
+        h = t.advance(1)
+    cps = dm.n_interior_cells * iters / (time.time() - t0)
+    emit("homocase_thermal_cells_per_sec", cps, "cells/s",
+         cps / baseline_cps, residual=float(h[-1][1]))
+
+    # ---- 2) heated-channel conjugate flow+thermal --------------------
+    nx, ny = 384, 128
+    mesh = fvm.mesh.generate.quad_2d(nx, ny, lx=3.0, ly=1.0)
+    import fvm_tpu.mesh.metrics as metrics
+
+    geom = metrics.compute_geometry(mesh)
+    yc = geom.cell_centroid[: mesh.n_interior_cells, 1]
+    solid = yc < 0.25  # conducting slab under the channel
+    dm = fvm.mesh.build_device_mesh(mesh)
+    flow = FlowModel(dm)
+    flow.options["verbose"] = False
+    flow.vc["viscosity"] = 0.01
+    flow.options["pressureLinearSolver"] = AMG(
+        coarse_size=128, relative_tolerance=1e-3, max_iterations=6
+    )
+    flow.options["momentumLinearSolver"] = BiCGStab(
+        relative_tolerance=1e-2, max_iterations=10
+    )
+    flow.bc["left"].bc_type = "VelocityBoundary"
+    # inlet profile: zero over the solid slab rows
+    u_in = np.where(yc[:ny] >= 0.25, 1.0, 0.0)  # cells are y-fastest
+    flow.bc["left"]["specifiedXVelocity"] = u_in
+    flow.bc["right"].bc_type = "PressureBoundary"
+    flow.bc["top"].bc_type = "NoSlipWall"
+    flow.bc["bottom"].bc_type = "NoSlipWall"
+    flow.init()
+    flow.set_immersed_boundary(solid, [0.0, 0.0], solid_mask=solid)
+    thermal = ThermalModel(dm)
+    thermal.options["verbose"] = False
+    thermal.options["convective"] = True
+    thermal.options["linearSolver"] = AMG(
+        coarse_size=128, relative_tolerance=1e-3, max_iterations=6
+    )
+    thermal.vc["thermalConductivity"] = np.where(solid, 20.0, 1.0)
+    thermal.bc["left"].bc_type = "SpecifiedTemperature"
+    thermal.bc["left"]["specifiedTemperature"] = 300.0
+    thermal.bc["bottom"].bc_type = "SpecifiedTemperature"
+    thermal.bc["bottom"]["specifiedTemperature"] = 400.0
+    thermal.bc["right"].bc_type = "ZeroGradient"  # convective outflow
+    thermal.bc["top"].bc_type = "Symmetry"
+    thermal.init()
+    flow.options["residualSync"] = False
+    thermal.options["residualSync"] = False
+
+    def outer():
+        hf = flow.advance(1)
+        thermal.state["massFlux"] = flow.state["massFlux"]
+        ht = thermal.advance(1)
+        return hf, ht
+
+    hf, ht = outer()  # compile
+    vals = [float(v) for h_ in (hf, ht) for v in h_[-1][1:]]
+    assert all(v == v for v in vals), "NaN residual"
+    t0 = time.time()
+    iters = 10
+    for _ in range(iters):
+        hf, ht = outer()
+    vals = [float(v) for h_ in (hf, ht) for v in h_[-1][1:]]
+    assert all(v == v for v in vals), "NaN residual"
+    cps = nx * ny * iters / (time.time() - t0)
+    emit("heated_channel_conjugate_cells_per_sec", cps, "cells/s",
+         cps / baseline_cps, residual=vals[0])
+
+    # ---- 3) electrostatics on unstructured tets + BCGStab ------------
+    mesh = read_fluent_mesh(f"{ref}/src/fvm/test/cav_tetra.cas")
+    dm = fvm.mesh.build_device_mesh(mesh)
+    em = ElectricModel(dm)
+    em.options["verbose"] = False
+    solver = BiCGStab(
+        preconditioner=JacobiSolver(sweeps=2),
+        relative_tolerance=1e-10, max_iterations=2000,
+    )
+    em.options["electrostaticsLinearSolver"] = solver
+    em.bc["wall.2"].bc_type = "SpecifiedPotential"
+    em.bc["wall.2"]["specifiedPotential"] = 1.0
+    em.bc["new_wall.2"].bc_type = "SpecifiedPotential"
+    em.bc["new_wall.2"]["specifiedPotential"] = 0.0
+    em.init()
+    bcvals = em._resolve_bcvals()
+    A, r = em._linearize_potential(dm, em.params, em.state, bcvals)
+    x, st = solver.solve_fn(A, r, jnp.zeros_like(r))  # compile
+    t0 = time.time()
+    reps = 5
+    for _ in range(reps):
+        x, st = solver.solve_fn(A, r, jnp.zeros_like(r))
+    its = int(st.iterations)
+    dt = (time.time() - t0) / reps
+    cps = dm.n_interior_cells * its / dt
+    emit("electrostatics_tet_bcgstab_cells_x_iters_per_sec", cps,
+         "cell-iters/s", cps / (baseline_cps * 10),
+         iterations_to_1e10=its, solve_seconds=dt,
+         converged=bool(st.converged))
+
+
 if __name__ == "__main__":
-    main()
+    if "--suite" in sys.argv or os.environ.get("FVM_BENCH_SUITE"):
+        suite()
+    else:
+        main()

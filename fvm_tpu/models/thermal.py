@@ -41,6 +41,12 @@ class ThermalBC(BoundaryCondition):
         "SpecifiedTemperature",
         "SpecifiedHeatFlux",
         "Symmetry",
+        # convective outflow: ghost extrapolated (zero diffusive flux)
+        # but the convective face flux STAYS — unlike Symmetry, which
+        # zeroes the whole face flux and hence traps energy at a
+        # flow-through boundary (reference: GenericBCS
+        # applyZeroGradientBC role)
+        "ZeroGradient",
         "Convective",
         "Radiative",
         "Mixed",
@@ -240,7 +246,7 @@ class ThermalModel(TangentMixin, Model):
                     mesh, A, r, gc, bcvals[f"{g[1]}:specifiedTemperature"], T,
                     valid, scale,
                 )
-            elif t in ("SpecifiedHeatFlux", "Symmetry"):
+            elif t in ("SpecifiedHeatFlux", "Symmetry", "ZeroGradient"):
                 A, r = bck.extrapolation_rows(mesh, A, r, gc, T, valid, scale)
             elif t == "Periodic":
                 # implicit wrap (geometry already wraps via the

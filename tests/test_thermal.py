@@ -237,3 +237,38 @@ def test_convection_schemes_step_profile(scheme):
     if scheme in ("vanLeer", "minmod", "superbee", "upwind"):
         assert T.max() < 400.0 + 1e-6 and T.min() > 300.0 - 1e-6
     assert T[0] > 390.0 and T[-1] < 310.0
+
+
+def test_zero_gradient_outflow_convective():
+    """ZeroGradient (convective outflow) BC: uniform axial flow with a
+    volumetric source heats the stream linearly; the exact DISCRETE
+    upwind solution is T_i = T_in + S dx (i+1) / (u rho_cp) per column.
+    A Symmetry outlet (which zeroes the whole face flux) traps the
+    energy instead — the regression this test pins down."""
+    import jax.numpy as jnp
+
+    nx, ny, lx = 24, 4, 3.0
+    dx = lx / nx
+    u, S, Tin = 2.0, 8.0, 300.0
+    mesh = fvm.mesh.generate.quad_2d(nx, ny, lx=lx, ly=1.0)
+    dm = fvm.mesh.build_device_mesh(mesh)
+    t = ThermalModel(dm)
+    t.options["verbose"] = False
+    t.options["convective"] = True
+    t.vc["thermalConductivity"] = 1e-12  # convection-dominated
+    t.vc["heatSource"] = S
+    t.bc["left"].bc_type = "SpecifiedTemperature"
+    t.bc["left"]["specifiedTemperature"] = Tin
+    t.bc["right"].bc_type = "ZeroGradient"
+    t.bc["top"].bc_type = "Symmetry"
+    t.bc["bottom"].bc_type = "Symmetry"
+    t.init()
+    # uniform +x mass flux on every face (rho = 1)
+    fa = np.asarray(dm.face_area)
+    t.state["massFlux"] = jnp.asarray(u * fa[:, 0])
+    t.advance(4)
+    T = np.asarray(t.state["T"][: dm.n_interior_cells])
+    xc = np.asarray(dm.cell_centroid[: dm.n_interior_cells, 0])
+    i = np.round(xc / dx - 0.5)
+    exact = Tin + S * dx * (i + 1) / u
+    np.testing.assert_allclose(T, exact, rtol=1e-7)
