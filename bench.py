@@ -49,10 +49,20 @@ def main():
 
     fvm.set_default_dtype(dtype)
 
+    # host mesh + geometry are dtype-independent: cache across the
+    # f32 -> f64 polish rebuild (the 1M host mesh + geometry cost
+    # ~10-45 s wall depending on host load)
+    host_cache = {}
+
     def build_flow(nn, solver_kw=None):
         t0 = time.time()
-        mesh = fvm.mesh.generate.quad_2d(nn, nn)
-        dmesh = fvm.mesh.build_device_mesh(mesh)
+        if nn not in host_cache:
+            m_ = fvm.mesh.generate.quad_2d(nn, nn)
+            from fvm_tpu.mesh.metrics import compute_geometry
+
+            host_cache[nn] = (m_, compute_geometry(m_))
+        mesh, geom_ = host_cache[nn]
+        dmesh = fvm.mesh.build_device_mesh(mesh, geom=geom_)
         print(
             f"# mesh: {nn}x{nn} = {mesh.n_interior_cells} cells "
             f"({time.time()-t0:.1f}s)",

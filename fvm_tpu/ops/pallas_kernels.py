@@ -58,16 +58,19 @@ def tpu_available() -> bool:
 def use_pallas(n: int) -> bool:
     """Whether to route fused DIA ops through the Pallas kernels.
 
-    Gated to real-TPU, large-n, where the double-buffered kernel beats
-    the XLA roll formulation (measured at 1M cells on v5e: see module
-    docstring).  FVM_TPU_PALLAS=0 force-disables, =1 force-enables
-    (above the minimum size) for A/B runs."""
+    Default OFF: three A/B runs on the real chip (docs/PALLAS_AB.md,
+    2026-08-20) measured the double-buffered kernel WITHIN NOISE of the
+    XLA roll formulation — per-config speedups 0.70-1.29x straddling
+    1.0 across 256^2/512^2/1024^2 x mv/residual/jacobi, with ±25%
+    server-side variance between repeated runs — so the simpler XLA
+    path stays the default.  Set FVM_TPU_PALLAS=1 to route f32 DIA ops
+    of >= 256k cells through the kernel (numerically equivalent to
+    <= 2.5e-7 relative, same artifact)."""
     import os
 
-    env = os.environ.get("FVM_TPU_PALLAS", "")
-    if env == "0":
-        return False
-    return tpu_available() and n >= 65536 * 4
+    if os.environ.get("FVM_TPU_PALLAS", "") == "1":
+        return tpu_available() and n >= 65536 * 4
+    return False
 
 
 def _plan(n: int, offsets, rb: int = 512):

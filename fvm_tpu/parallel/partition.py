@@ -69,6 +69,79 @@ def rcb_partition(centroids: np.ndarray, n_parts: int) -> np.ndarray:
     return parts
 
 
+def greedy_partition(mesh: Mesh, n_parts: int) -> np.ndarray:
+    """Greedy graph-growing partition (the reference's ParMETIS role,
+    MeshPartitioner.cpp:577, without the external library): each part is
+    BFS-grown to its target size over the cell-adjacency graph, always
+    absorbing the frontier cell with the most neighbors already inside
+    the part (locally minimizes the cut); the next part seeds from the
+    frontier of the grown region, so part ids advance roughly
+    monotonically through the mesh (adjacent parts get adjacent ids —
+    what the cross-shard SPIKE pairing wants).  Balanced to +-1 cell.
+
+    Measured (PARITY.md round-4 bake-off, 8 shards): RCB's median
+    planes still produce 1.1-1.5x SMALLER cuts/halos on the reference's
+    own cav_tetra and 3d-beam tet meshes, so RCB stays the default;
+    this option exists for meshes whose geometry misleads coordinate
+    bisection (e.g. folded/serpentine domains)."""
+    import heapq
+    import itertools
+
+    n = mesh.n_interior_cells
+    fc = mesh.face_cells[: mesh.n_interior_faces]
+    a = np.concatenate([fc[:, 0], fc[:, 1]])
+    b = np.concatenate([fc[:, 1], fc[:, 0]])
+    order = np.argsort(a, kind="stable")
+    a, b = a[order], b[order]
+    ptr = np.searchsorted(a, np.arange(n + 1))
+    parts = np.full(n, -1, np.int64)
+    sizes = np.full(n_parts, n // n_parts, np.int64)
+    sizes[: n % n_parts] += 1
+    degree = ptr[1:] - ptr[:-1]
+    gain = np.zeros(n, np.int64)  # neighbors in the CURRENT part
+    afront = np.zeros(n, np.int64)  # neighbors in ANY finished part
+    for p in range(n_parts):
+        free = np.nonzero(parts < 0)[0]
+        if not len(free):
+            break
+        if p == 0:
+            seed = int(free[np.argmin(degree[free])])  # peripheral corner
+        else:
+            # continue from the frontier of the already-grown region
+            fr = afront[free]
+            seed = int(free[np.argmax(fr)]) if fr.max() > 0 else int(
+                free[np.argmin(degree[free])]
+            )
+        # FIFO tie-break: equal-gain frontier cells absorb in insertion
+        # order, keeping the growth front geometrically compact (a
+        # cell-id tie-break teleports growth across the mesh and was
+        # measured 2.6x worse on cav_tetra)
+        cnt = itertools.count()
+        heap = [(0, next(cnt), seed)]
+        grown = 0
+        while grown < sizes[p] and heap:
+            g, _, c = heapq.heappop(heap)
+            if parts[c] >= 0 or -g != gain[c]:
+                continue  # stale heap entry
+            parts[c] = p
+            grown += 1
+            for u in b[ptr[c]: ptr[c + 1]]:
+                if parts[u] < 0:
+                    gain[u] += 1
+                    heapq.heappush(heap, (-int(gain[u]), next(cnt), int(u)))
+        if grown < sizes[p]:
+            # disconnected remainder: restart growth from fresh seeds
+            free = np.nonzero(parts < 0)[0]
+            for c in free[: sizes[p] - grown]:
+                parts[c] = p
+                grown += 1
+        # reset per-part gains; fold into the finished-region frontier
+        afront[:] = afront + gain
+        gain[:] = 0
+    parts[parts < 0] = n_parts - 1
+    return parts
+
+
 class Partition:
     """Partition a host mesh into n_shards uniformly padded local meshes."""
 
@@ -83,6 +156,7 @@ class Partition:
         halo_depth: int = 1,
         ordinate_shards: int = 1,
         ordinate_axis: str = "fvm_v",
+        method: str = "rcb",
     ):
         """``halo_depth=2`` adds the second ghost ring (remote neighbors
         of ring-1 halo cells) to the exchange tables — the reference's
@@ -105,9 +179,12 @@ class Partition:
         nbr = mesh.face_cells[:, 1]
 
         if parts is None:
-            parts = rcb_partition(
-                geom.cell_centroid[:n_int], self.n_shards
-            )
+            if method == "greedy":
+                parts = greedy_partition(mesh, self.n_shards)
+            else:
+                parts = rcb_partition(
+                    geom.cell_centroid[:n_int], self.n_shards
+                )
 
         # --- double-shell interfaces: co-locate the two bulk owners -------
         # Each interface face pair (L,R) couples ghost_L/ghost_R/owner_L/

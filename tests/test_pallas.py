@@ -61,3 +61,47 @@ def test_dia_kernel_multiblock_halo():
                            omega=0.7, pk=packed)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.skipif(not pk.tpu_available(), reason="needs a real TPU")
+@pytest.mark.parametrize("mode", ["mv", "residual", "jacobi"])
+def test_dia_kernel_real_tpu_equivalence(mode):
+    """Real-TPU (non-interpret) numerical equivalence of the Mosaic
+    kernel vs the XLA roll path at a production size (512^2), the check
+    behind the docs/PALLAS_AB.md default decision."""
+    import os
+    import jax
+
+    edge = 512
+    n = edge * edge
+    offsets = (-edge, -1, 1, edge)
+    rng = np.random.default_rng(3)
+    coef = -rng.random((len(offsets), n)).astype(np.float32)
+    idx = np.arange(n)
+    for j, d in enumerate(offsets):
+        coef[j, (idx + d < 0) | (idx + d >= n)] = 0.0
+    diag = (4.0 + rng.random(n)).astype(np.float32)
+    x = rng.standard_normal(n).astype(np.float32)
+    b = rng.standard_normal(n).astype(np.float32)
+    kw = {} if mode == "mv" else {"b": jnp.asarray(b)}
+    if mode == "jacobi":
+        kw["omega"] = 0.8
+    os.environ["FVM_TPU_PALLAS"] = "0"
+    yx = jax.jit(
+        lambda x_: fused_apply(offsets, jnp.asarray(diag),
+                               jnp.asarray(coef), x_, mode=mode, **kw)
+    )(jnp.asarray(x))
+    os.environ["FVM_TPU_PALLAS"] = "1"
+    try:
+        pkd = pk.pack(offsets, jnp.asarray(coef), jnp.asarray(diag))
+        yp = jax.jit(
+            lambda x_: fused_apply(offsets, jnp.asarray(diag),
+                                   jnp.asarray(coef), x_, mode=mode,
+                                   pk=pkd, **kw)
+        )(jnp.asarray(x))
+    finally:
+        os.environ.pop("FVM_TPU_PALLAS", None)
+    scale = float(jnp.max(jnp.abs(yx)))
+    np.testing.assert_allclose(
+        np.asarray(yp), np.asarray(yx), atol=3e-7 * scale
+    )

@@ -996,3 +996,43 @@ def test_dist_advance_newton_matches_single():
     dist.advanceNewton(6)
     ud = dist.getVelocity()
     np.testing.assert_allclose(ud, us, atol=1e-7)
+
+
+def test_greedy_partition_option():
+    """Partition(method='greedy'): graph-grown parts are balanced to
+    +-1 cell, every part is assigned, and a distributed solve on the
+    greedy layout matches the single-device field (the partition only
+    changes the decomposition, never the answer)."""
+    import jax
+    from fvm_tpu.parallel.partition import greedy_partition
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    mesh = quad_2d(16, 12)
+    parts = greedy_partition(mesh, 4)
+    counts = np.bincount(parts, minlength=4)
+    assert counts.min() >= mesh.n_interior_cells // 4
+    assert counts.max() <= -(-mesh.n_interior_cells // 4)
+
+    def build(part=None):
+        if part is None:
+            t = fvm.models.ThermalModel(fvm.mesh.build_device_mesh(quad_2d(16, 12)))
+        else:
+            t = fvm.models.ThermalModel(part.sharded_mesh, partition=part)
+        t.options["verbose"] = False
+        t.bc["left"].bc_type = "SpecifiedTemperature"
+        t.bc["left"]["specifiedTemperature"] = 400.0
+        t.bc["right"].bc_type = "SpecifiedTemperature"
+        t.bc["right"]["specifiedTemperature"] = 300.0
+        t.bc["bottom"].bc_type = "Symmetry"
+        t.bc["top"].bc_type = "Symmetry"
+        t.init()
+        t.advance(3)
+        return t
+
+    part = Partition(quad_2d(16, 12), 4, method="greedy")
+    td = build(part)
+    t1 = build()
+    T1 = np.asarray(t1.state["T"][: t1.mesh.n_interior_cells])
+    TN = part.gather_cells(td.state["T"])
+    np.testing.assert_allclose(TN, T1, rtol=0, atol=1e-8)
