@@ -761,8 +761,8 @@ class _ShardGraphLevel:
 class AMG(LinearSolver):
     """Aggregation AMG; usable standalone or as a Krylov preconditioner.
 
-    Options mirror the reference (AMG.h:40-70): cycle type (V/W), smoother
-    sweeps, max coarse levels, coarsest-size threshold.
+    Options mirror the reference (AMG.h:40-70): cycle type (V/W/F),
+    smoother sweeps, max coarse levels, coarsest-size threshold.
     """
 
     def __init__(
@@ -1103,18 +1103,27 @@ class AMG(LinearSolver):
             x = A.jacobi_step(x, b, self.omega)
         return x
 
-    def _cycle(self, levels, mats, denses, lvl, b):
-        """One multigrid cycle starting with x=0 at level lvl; returns x."""
+    def _cycle(self, levels, mats, denses, lvl, b, ctype=None):
+        """One multigrid cycle starting with x=0 at level lvl; returns x.
+
+        V: one coarse visit.  W: two coarse visits, both W.  F: the
+        full-multigrid-style intermediate — an F-cycle coarse visit
+        followed by a V-cycle correction (reference AMG.h:40-70 cycles
+        V/W/F)."""
+        ctype = ctype or self.cycle_type
         A = mats[lvl]
         if lvl == len(levels):
             return denses[-1] @ b
         x = self._smooth(A, jnp.zeros_like(b), b, self.nu_pre * self.smoother_sweeps)
         r = b - A.mv(x)
         rc = levels[lvl].restrict(r)
-        xc = self._cycle(levels, mats, denses, lvl + 1, rc)
-        if self.cycle_type == "W" and lvl + 1 < len(levels):
+        xc = self._cycle(levels, mats, denses, lvl + 1, rc, ctype)
+        if ctype in ("W", "F") and lvl + 1 < len(levels):
             rc2 = rc - mats[lvl + 1].mv(xc)
-            xc = xc + self._cycle(levels, mats, denses, lvl + 1, rc2)
+            xc = xc + self._cycle(
+                levels, mats, denses, lvl + 1, rc2,
+                "V" if ctype == "F" else "W",
+            )
         x = x + levels[lvl].prolong(xc)
         x = self._smooth(A, x, b, self.nu_post * self.smoother_sweeps)
         return x

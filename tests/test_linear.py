@@ -335,3 +335,43 @@ def test_spike_cross_shard_dist():
     T1 = np.asarray(m1.state["T"][: m1.mesh.n_interior_cells])
     TN = ts.partition.gather_cells(ts.state["T"])
     np.testing.assert_allclose(TN, T1, rtol=0, atol=1e-6 * 400)
+
+
+def test_amg_f_cycle():
+    """F-cycle (reference AMG.h:40-70 cycle V/W/F): converges the
+    two-wall thermal Poisson solve at least as fast per cycle as V and
+    lands on the same solution."""
+    import fvm_tpu as fvm
+    from fvm_tpu.mesh.generate import quad_2d
+    from fvm_tpu.models import ThermalModel
+    from fvm_tpu.linear import AMG
+
+    def run(cycle):
+        t = ThermalModel(fvm.mesh.build_device_mesh(quad_2d(48, 48)))
+        t.options["verbose"] = False
+        t.options["linearSolver"] = AMG(
+            coarse_size=16, cycle=cycle,
+            relative_tolerance=1e-10, max_iterations=40,
+        )
+        t.bc["left"].bc_type = "SpecifiedTemperature"
+        t.bc["left"]["specifiedTemperature"] = 400.0
+        t.bc["right"].bc_type = "SpecifiedTemperature"
+        t.bc["right"]["specifiedTemperature"] = 300.0
+        t.bc["bottom"].bc_type = "Symmetry"
+        t.bc["top"].bc_type = "Symmetry"
+        t.init()
+        bcvals = t._resolve_bcvals()
+        A, r = t._linearize(t.mesh, t.params, t.state, bcvals)
+        x, st = t.options["linearSolver"].solve_fn(A, r, jnp.zeros_like(r))
+        return np.asarray(x), int(st.iterations), bool(st.converged)
+
+    xv, nv, cv = run("V")
+    xw, nw, cw = run("W")
+    xf, nf, cf = run("F")
+    # F interpolates between V and W: converges where plain V stalls
+    # (measured: V 40 cycles not converged, F 34, W 19) at less work
+    # per cycle than W
+    assert cf and cw
+    assert nw <= nf
+    assert (not cv) or nf <= nv
+    np.testing.assert_allclose(xf, xw, atol=1e-8 * np.abs(xw).max())
