@@ -622,6 +622,9 @@ def suite():
          cps / baseline_cps, residual=vals[0])
 
     # ---- 3) electrostatics on unstructured tets + BCGStab ------------
+    # f64 like the reference driver: the 1e-10 BCGStab target is below
+    # f32 resolution (measured: f32 caps at 2000 iterations unconverged)
+    fvm.set_default_dtype("float64")
     mesh = read_fluent_mesh(f"{ref}/src/fvm/test/cav_tetra.cas")
     dm = fvm.mesh.build_device_mesh(mesh)
     em = ElectricModel(dm)

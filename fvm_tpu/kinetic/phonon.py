@@ -50,6 +50,30 @@ def sn_directions(n_polar: int = 4, n_azimuthal: int = 8):
     return s, w
 
 
+def rta_scattering_matrix(tau, D: int, B: int = 1) -> np.ndarray:
+    """The RTA limit of the full scattering operator: diag(1/tau_db)
+    over the direction-band axis (d-major, matching the e layout)."""
+    tau = np.atleast_1d(np.asarray(tau, float))
+    if tau.size == 1:
+        tau = np.full(B, float(tau.reshape(())))
+    return np.diag(np.tile(1.0 / tau, D))
+
+
+def detailed_balance_correct(M: np.ndarray, w, B: int = 1) -> np.ndarray:
+    """Project a linearized collision matrix onto exact energy
+    conservation (reference: phononbase/ScatteringKernel.h:1721
+    correctDetailedBalance): the collision term V*M(e0 - e) conserves
+    total energy iff every COLUMN of M has zero quadrature-weighted sum
+    (w^T M = 0, w the D-major direction-band weights).  Measured
+    three-phonon matrices violate this at the data tolerance; the
+    rank-1 projection M - w (w^T M)/(w^T w) removes the defect without
+    touching the conserving part."""
+    M = np.asarray(M, float)
+    wdb = np.repeat(np.asarray(w, float), B)
+    col = wdb @ M  # (DB,)
+    return M - np.outer(wdb, col) / float(wdb @ wdb)
+
+
 class PhononBC(BoundaryCondition):
     """Boundary kinds (reference: phononbase/PhononModel.h:246-260
     callBoundaryConditions — "temperature" -> Isothermal,
@@ -120,13 +144,24 @@ class PhononModel(Model):
     _supports_interfaces = True
 
     def __init__(self, mesh: DeviceMesh, n_polar=4, n_azimuthal=8,
-                 bands=None, partition=None, ordinate_shards=None):
+                 bands=None, partition=None, ordinate_shards=None,
+                 scattering_matrix=None):
         """bands: optional list of (C_b, vg_b, tau_b) tuples for non-gray
         transport; defaults to one band from the VC entries.
         ``ordinate_shards``: shard the direction*band axis of e over that
         many devices (mesh axis 'fvm_v'); XLA GSPMD inserts the psums for
         the lattice-temperature sums and the collective permutes for
-        specular mirrors.  Mutually exclusive with spatial partitioning."""
+        specular mirrors.  Mutually exclusive with spatial partitioning.
+        ``scattering_matrix``: (D*B, D*B) linearized FULL collision
+        operator M (the reference's three-phonon ScatteringKernel,
+        phononbase/ScatteringKernel.h:14, whose type-I/II collision
+        connectivities linearize to exactly such a mode-mode matrix):
+        the collision term becomes V * M (e0 - e) instead of the RTA
+        V (e0 - e)/tau — the RTA is M = diag(1/tau)
+        (``rta_scattering_matrix``).  Run measured matrices through
+        ``detailed_balance_correct`` first so energy is conserved to
+        round-off.  COMET solver, single-device; the (DB, DB) x
+        (n_cells, DB) contraction rides the MXU."""
         super().__init__(mesh, partition)
         self.vc = PhononVC()
         s, w = sn_directions(n_polar, n_azimuthal)
@@ -134,6 +169,7 @@ class PhononModel(Model):
         self.w = w  # (D,)
         self.D = len(w)
         self.bands = bands  # resolved in init()
+        self.scattering_matrix = scattering_matrix
         self.ordinate_shards = ordinate_shards
         if ordinate_shards and self._dist:
             raise ConfigError(
@@ -308,6 +344,31 @@ class PhononModel(Model):
                 "PhononModel: per-cell material properties are "
                 "single-device only"
             )
+        self._scat = None
+        if self.scattering_matrix is not None:
+            M = np.asarray(self.scattering_matrix, float)
+            DB = self.D * B
+            if M.shape != (DB, DB):
+                raise ConfigError(
+                    f"PhononModel: scattering_matrix must be ({DB}, {DB})"
+                )
+            if self._dist or self.ordinate_shards or self._per_cell:
+                raise ConfigError(
+                    "PhononModel: scattering_matrix is single-device, "
+                    "uniform-material only"
+                )
+            if str(self.options["solver"]).upper() != "COMET":
+                raise ConfigError(
+                    "PhononModel: scattering_matrix requires the COMET "
+                    "solver (the sweep path Picard-lags only the RTA "
+                    "term)"
+                )
+            if np.diag(M).min() <= 0.0:
+                raise ConfigError(
+                    "PhononModel: scattering_matrix needs a positive "
+                    "diagonal (relaxation rates)"
+                )
+            self._scat = jnp.asarray(M, dtype)
         T0 = self._cell_field(self.vc, "initialTemperature")
         e0 = self._e0_of_T(T0)  # (..., nc, B)
         self.state = {
@@ -630,9 +691,10 @@ class PhononModel(Model):
         # prolongation coefficient C/4pi is spatially uniform in the
         # current cycle machinery; the Woodbury point preconditioner
         # alone remains exact for the local collision coupling)
+        scat = getattr(self, "_scat", None)
         dsa = None
         if comet and bool(opts.get("coarseAcceleration", True)) and \
-                not self._dist and not self._per_cell:
+                not self._dist and not self._per_cell and scat is None:
             dsa = self._build_dsa()
 
         def step(mesh, params, state, bcvals):
@@ -648,9 +710,16 @@ class PhononModel(Model):
                 mesh.n_cells, self.D * B
             )
             V = mesh.cell_volume[:, None]
-            tau = tau_db if tau_db.ndim == 2 else tau_db[None, :]
-            diag_extra = V / tau
-            b = V / tau * e0
+            if scat is not None:
+                # full scattering operator: diag(M) plays 1/tau in the
+                # implicit diagonal & Woodbury preconditioner; the
+                # off-diagonal coupling lives in the exact JFNK residual
+                rate = jnp.diag(scat)[None, :]
+            else:
+                tau = tau_db if tau_db.ndim == 2 else tau_db[None, :]
+                rate = 1.0 / tau
+            diag_extra = V * rate
+            b = V * rate * e0
             if opts["transient"]:
                 dt = opts["timeStep"]
                 diag_extra = diag_extra + V / dt
@@ -692,7 +761,7 @@ class PhononModel(Model):
                         u_db[None, :, None], (mesh.n_cells, self.D * B, 1)
                     )
                 U = jnp.where(alive[:, None, None], U, 0.0)
-                kappa = jnp.where(alive[:, None], V / tau, 0.0)
+                kappa = jnp.where(alive[:, None], V * rate, 0.0)
 
                 def R(ev):
                     eg = self._refresh_ghosts(mesh, params, ev, bcvals)
@@ -700,7 +769,12 @@ class PhononModel(Model):
                     e0v = jnp.tile(
                         self._e0_of_T(Tv)[:, None, :], (1, self.D, 1)
                     ).reshape(mesh.n_cells, self.D * B)
-                    bv = V / tau * e0v
+                    if scat is not None:
+                        # V * M (e0 - e); op_plain.mv already applies the
+                        # V*diag(M)*e part, so add it back here
+                        bv = V * ((e0v - ev) @ scat.T) + V * rate * ev
+                    else:
+                        bv = V * rate * e0v
                     if opts["transient"]:
                         bv = bv + (V / opts["timeStep"]) * state["e_N1"]
                     res = bv - op_plain.mv(ev)
@@ -718,6 +792,14 @@ class PhononModel(Model):
 
                     precond = DSAPrecond(precond, *dsa)
                 r0 = R(e)
+                if scat is not None:
+                    # the pre-branch rnorm used the diagonal-only b;
+                    # report the true full-scattering residual instead
+                    rnorm = op_plain.norm(
+                        jnp.where(
+                            op_plain.interior & op_plain.owned, r0, 0.0
+                        )
+                    )
             else:
                 op = op_plain
                 precond = JacobiSolver(sweeps=2)
@@ -785,6 +867,10 @@ class PhononModel(Model):
         if self.ordinate_shards:
             raise ConfigError(
                 "solve_tangent: ordinate-sharded phonon states not supported"
+            )
+        if getattr(self, "_scat", None) is not None:
+            raise ConfigError(
+                "solve_tangent: full scattering-matrix states not supported"
             )
         mesh = self.mesh
         bcvals = self._resolve_bcvals()
@@ -943,6 +1029,10 @@ class PhononModel(Model):
         if self.ordinate_shards:
             raise ConfigError(
                 "solve_adjoint: ordinate-sharded phonon states not supported"
+            )
+        if getattr(self, "_scat", None) is not None:
+            raise ConfigError(
+                "solve_adjoint: full scattering-matrix states not supported"
             )
         for k in param_keys:
             if k != "tau":

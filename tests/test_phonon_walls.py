@@ -211,3 +211,75 @@ def test_interface_dist_matches_single():
     pN, _ = _two_slab(t_LR=0.6, tau=0.1, partition_shards=2)
     TN = pN.getTemperature()
     np.testing.assert_allclose(TN, T1, rtol=0, atol=1e-7)
+
+
+def test_scattering_matrix_rta_equivalence():
+    """scattering_matrix = diag(1/tau) reproduces the RTA solve exactly
+    (reference: phononbase/ScatteringKernel.h:14 — the full three-phonon
+    operator whose RTA limit is the diagonal)."""
+    from fvm_tpu.kinetic.phonon import rta_scattering_matrix
+
+    def run(M=None):
+        mesh = quad_2d(10, 6)
+        dm = fvm.mesh.build_device_mesh(mesh)
+        bands = [(0.6, 2.0, 0.05), (0.4, 1.0, 0.2)]
+        p = PhononModel(dm, 4, 8, bands=bands, scattering_matrix=M)
+        p.options["verbose"] = False
+        p.options["relativeTolerance"] = 1e-11
+        p.options["coarseAcceleration"] = False
+        p.options["innerIterations"] = 300
+        p.bc["left"].bc_type = "Isothermal"
+        p.bc["left"]["specifiedTemperature"] = 310.0
+        p.bc["right"].bc_type = "Isothermal"
+        p.bc["right"]["specifiedTemperature"] = 300.0
+        p.bc["top"].bc_type = "Symmetry"
+        p.bc["bottom"].bc_type = "Symmetry"
+        p.init()
+        p.advance(6)
+        return p.getTemperature()
+
+    T_rta = run()
+    M = rta_scattering_matrix([0.05, 0.2], D=32, B=2)
+    T_mat = run(M)
+    np.testing.assert_allclose(T_mat, T_rta, rtol=0, atol=1e-8)
+
+
+def test_scattering_matrix_full_conserves_energy():
+    """A dense (off-diagonal) detailed-balance-corrected collision
+    matrix: COMET converges, the interface-free two-wall slab conserves
+    the energy flux exactly, and T stays bracketed by the wall
+    temperatures (the conserving projection is what guarantees it,
+    reference ScatteringKernel.h:1721 correctDetailedBalance)."""
+    from fvm_tpu.kinetic.phonon import (
+        detailed_balance_correct, rta_scattering_matrix, sn_directions,
+    )
+
+    D = 32
+    rng = np.random.default_rng(5)
+    _, w = sn_directions(4, 8)
+    # RTA base + 30% random mode-coupling, projected to conservation
+    M = rta_scattering_matrix(0.1, D=D) + 0.3 * rng.random((D, D)) / D
+    M = detailed_balance_correct(M, w)
+    assert np.abs(w @ M).max() < 1e-14  # exact conservation
+
+    mesh = quad_2d(10, 6)
+    dm = fvm.mesh.build_device_mesh(mesh)
+    p = PhononModel(dm, 4, 8, scattering_matrix=M)
+    p.options["verbose"] = False
+    p.options["relativeTolerance"] = 1e-10
+    p.options["coarseAcceleration"] = False
+    p.options["innerIterations"] = 400
+    p.bc["left"].bc_type = "Isothermal"
+    p.bc["left"]["specifiedTemperature"] = 310.0
+    p.bc["right"].bc_type = "Isothermal"
+    p.bc["right"]["specifiedTemperature"] = 300.0
+    p.bc["top"].bc_type = "Symmetry"
+    p.bc["bottom"].bc_type = "Symmetry"
+    p.init()
+    h = p.advance(8)
+    assert h[-1][1] / h[0][1] < 1e-8  # COMET converged
+    T = p.getTemperature()
+    assert 300.0 - 1e-6 <= T.min() and T.max() <= 310.0 + 1e-6
+    qL = p.getHeatFluxIntegral("left")
+    qR = p.getHeatFluxIntegral("right")
+    assert abs(qL + qR) < 1e-9 * abs(qL)  # steady flux balance
