@@ -622,8 +622,15 @@ def suite():
          cps / baseline_cps, residual=vals[0])
 
     # ---- 3) electrostatics on unstructured tets + BCGStab ------------
-    # f64 like the reference driver: the 1e-10 BCGStab target is below
-    # f32 resolution (measured: f32 caps at 2000 iterations unconverged)
+    # f64 like the reference driver: the BCGStab target is below f32
+    # resolution (measured: f32 caps at 2000 iterations unconverged).
+    # On the axon TPU backend the EMULATED-f64 dot products carry
+    # ~f32 accuracy, which floors the achievable relative residual at
+    # ~1e-7 (target 3e-7 with margin) and breaks the BiCGStab shadow
+    # sequence early (measured:
+    # plain solve exits at 5 iterations on a rho breakdown;
+    # stall_restart recovers to the 1e-7 floor in ~52) — hence the
+    # 1e-7 target + stall_restart here; CPU f64 reaches 1e-10 in ~410.
     fvm.set_default_dtype("float64")
     mesh = read_fluent_mesh(f"{ref}/src/fvm/test/cav_tetra.cas")
     dm = fvm.mesh.build_device_mesh(mesh)
@@ -631,7 +638,8 @@ def suite():
     em.options["verbose"] = False
     solver = BiCGStab(
         preconditioner=JacobiSolver(sweeps=2),
-        relative_tolerance=1e-10, max_iterations=2000,
+        relative_tolerance=3e-7, max_iterations=2000,
+        stall_restart=True,
     )
     em.options["electrostaticsLinearSolver"] = solver
     em.bc["wall.2"].bc_type = "SpecifiedPotential"
@@ -651,7 +659,7 @@ def suite():
     cps = dm.n_interior_cells * its / dt
     emit("electrostatics_tet_bcgstab_cells_x_iters_per_sec", cps,
          "cell-iters/s", cps / (baseline_cps * 10),
-         iterations_to_1e10=its, solve_seconds=dt,
+         iterations_to_tol=its, solve_seconds=dt,
          converged=bool(st.converged))
 
 
