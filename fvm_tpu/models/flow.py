@@ -1323,6 +1323,16 @@ class FlowModel(Model):
                         if eta_prev is not None:
                             eta = max(eta, 0.9 * eta_prev**2)
                         eta = min(max(eta, ktol), eta_max)
+                    if target_abs is not None and mom0 > 0.0:
+                        # oversolve protection at the finish line: the
+                        # step only needs contraction target/|r| — don't
+                        # drive the inner solve decades past it
+                        # (measured: the final 1M step burned 1733 its
+                        # at eta 1e-3 landing 2e-8 when 1e-6 was asked)
+                        eta = min(
+                            max(eta, 0.5 * float(target_abs) / mom0),
+                            eta_max,
+                        )
                 else:
                     eta = ktol
                 prev_norm, eta_prev = norm_k, eta
