@@ -283,3 +283,39 @@ def test_scattering_matrix_full_conserves_energy():
     qL = p.getHeatFluxIntegral("left")
     qR = p.getHeatFluxIntegral("right")
     assert abs(qL + qR) < 1e-9 * abs(qL)  # steady flux balance
+
+
+def test_reflecting_wall_dist_matches_single():
+    """Distributed (2-shard) Reflecting-wall solve matches single-device
+    temperatures (the blended specular/diffuse tables ride params like
+    the Symmetry tables; bcvals carry per-shard reflection values)."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 virtual devices")
+    from fvm_tpu.parallel import Partition
+
+    def run(shards=None):
+        mesh = quad_2d(10, 10)
+        if shards:
+            part = Partition(mesh, shards)
+            p = PhononModel(part.sharded_mesh, 4, 8, partition=part)
+        else:
+            p = PhononModel(fvm.mesh.build_device_mesh(mesh), 4, 8)
+        p.options["verbose"] = False
+        p.options["relativeTolerance"] = 1e-11
+        p.vc["relaxationTime"] = 0.05
+        p.bc["left"].bc_type = "Isothermal"
+        p.bc["left"]["specifiedTemperature"] = 310.0
+        p.bc["right"].bc_type = "Isothermal"
+        p.bc["right"]["specifiedTemperature"] = 300.0
+        for g in ("top", "bottom"):
+            p.bc[g].bc_type = "Reflecting"
+            p.bc[g]["specifiedReflection"] = 0.4
+        p.init()
+        p.advance(6)
+        return p.getTemperature()
+
+    T1 = run()
+    TN = run(shards=2)
+    np.testing.assert_allclose(TN, T1, rtol=0, atol=1e-7)
