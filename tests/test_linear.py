@@ -375,3 +375,46 @@ def test_amg_f_cycle():
     assert nw <= nf
     assert (not cv) or nf <= nv
     np.testing.assert_allclose(xf, xw, atol=1e-8 * np.abs(xw).max())
+
+
+def test_spike_dist_misaligned_segments_fall_back():
+    """When line segments don't end at chunk edges (2 columns of 256
+    rows over 8 shards -> 32-row segments vs 64-row chunks), the
+    cross-shard couplings are dropped at setup (returns False) and the
+    preconditioner still works as the in-shard band + diagonal
+    fallback — no wrong-partner coupling, solves stay correct."""
+    import jax
+    import fvm_tpu as fvm
+    from fvm_tpu.mesh.generate import quad_2d
+    from fvm_tpu.models import ThermalModel
+    from fvm_tpu.parallel import Partition
+    from fvm_tpu.linear import BiCGStab, SpikeSolver
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = quad_2d(2, 256, lx=0.1, ly=1.0)
+    part = Partition(mesh, 8)
+    pre = SpikeSolver()
+    assert pre.setup_structure_dist(part) is False  # misaligned -> drop
+    t = ThermalModel(part.sharded_mesh, partition=part)
+    t.options["verbose"] = False
+    t.options["linearSolver"] = BiCGStab(
+        preconditioner=pre, relative_tolerance=1e-12, max_iterations=3000
+    )
+    t.bc["bottom"].bc_type = "SpecifiedTemperature"
+    t.bc["bottom"]["specifiedTemperature"] = 400.0
+    t.bc["top"].bc_type = "SpecifiedTemperature"
+    t.bc["top"]["specifiedTemperature"] = 300.0
+    t.bc["left"].bc_type = "Symmetry"
+    t.bc["right"].bc_type = "Symmetry"
+    t.init()
+    h = t.advance(8)
+    # the weak fallback converges slowly on this 160:1-anisotropy mesh
+    # (that is WHY aligned cross-shard SPIKE matters); the assertions
+    # here are graceful degradation: residual decreasing, solution
+    # finite and bounded by the wall temperatures, no wrong-partner
+    # corruption
+    assert h[-1][1] / h[0][1] < 5e-2
+    T = part.gather_cells(t.state["T"])
+    assert np.isfinite(T).all()
+    assert 300.0 - 1e-4 <= T.min() and T.max() <= 400.0 + 1e-4
