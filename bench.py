@@ -389,7 +389,9 @@ def main():
                     nmax = int(os.environ.get("FVM_BENCH_NEWTON_MAX", "10"))
                     hn = flow64.advanceNewton(nmax)
                     rel = float(hn[-1][1]) / norm0
-                    steps += len(hn)
+                    # count only Newton steps that ran an inner solve (the
+                    # trailing "target met" history entry runs none)
+                    steps += len(getattr(flow64, "_newton_trace", None) or hn)
                     for k, tr in enumerate(
                         getattr(flow64, "_newton_trace", [])
                     ):
@@ -472,6 +474,10 @@ def main():
             # ~= 5.2 h single-core (BASELINE.md target #2: >=20x faster
             # per chip -> <= 940 s)
             ref_s = 5.2 * 3600.0
+            # the 5.2 h estimate is for the default 1M-cell cavity; for
+            # other FVM_BENCH_N the per-cell scaling is a rough guide at
+            # best, so only report vs_baseline on the calibrated size
+            vs_base = ref_s / dt_conv if n == 1024 else None
             with open(art, "w") as f:
                 json.dump(
                     {
@@ -482,7 +488,7 @@ def main():
                         "n_cells": n_cells,
                         "value": dt_conv,
                         "unit": "s",
-                        "vs_baseline": ref_s / dt_conv,
+                        "vs_baseline": vs_base,
                         "outer_steps": steps,
                         "phases": phases,
                     },

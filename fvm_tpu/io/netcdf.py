@@ -249,9 +249,25 @@ def load_dist_state(path, model) -> None:
     different shard count)."""
     import jax.numpy as jnp
 
+    import warnings
+
     data = read_netcdf_partitioned(path)
+    ng = int(data["n_global_cells"])
+    nc = int(model.partition.mesh.n_cells)
+    if ng != nc:
+        raise ValueError(
+            f"load_dist_state: dump has {ng} global cells but the model's "
+            f"partition mesh has {nc} — mesh mismatch"
+        )
     fields = restore_partitioned(data, model.partition)
     for k, v in fields.items():
+        if k not in model.state:
+            warnings.warn(
+                f"load_dist_state: skipping field {k!r} not present in "
+                f"the target model's state (e.g. transient history levels "
+                f"restored into a steady model)"
+            )
+            continue
         cur = model.state[k]
         model.state[k] = model.partition.device_put(
             {k: jnp.asarray(v, cur.dtype)}

@@ -85,9 +85,11 @@ class PhononBC(BoundaryCondition):
     PhononBoundary.h:69-155 applyReflectingWall): for each incoming
     direction the ghost carries refl x the specularly mirrored outgoing
     energy plus (1-refl) x the flux-weighted diffuse redistribution of
-    ALL outgoing energy (per band, so each band's wall interaction is
-    energy-conserving on its own — the reference redistributes per
-    frequency bin)."""
+    ALL outgoing energy.  The redistribution here is PER BAND (each
+    band's wall interaction is energy-conserving on its own) — an
+    intentional deviation from the reference, whose applyReflectingWall
+    computes one GLOBAL diff_refl = tot_in/tot_dk3 summed over all
+    k-volumes/modes and so mixes energy across frequency bins."""
 
     _allowed_types = ("Isothermal", "Symmetry", "Adiabatic", "Reflecting")
     _defaults = {

@@ -1260,20 +1260,28 @@ class FlowModel(Model):
             inner_dt = jnp.dtype(prec) if prec else jnp.dtype(dtype)
             mixed = inner_dt != jnp.dtype(dtype)
             if mixed:
-                # cache key includes mesh/params identity: a rebuilt mesh
-                # or params (set_immersed_boundary, vc change + re-init)
-                # must invalidate the cast views or the inner Jacobian
-                # silently disagrees with the f64 rhs
-                vkey = (inner_dt, id(self.mesh), id(self.params))
+                # cache keyed on mesh/params IDENTITY, holding the keyed
+                # objects alive: a rebuilt mesh or params
+                # (set_immersed_boundary, vc change + re-init) must
+                # invalidate the cast views or the inner Jacobian silently
+                # disagrees with the f64 rhs; raw id() keys could collide
+                # after garbage collection reuses an address
                 views = getattr(self, "_newton_views", None)
-                if views is None or views[0] != vkey:
+                if (
+                    views is None
+                    or views[0] != inner_dt
+                    or views[1] is not self.mesh
+                    or views[2] is not self.params
+                ):
                     views = (
-                        vkey,
+                        inner_dt,
+                        self.mesh,
+                        self.params,
                         _cast_floats(self.mesh, inner_dt),
                         _cast_floats(self.params, inner_dt),
                     )
                     self._newton_views = views
-                _, mesh_i, params_i = views
+                mesh_i, params_i = views[3], views[4]
             else:
                 mesh_i, params_i = self.mesh, self.params
             # inexact-Newton forcing schedule: "ew" (default) adapts the
