@@ -358,6 +358,16 @@ def main():
                     )
                     if nprec:
                         flow64.options["newtonInnerPrecision"] = nprec
+                    # inner Krylov method (round 5): GMRES(m) avoids
+                    # BiCGStab's f32-noise transient (800-1700 its/step
+                    # measured round 4); FVM_BENCH_NEWTON_SOLVER=bicgstab
+                    # restores the old inner
+                    flow64.options["newtonInnerSolver"] = os.environ.get(
+                        "FVM_BENCH_NEWTON_SOLVER", "gmres"
+                    )
+                    flow64.options["newtonGmresRestart"] = int(
+                        os.environ.get("FVM_BENCH_NEWTON_RESTART", "32")
+                    )
                     # chunk size bounds each device program (the worker
                     # kills long programs): f64 inner iterations cost
                     # ~2.6 s each at 1M -> chunk 80; f32 ~0.15-0.3 s ->
@@ -521,6 +531,12 @@ def suite():
     Run: python bench.py --suite     (TPU; CPU works for smoke tests)
     """
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_fvm")
+    if os.environ.get("FVM_BENCH_CPU"):
+        # CPU smoke runs: the TPU plugin ignores JAX_PLATFORMS, this
+        # config update (before any jax array work) does not
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     import numpy as np
     import jax.numpy as jnp
     import fvm_tpu as fvm
@@ -555,14 +571,25 @@ def suite():
               "assembly.back"):
         t.bc[g].bc_type = "Symmetry"
     t.init()
-    h = t.advance(1)  # compile + converge check
-    t0 = time.time()
+    # device-resident outer loop (options.outerChunk, round 5): all
+    # timed outers run in ONE dispatch — the round-4 version paid a
+    # ~1-3 ms tunnel dispatch + readback PER OUTER, which dominated
+    # this 10k-cell case (0.25x baseline measured)
     iters = 20
-    for _ in range(iters):
-        h = t.advance(1)
+    t.options["outerChunk"] = iters
+    # no early exit: this is a fixed-work throughput benchmark (the
+    # case converges in ~2 outers; zero tolerances keep all `iters`
+    # linearize+AMG-solve steps running)
+    t.options["absoluteTolerance"] = 0.0
+    t.options["relativeTolerance"] = 0.0
+    h = t.advance(iters)  # compile
+    t0 = time.time()
+    h = t.advance(iters)
     cps = dm.n_interior_cells * iters / (time.time() - t0)
+    # converged residual, for the record (solved well past round-off)
     emit("homocase_thermal_cells_per_sec", cps, "cells/s",
-         cps / baseline_cps, residual=float(h[-1][1]))
+         cps / baseline_cps, residual=float(h[-1][1]),
+         converged=float(h[-1][1]) < 1e-6)
 
     # ---- 2) heated-channel conjugate flow+thermal --------------------
     nx, ny = 384, 128
@@ -605,38 +632,61 @@ def suite():
     thermal.bc["right"].bc_type = "ZeroGradient"  # convective outflow
     thermal.bc["top"].bc_type = "Symmetry"
     thermal.init()
-    flow.options["residualSync"] = False
-    thermal.options["residualSync"] = False
 
-    def outer():
-        hf = flow.advance(1)
-        thermal.state["massFlux"] = flow.state["massFlux"]
-        ht = thermal.advance(1)
-        return hf, ht
-
-    hf, ht = outer()  # compile
-    vals = [float(v) for h_ in (hf, ht) for v in h_[-1][1:]]
-    assert all(v == v for v in vals), "NaN residual"
+    # time-to-target (round 5; the round-4 version timed 10 fixed outers
+    # and emitted an unconverged raw residual).  The coupling is one-way
+    # (flow -> massFlux -> thermal), so converge the flow first, hand
+    # the mass flux over once, then converge the advected thermal field;
+    # both phases run device-resident chunked outer loops.
+    # momentum target: the f32 SIMPLE tail on this conjugate case floors
+    # near rel ~2e-4 (measured CPU smoke, 3000 outers) — 5e-4 is the
+    # converged-engineering target; the (linear, given massFlux) thermal
+    # solve gets the tight 1e-5
+    tol = float(os.environ.get("FVM_BENCH_CHANNEL_TOL", "5e-4"))
+    ttol = float(os.environ.get("FVM_BENCH_CHANNEL_TTOL", "1e-5"))
+    maxout = int(os.environ.get("FVM_BENCH_CHANNEL_MAX", "6000"))
+    chunk = int(os.environ.get("FVM_BENCH_CHANNEL_CHUNK", "100"))
+    flow.options["outerChunk"] = chunk
+    flow.options["momentumTolerance"] = tol
+    flow.options["continuityTolerance"] = tol
+    flow.options["absoluteTolerance"] = 0.0
+    thermal.options["outerChunk"] = 20
+    thermal.options["relativeTolerance"] = ttol
+    thermal.options["absoluteTolerance"] = 0.0
+    snapf = dict(flow.state)
+    snapt = dict(thermal.state)
+    flow.advance(chunk)  # compile (real work, discarded below)
+    thermal.state["massFlux"] = flow.state["massFlux"]
+    thermal.advance(20)  # compile
+    # cold restart for the timed run
+    flow.state, flow._norm0 = snapf, None
+    thermal.state, thermal._initial_norm = snapt, None
     t0 = time.time()
-    iters = 10
-    for _ in range(iters):
-        hf, ht = outer()
-    vals = [float(v) for h_ in (hf, ht) for v in h_[-1][1:]]
-    assert all(v == v for v in vals), "NaN residual"
-    cps = nx * ny * iters / (time.time() - t0)
-    emit("heated_channel_conjugate_cells_per_sec", cps, "cells/s",
-         cps / baseline_cps, residual=vals[0])
+    hf = flow.advance(maxout)
+    thermal.state["massFlux"] = flow.state["massFlux"]
+    ht = thermal.advance(maxout)
+    dt = time.time() - t0
+    mom_rel = float(hf[-1][1]) / max(float(hf[0][1]), 1e-300)
+    th_rel = float(ht[-1][1]) / max(float(ht[0][1]), 1e-300)
+    conv = (mom_rel < tol) and (th_rel < ttol)
+    outers = len(hf) + len(ht)
+    # reference estimate: the same SIMPLE outer count at the documented
+    # per-core throughput
+    ref_s = outers * nx * ny / baseline_cps
+    emit("heated_channel_time_to_tol", dt, "s", ref_s / dt,
+         target_rel=tol, mom_rel=mom_rel, thermal_rel=th_rel,
+         outer_steps=outers, converged=conv)
 
     # ---- 3) electrostatics on unstructured tets + BCGStab ------------
     # f64 like the reference driver: the BCGStab target is below f32
     # resolution (measured: f32 caps at 2000 iterations unconverged).
-    # On the axon TPU backend the EMULATED-f64 dot products carry
-    # ~f32 accuracy, which floors the achievable relative residual at
-    # ~1e-7 (target 3e-7 with margin) and breaks the BiCGStab shadow
-    # sequence early (measured:
-    # plain solve exits at 5 iterations on a rho breakdown;
-    # stall_restart recovers to the 1e-7 floor in ~52) — hence the
-    # 1e-7 target + stall_restart here; CPU f64 reaches 1e-10 in ~410.
+    # Round 5: the compensated double-word dot/norm path
+    # (ops/compdot.py, auto-on for emulated-f64 backends) restores
+    # reference-grade convergence on TPU — the round-4 emulated-f64
+    # dots carried only ~f32 accuracy and floored the relative residual
+    # at ~1e-7 with rho breakdowns; the target is now the reference's
+    # own 1e-10 class (LinearSolver.h:22-23).  stall_restart stays as a
+    # safety net.
     fvm.set_default_dtype("float64")
     mesh = read_fluent_mesh(f"{ref}/src/fvm/test/cav_tetra.cas")
     dm = fvm.mesh.build_device_mesh(mesh)
@@ -644,7 +694,10 @@ def suite():
     em.options["verbose"] = False
     solver = BiCGStab(
         preconditioner=JacobiSolver(sweeps=2),
-        relative_tolerance=3e-7, max_iterations=2000,
+        relative_tolerance=float(
+            os.environ.get("FVM_BENCH_TET_TOL", "1e-10")
+        ),
+        max_iterations=2000,
         stall_restart=True,
     )
     em.options["electrostaticsLinearSolver"] = solver

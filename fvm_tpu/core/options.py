@@ -24,8 +24,12 @@ class FloatVarDict(dict):
 
     def __init__(self, **overrides):
         super().__init__()
-        for k, v in self._defaults.items():
-            self[k] = v
+        # merge _defaults across the MRO (base first, derived overrides)
+        # so shared options (e.g. ModelOptions.outerChunk) reach every
+        # model's option dict without each subclass redeclaring them
+        for klass in reversed(type(self).__mro__):
+            for k, v in vars(klass).get("_defaults", {}).items():
+                self[k] = v
         self.update(overrides)
 
     def __getattr__(self, name):
@@ -125,3 +129,18 @@ class BoundaryCondition(FloatVarDict):
 
 class ModelOptions(FloatVarDict):
     """Model options (tolerances, transient switches, solvers...)."""
+
+    _defaults = {
+        # outer iterations per device dispatch: >1 runs the outer
+        # (linearize/solve/update) loop in a device-resident
+        # lax.while_loop with the convergence check on device, paying
+        # ONE host round-trip per chunk instead of per outer iteration
+        # (the reference's advance loop, e.g. ThermalModel_impl.h:424,
+        # has no per-iteration host sync either).  0/1 = classic
+        # per-iteration python loop.
+        "outerChunk": 0,
+        # raise SolverError on a NaN/Inf outer residual (opt-in FPE trap,
+        # reference role: baseExt.i:25-30 SIGFPE -> CException; see also
+        # fvm_tpu.enable_fpe_checks for the per-primitive jax debug mode)
+        "trapNonfinite": False,
+    }

@@ -100,6 +100,14 @@ class BiCGStab(LinearSolver):
         self.preconditioner = preconditioner
         self.stall_restart = stall_restart
 
+    def carry_template(self, vec_shape, dtype):
+        """Zeros pytree with the carry's structure (host-side chunk
+        drivers need a fresh-shaped placeholder before the first
+        chunk)."""
+        z = jnp.zeros(vec_shape, dtype)
+        s = jnp.zeros((), dtype)
+        return (jnp.int32(0), z, z, z, z, s, s, s, s, z, s, z, s)
+
     def init_carry(self, A, b: jnp.ndarray, x0: jnp.ndarray):
         """Full BiCGStab state for chunked solves: chunking is a DEVICE-
         PROGRAM split, not a mathematical restart — threading this carry
@@ -271,6 +279,182 @@ class BiCGStab(LinearSolver):
         out = jax.lax.while_loop(cond, body, state)
         (i, x, r, p, v, rho, alpha, omega, rn, bx, brn, rhat, rhn) = out
         return recover(bx), SolveStats(i, rnorm0, brn, brn <= target)
+
+
+class GMRES(LinearSolver):
+    """Right-preconditioned restarted GMRES(m) (reference role:
+    CG.h/BCGStab.h's Krylov family — the reference ships no GMRES; this
+    solver exists because BiCGStab's non-monotone f32-noise transient
+    burns 800-1700 iterations per Newton step on the coupled flow
+    system at 1M cells, while GMRES's least-squares residual is
+    monotone within a cycle).
+
+    TPU-shaped: the Arnoldi orthogonalization is classical Gram-Schmidt
+    applied twice (CGS2) — two (m+1, n)x(n) einsum contractions per
+    iteration instead of modified GS's m sequential dots — and the
+    Hessenberg/Givens updates are fixed-size masked ops, so the whole
+    cycle jits into one while_loop.  Memory: the basis holds
+    ``restart + 1`` copies of the unknown vector.
+
+    Supports the same ``init_carry``/``solve_chunk`` protocol as
+    BiCGStab (chunk boundaries align to restart cycles, which lose
+    nothing: a GMRES restart is a clean warm restart by construction).
+    Matrix-free / non-condensing operators only for the chunked path."""
+
+    def __init__(self, preconditioner: LinearSolver | None = None,
+                 restart: int = 32, **kw):
+        super().__init__(**kw)
+        self.preconditioner = preconditioner
+        self.restart = int(restart)
+
+    # --- carry protocol ---------------------------------------------------
+
+    def carry_template(self, vec_shape, dtype):
+        """Zeros pytree with the carry's structure (host-side chunk
+        drivers need a fresh-shaped placeholder before the first
+        chunk)."""
+        z = jnp.zeros(vec_shape, dtype)
+        s = jnp.zeros((), dtype)
+        return (jnp.int32(0), z, z, s, z, s, s)
+
+    def init_carry(self, A, b: jnp.ndarray, x0: jnp.ndarray):
+        A = prepared(A)
+        r0 = b - A.mv(x0)
+        rn = A.norm(r0)
+        # (i, x, b, rn, bx, brn, rnorm0)
+        return (jnp.int32(0), x0, b, rn, x0, rn, rn)
+
+    def _one_cycle(self, A, M, x, b, rn, target):
+        """One GMRES(m) cycle from iterate x with residual norm rn.
+        Returns (x_new, rn_new, iterations_used)."""
+        m = self.restart
+        dtype = x.dtype
+        tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+        r = b - A.mv(x)
+        beta = A.norm(r)
+        v0 = r / jnp.maximum(beta, tiny)
+        V = jnp.zeros((m + 1,) + x.shape, dtype).at[0].set(v0)
+        H = jnp.zeros((m + 1, m), dtype)
+        cs = jnp.ones(m, dtype)
+        sn = jnp.zeros(m, dtype)
+        g = jnp.zeros(m + 1, dtype).at[0].set(beta)
+        k_idx = jnp.arange(m + 1)
+
+        def dots(Vb, w):
+            # psum-aware batched inner products against the whole basis
+            prods = jnp.einsum("k...,...->k", Vb, w)
+            return A.psum(prods)
+
+        def cond(st):
+            j, V, H, cs, sn, g, res = st
+            return (j < m) & (res > target) & jnp.isfinite(res)
+
+        def body(st):
+            j, V, H, cs, sn, g, res = st
+            w = A.mv(M(V[j]))
+            le = (k_idx <= j).astype(dtype)
+            h1 = dots(V, w) * le
+            w = w - jnp.einsum("k,k...->...", h1, V)
+            h2 = dots(V, w) * le
+            w = w - jnp.einsum("k,k...->...", h2, V)
+            h = h1 + h2
+            hw = A.norm(w)
+            h = h + jnp.where(k_idx == j + 1, hw, 0.0)
+            # apply the stored Givens rotations to the new column
+            def rot(k, hcol):
+                hk = hcol[k]
+                hk1 = hcol[k + 1]
+                apply = (k < j).astype(dtype)
+                new_k = cs[k] * hk + sn[k] * hk1
+                new_k1 = -sn[k] * hk + cs[k] * hk1
+                hcol = hcol.at[k].set(apply * new_k + (1 - apply) * hk)
+                return hcol.at[k + 1].set(
+                    apply * new_k1 + (1 - apply) * hk1
+                )
+
+            h = jax.lax.fori_loop(0, m, rot, h)
+            hj = h[j]
+            hj1 = h[j + 1]
+            denom = jnp.sqrt(hj * hj + hj1 * hj1)
+            c_new = jnp.where(denom > tiny, hj / jnp.maximum(denom, tiny), 1.0)
+            s_new = jnp.where(denom > tiny, hj1 / jnp.maximum(denom, tiny), 0.0)
+            h = h.at[j].set(c_new * hj + s_new * hj1)
+            h = h.at[j + 1].set(0.0)
+            cs = cs.at[j].set(c_new)
+            sn = sn.at[j].set(s_new)
+            gj = g[j]
+            g = g.at[j].set(c_new * gj)
+            g = g.at[j + 1].set(-s_new * gj)
+            H = H.at[:, j].set(h)
+            V = V.at[j + 1].set(w / jnp.maximum(hw, tiny))
+            return (j + 1, V, H, cs, sn, g, jnp.abs(g[j + 1]))
+
+        j, V, H, cs, sn, g, res = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), V, H, cs, sn, g, beta)
+        )
+
+        # masked back-substitution on the j-leading block of R = H[:m,:m]
+        def back(kk, y):
+            i = m - 1 - kk
+            active = i < j
+            num = g[i] - jnp.dot(H[i, :], y)
+            Rii = H[i, i]
+            safe = jnp.where(jnp.abs(Rii) > tiny, Rii, 1.0)
+            return y.at[i].set(jnp.where(active, num / safe, 0.0))
+
+        y = jax.lax.fori_loop(0, m, back, jnp.zeros(m, dtype))
+        dx = M(jnp.einsum("k,k...->...", y, V[:m]))
+        x_new = x + dx
+        r_new = b - A.mv(x_new)
+        rn_new = A.norm(r_new)
+        return x_new, rn_new, j
+
+    def solve_chunk(self, A, carry, target):
+        """Run up to ``max_iterations`` MORE GMRES iterations (whole
+        restart cycles) toward the ABSOLUTE residual ``target``.
+        Matrix-free operators only (no boundary condensation)."""
+        A = prepared(A)
+        M = _setup_precond(self.preconditioner, A)
+        maxit = self.nMaxIterations
+        atol = self.absoluteTolerance
+        (i0, x, b, rn, bx, brn, rnorm0) = carry
+        target = jnp.asarray(target, x.dtype)
+        diverged_at = 1e8
+
+        def cond(st):
+            i, x, rn, bx, brn = st
+            ok = jnp.isfinite(rn) & (rn < diverged_at * (rnorm0 + atol))
+            return (i < i0 + maxit) & (rn > target) & ok
+
+        def body(st):
+            i, x, rn, bx, brn = st
+            x, rn, used = self._one_cycle(A, M, x, b, rn, target)
+            better = jnp.isfinite(rn) & (rn < brn)
+            bx = jnp.where(better, x, bx)
+            brn = jnp.where(better, rn, brn)
+            return (i + used, x, rn, bx, brn)
+
+        i, x, rn, bx, brn = jax.lax.while_loop(
+            cond, body, (i0, x, rn, bx, brn)
+        )
+        ok_last = jnp.isfinite(rn) & (rn <= brn)
+        x_out = jnp.where(ok_last, x, bx)
+        rn_out = jnp.where(ok_last, rn, brn)
+        carry_out = (i, x, b, rn, bx, brn, rnorm0)
+        return x_out, SolveStats(
+            i, rnorm0, rn_out, rn_out <= target
+        ), carry_out
+
+    def solve_fn(self, A, b: jnp.ndarray, x0: jnp.ndarray, target=None):
+        A, b, recover = condensed(A, b)
+        carry = self.init_carry(A, b, x0)
+        rnorm0 = carry[3]
+        if target is None:
+            target = jnp.maximum(
+                self.relativeTolerance * rnorm0, self.absoluteTolerance
+            )
+        x, stats, _ = self.solve_chunk(A, carry, target)
+        return recover(x), stats
 
 
 class JacobiSolver(LinearSolver):

@@ -344,9 +344,118 @@ class Mesh:
             self._cell_nodes = cn
         return self._cell_nodes
 
+    def extract_boundary_mesh(self, groups=None) -> "BoundaryMesh":
+        """Standalone surface mesh of the boundary faces (reference:
+        Mesh::extractBoundaryMesh, Mesh.h:313 — used by the deformation /
+        FSI plumbing to hand the wetted surface to another solver).
+
+        ``groups``: optional iterable of group names to extract; default
+        = every boundary group.  Nodes are compacted; the returned
+        BoundaryMesh carries the mappings back to this mesh (parent face
+        ids, parent node ids) so surface fields round-trip exactly."""
+        names = None if groups is None else set(groups)
+        fids = []
+        gslices: list[tuple[str, int, int]] = []
+        for g in self.boundary_groups:
+            if names is not None and g.name not in names:
+                continue
+            start = len(fids)
+            fids.extend(range(g.offset, g.offset + g.count))
+            gslices.append((g.name, start, g.count))
+        if names is not None:
+            missing = names - {n for n, _, _ in gslices}
+            if missing:
+                raise MeshError(
+                    f"extract_boundary_mesh: unknown group(s) {sorted(missing)}"
+                )
+        fids = np.asarray(fids, dtype=np.int64)
+        if fids.size == 0:
+            raise MeshError("extract_boundary_mesh: no boundary faces")
+        fn = self.face_nodes.subset(fids)
+        used = np.unique(fn.col)
+        remap = np.full(self.n_nodes, -1, dtype=np.int64)
+        remap[used] = np.arange(used.size)
+        face_nodes = CRConnectivity(fn.row_ptr, remap[fn.col], used.size)
+        return BoundaryMesh(
+            dim=self.dim,
+            coords=self.coords[used].copy(),
+            face_nodes=face_nodes,
+            parent_faces=fids,
+            parent_nodes=used,
+            parent_cells=self.face_cells[fids, 0].copy(),
+            groups=gslices,
+            mesh_id=self.mesh_id,
+        )
+
     def __repr__(self) -> str:
         return (
             f"Mesh(dim={self.dim}, cells={self.n_interior_cells}, "
             f"faces={self.n_faces} ({self.n_interior_faces} interior), "
             f"nodes={self.n_nodes}, groups={[g.name for g in self.face_groups]})"
+        )
+
+
+class BoundaryMesh:
+    """Surface mesh extracted from a volume Mesh's boundary (reference:
+    the Mesh* returned by Mesh::extractBoundaryMesh, Mesh.h:313).
+
+    Faces here are the parent's boundary faces; ``parent_faces`` /
+    ``parent_nodes`` / ``parent_cells`` map back into the parent mesh
+    (face id, node id, owner interior-cell id), and ``groups`` is a list
+    of (name, offset, count) runs in extraction order."""
+
+    def __init__(self, dim, coords, face_nodes, parent_faces,
+                 parent_nodes, parent_cells, groups, mesh_id=0):
+        self.dim = int(dim)
+        self.coords = np.asarray(coords, dtype=np.float64)
+        self.face_nodes = face_nodes
+        self.parent_faces = np.asarray(parent_faces, dtype=np.int64)
+        self.parent_nodes = np.asarray(parent_nodes, dtype=np.int64)
+        self.parent_cells = np.asarray(parent_cells, dtype=np.int64)
+        self.groups = list(groups)
+        self.mesh_id = int(mesh_id)
+        self.n_faces = self.parent_faces.size
+        self.n_nodes = self.coords.shape[0]
+
+    def group_slice(self, name: str) -> slice:
+        for n, off, cnt in self.groups:
+            if n == name:
+                return slice(off, off + cnt)
+        raise MeshError(f"BoundaryMesh: unknown group {name!r}")
+
+    def face_geometry(self):
+        """(centroid (n_faces, dim), area-vector (n_faces, dim)) of the
+        surface faces, outward-oriented like the parent's boundary faces
+        (simple polygon fan; matches mesh.metrics on the parent)."""
+        xc = np.zeros((self.n_faces, self.dim))
+        an = np.zeros((self.n_faces, self.dim))
+        rp, col = self.face_nodes.row_ptr, self.face_nodes.col
+        for f in range(self.n_faces):
+            nodes = col[rp[f]:rp[f + 1]]
+            pts = self.coords[nodes]
+            if self.dim == 2:
+                a, b = pts[0], pts[1]
+                xc[f] = 0.5 * (a + b)
+                t = b - a
+                an[f] = (t[1], -t[0])
+            else:
+                c0 = pts.mean(axis=0)
+                area = np.zeros(3)
+                cent = np.zeros(3)
+                tot = 0.0
+                for i in range(len(pts)):
+                    p1, p2 = pts[i], pts[(i + 1) % len(pts)]
+                    tri_a = 0.5 * np.cross(p1 - c0, p2 - c0)
+                    w = np.linalg.norm(tri_a)
+                    area += tri_a
+                    cent += w * (c0 + p1 + p2) / 3.0
+                    tot += w
+                xc[f] = cent / max(tot, 1e-300)
+                an[f] = area
+        return xc, an
+
+    def __repr__(self) -> str:
+        return (
+            f"BoundaryMesh(dim={self.dim}, faces={self.n_faces}, "
+            f"nodes={self.n_nodes}, groups={[g[0] for g in self.groups]})"
         )

@@ -602,6 +602,148 @@ class Model:
         )
         return jax.jit(mapped)
 
+    # --- chunked outer loop ----------------------------------------------
+    #
+    # Runs up to ``chunk`` outer (linearize/solve/update) iterations per
+    # device dispatch inside a lax.while_loop, with the convergence check
+    # device-resident; the host reads back one residual-history block per
+    # chunk instead of one scalar per outer iteration.  On the axon TPU
+    # tunnel each dispatch + blocking readback costs ~1-3 ms, which
+    # dominates small problems (the reference's advance loops, e.g.
+    # ThermalModel_impl.h:424-454, pay no per-iteration host sync).
+
+    def _build_chunk_step(self, step, chunk: int):
+        def chunk_step(mesh, params, state, bcvals, scal):
+            nmax, atol, rtol = scal["nmax"], scal["atol"], scal["rtol"]
+            # peel iteration 0: establishes the residual dtype, the
+            # initial norm (when not yet set), and the carried aux pytree
+            st, aux0 = step(mesh, params, state, bcvals)
+            rn0 = aux0["rnorm"]
+            n0 = jnp.where(
+                scal["norm0"] > 0, scal["norm0"].astype(rn0.dtype), rn0
+            )
+            tiny = jnp.asarray(jnp.finfo(rn0.dtype).tiny, rn0.dtype)
+            hist = jnp.full((chunk,), jnp.nan, rn0.dtype).at[0].set(rn0)
+
+            def converged(rn):
+                return (rn < atol) | (rn / jnp.maximum(n0, tiny) < rtol)
+
+            def cond(c):
+                i, st, aux, hist, done = c
+                return (i < nmax) & jnp.logical_not(done)
+
+            def body(c):
+                i, st, aux, hist, done = c
+                st, aux = step(mesh, params, st, bcvals)
+                rn = aux["rnorm"]
+                hist = hist.at[i].set(rn)
+                return (i + 1, st, aux, hist, converged(rn))
+
+            i, st, aux, hist, done = jax.lax.while_loop(
+                cond,
+                body,
+                (jnp.int32(1), st, aux0, hist, converged(rn0)),
+            )
+            return st, {
+                "last_aux": aux,
+                "hist": hist,
+                "count": i,
+                "norm0": n0,
+                "done": done,
+            }
+
+        return chunk_step
+
+    def _wrap_chunk_step(self, cstep):
+        """jit (and shard_map when distributed) a chunked step — like
+        _wrap_step but with a fifth, replicated scalar-dict argument."""
+        if not self._dist:
+            return jax.jit(cstep)
+        from jax.sharding import PartitionSpec as P
+
+        try:
+            from jax import shard_map as _shard_map
+        except ImportError:
+            from jax.experimental.shard_map import shard_map as _shard_map
+
+        axis = self.mesh.axis_name
+        jmesh = self.partition.jax_mesh
+
+        def local(mesh, params, state, bcvals, scal):
+            sq = lambda t: jax.tree.map(lambda a: a[0], t)
+            new_state, aux = cstep(
+                sq(mesh), sq(params), sq(state), sq(bcvals), scal
+            )
+            return jax.tree.map(lambda a: a[None], new_state), aux
+
+        kw = {}
+        if len(jmesh.axis_names) > 1:
+            kw["axis_names"] = frozenset({axis})
+        mapped = _shard_map(
+            local,
+            mesh=jmesh,
+            in_specs=(P(axis), P(axis), P(axis), P(axis), P()),
+            out_specs=(P(axis), P()),
+            check_vma=False,
+            **kw,
+        )
+        return jax.jit(mapped)
+
+    def _advance_chunked(self, niter: int, chunk: int, bcvals,
+                         on_aux=None) -> "ResidualHistory":
+        """Chunked advance driver: dispatches ceil(niter/chunk) device
+        programs, reconstructing the SAME residual history / early-exit
+        semantics as the per-iteration python loop.  ``on_aux`` receives
+        the final iteration's full aux dict (e.g. electric's field E)."""
+        import numpy as np
+
+        opts = self.options
+        runners = getattr(self, "_chunk_runners", None)
+        if runners is None:
+            runners = {}
+            self._chunk_runners = runners
+        runner = runners.get(chunk)
+        if runner is None:
+            runner = self._wrap_chunk_step(
+                self._build_chunk_step(self._step_raw, chunk)
+            )
+            runners[chunk] = runner
+        hist = ResidualHistory()
+        it0 = 0
+        while it0 < niter:
+            scal = {
+                "nmax": np.int32(min(chunk, niter - it0)),
+                "atol": np.float64(opts["absoluteTolerance"]),
+                "rtol": np.float64(opts["relativeTolerance"]),
+                "norm0": np.float64(self._initial_norm or 0.0),
+            }
+            with self._phase("step"):
+                self.state, aux = runner(
+                    self.mesh, self.params, self.state, bcvals, scal
+                )
+            cnt = int(aux["count"])
+            rns = np.asarray(aux["hist"][:cnt])
+            if self._initial_norm is None or self._initial_norm == 0.0:
+                self._initial_norm = float(aux["norm0"])
+            if on_aux is not None:
+                on_aux(aux["last_aux"])
+            for j, rn in enumerate(rns):
+                self._guard_residual(float(rn), it0 + j)
+                hist.append((it0 + j, float(rn)))
+                self._log_iteration(f"{self.name}: {it0 + j}: {rn:.6e}")
+            it0 += cnt
+            if bool(aux["done"]):
+                break
+        return hist
+
+    def _chunk_size(self, niter: int) -> int:
+        """The active outer-chunk size for an advance(niter) call
+        (0 = use the classic per-iteration loop)."""
+        chunk = int(self.options.get("outerChunk") or 0)
+        if chunk > 1 and niter > 1 and getattr(self, "_step_raw", None):
+            return chunk  # fixed size: one compile per option value
+        return 0
+
     # --- subclass hooks ---------------------------------------------------
 
     def _make_options(self) -> ModelOptions:
@@ -648,6 +790,18 @@ class Model:
                 f"group {g[1]!r}: not all faces are periodic-paired"
             ) from e
         return jnp.asarray(src, dtype=jnp.int32)
+
+    def _guard_residual(self, rnorm, it) -> None:
+        """trapNonfinite option: raise SolverError when an outer residual
+        goes NaN/Inf (opt-in FPE trap; reference: the SWIG-layer SIGFPE
+        handler raising CException, baseExt.i:25-30)."""
+        if self.options.get("trapNonfinite") and not np.isfinite(rnorm):
+            from ..exceptions import SolverError
+
+            raise SolverError(
+                f"{self.name}: non-finite residual {rnorm!r} at outer "
+                f"iteration {it} (trapNonfinite)"
+            )
 
     def _log_iteration(self, msg: str) -> None:
         """Per-iteration residual line: printed when verbose, else routed

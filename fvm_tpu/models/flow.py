@@ -45,7 +45,7 @@ from ..ops.assembly import FaceFlux
 from ..ops.ell import ELLMatrix
 from ..ops.halo import maybe_sync, gsum
 from ..ops.gradients import ls_gradient_coefficients, gradient
-from ..linear import AMG, BiCGStab, JacobiSolver
+from ..linear import AMG, BiCGStab, GMRES, JacobiSolver
 from ..exceptions import ConfigError
 from .base import Model, ResidualHistory
 
@@ -155,6 +155,14 @@ class FlowModelOptions(ModelOptions):
         "andersonInterval": 1,
         # echo per-chunk inner-Krylov progress to stderr (bench harness)
         "newtonVerboseInner": False,
+        # inner Krylov method for the chunked Newton path: "bicgstab"
+        # (historical default) or "gmres" — restarted right-
+        # preconditioned GMRES(newtonGmresRestart), whose least-squares
+        # residual is monotone within a cycle and avoids BiCGStab's
+        # f32-noise transient (measured round 4: 800-1700 BiCGStab
+        # its/step at 1M before the plunge)
+        "newtonInnerSolver": "bicgstab",
+        "newtonGmresRestart": 32,
         # chunked-path inexact-Newton forcing: "ew" = Eisenstat-Walker
         # adaptive inner tolerance in [newtonKrylovTolerance,
         # newtonForcingMax]; "fixed" = newtonKrylovTolerance every step
@@ -296,7 +304,8 @@ class FlowModel(Model):
             self.state = self.partition.device_put(self.state)
             self.params = self.partition.device_put(self.params)
 
-        self._step = self._wrap_step(self._build_step())
+        self._step_raw = self._build_step()
+        self._step = self._wrap_step(self._step_raw)
         self._norm0 = None
         self._initialized = True
 
@@ -1350,19 +1359,25 @@ class FlowModel(Model):
                     r0_i = r0.astype(inner_dt)
                 else:
                     state_i, bcvals_i, r0_i = self.state, bcvals, r0
-                z = jnp.zeros((nc, B), inner_dt)
-                s0 = jnp.zeros((), inner_dt)
-                # (i, x, r, p, v, rho, alpha, omega, rn, bx, brn, rhat,
-                #  rnorm0) — overwritten in-graph on the fresh chunk
-                kcarry = (
-                    jnp.int32(0), z, z, z, z, s0, s0, s0, s0, z, s0, z, s0,
+                # zero placeholder with the inner solver's carry
+                # structure — overwritten in-graph on the fresh chunk
+                inner_name = str(
+                    self.options.get("newtonInnerSolver") or "bicgstab"
+                ).lower()
+                tmpl_solver = (
+                    GMRES(restart=int(
+                        self.options.get("newtonGmresRestart") or 32
+                    ))
+                    if inner_name == "gmres"
+                    else BiCGStab()
                 )
+                kcarry = tmpl_solver.carry_template((nc, B), inner_dt)
                 if kit <= 0:
                     raise ConfigError(
                         "advanceNewton: newtonKrylovIterations must be > 0"
                     )
                 fresh = True
-                dq = z
+                dq = jnp.zeros((nc, B), inner_dt)
                 tot = 0
                 rel = float("nan")
                 prev_rel = None
@@ -1713,12 +1728,30 @@ class FlowModel(Model):
             stall = self.options.get("newtonStallRestart")
             if stall is None:
                 stall = bool(self.options.get("newtonInnerPrecision"))
-            solver = BiCGStab(
-                preconditioner=_FixedM(M),
-                relative_tolerance=ktol,
-                max_iterations=kit,
-                stall_restart=bool(stall),
-            )
+            inner_name = str(
+                self.options.get("newtonInnerSolver") or "bicgstab"
+            ).lower()
+            if inner_name == "gmres":
+                solver = GMRES(
+                    preconditioner=_FixedM(M),
+                    relative_tolerance=ktol,
+                    max_iterations=kit,
+                    restart=int(
+                        self.options.get("newtonGmresRestart") or 32
+                    ),
+                )
+            elif inner_name == "bicgstab":
+                solver = BiCGStab(
+                    preconditioner=_FixedM(M),
+                    relative_tolerance=ktol,
+                    max_iterations=kit,
+                    stall_restart=bool(stall),
+                )
+            else:
+                raise ConfigError(
+                    f"newtonInnerSolver: unknown {inner_name!r} "
+                    "(bicgstab | gmres)"
+                )
             if mode == "chunk":
                 # continue the SAME BiCGStab iteration across device-
                 # program boundaries: the full Krylov state (shadow
@@ -1810,6 +1843,112 @@ class FlowModel(Model):
         dtype = self.state["pressure"].dtype
         return jax.jit(apply), aa.init_state(n, dtype)
 
+    def _build_chunk_step_flow(self, step, chunk: int):
+        """Flow variant of Model._build_chunk_step: carries the dual
+        (momentum, continuity) norms and their tolerance test inside the
+        device-resident outer while_loop (see base.py for the rationale;
+        the reference's SIMPLE loop, FlowModel_impl.h:1433, likewise
+        checks convergence without a per-iteration host sync)."""
+
+        def chunk_step(mesh, params, state, bcvals, scal):
+            nmax = scal["nmax"]
+            mtol, ctol, atol = scal["mtol"], scal["ctol"], scal["atol"]
+            st, aux0 = step(mesh, params, state, bcvals)
+            mn0, cn0 = aux0["mom_norm"], aux0["cont_norm"]
+            tiny = jnp.asarray(jnp.finfo(mn0.dtype).tiny, mn0.dtype)
+            m0 = jnp.where(
+                scal["mnorm0"] > 0,
+                scal["mnorm0"].astype(mn0.dtype),
+                jnp.maximum(mn0, tiny),
+            )
+            c0 = jnp.where(
+                scal["cnorm0"] > 0,
+                scal["cnorm0"].astype(cn0.dtype),
+                jnp.maximum(cn0, tiny),
+            )
+            hist = (
+                jnp.full((chunk, 2), jnp.nan, mn0.dtype)
+                .at[0]
+                .set(jnp.stack([mn0, cn0]))
+            )
+
+            def converged(mn, cn):
+                return ((mn / m0 < mtol) & (cn / c0 < ctol)) | (
+                    jnp.maximum(mn, cn) < atol
+                )
+
+            def cond(c):
+                i, st, aux, hist, done = c
+                return (i < nmax) & jnp.logical_not(done)
+
+            def body(c):
+                i, st, aux, hist, done = c
+                st, aux = step(mesh, params, st, bcvals)
+                mn, cn = aux["mom_norm"], aux["cont_norm"]
+                hist = hist.at[i].set(jnp.stack([mn, cn]))
+                return (i + 1, st, aux, hist, converged(mn, cn))
+
+            i, st, aux, hist, done = jax.lax.while_loop(
+                cond,
+                body,
+                (jnp.int32(1), st, aux0, hist, converged(mn0, cn0)),
+            )
+            return st, {
+                "last_aux": aux,
+                "hist": hist,
+                "count": i,
+                "m0": m0,
+                "c0": c0,
+                "done": done,
+            }
+
+        return chunk_step
+
+    def _advance_chunked_flow(self, niter: int, chunk: int, bcvals):
+        opts = self.options
+        runners = getattr(self, "_chunk_runners", None)
+        if runners is None:
+            runners = {}
+            self._chunk_runners = runners
+        runner = runners.get(chunk)
+        if runner is None:
+            runner = self._wrap_chunk_step(
+                self._build_chunk_step_flow(self._step_raw, chunk)
+            )
+            runners[chunk] = runner
+        hist = ResidualHistory()
+        it0 = 0
+        while it0 < niter:
+            m0, c0 = self._norm0 or (0.0, 0.0)
+            scal = {
+                "nmax": np.int32(min(chunk, niter - it0)),
+                "mtol": np.float64(opts["momentumTolerance"]),
+                "ctol": np.float64(opts["continuityTolerance"]),
+                "atol": np.float64(opts["absoluteTolerance"]),
+                "mnorm0": np.float64(m0),
+                "cnorm0": np.float64(c0),
+            }
+            with self._phase("step"):
+                self.state, aux = runner(
+                    self.mesh, self.params, self.state, bcvals, scal
+                )
+            cnt = int(aux["count"])
+            rns = np.asarray(aux["hist"][:cnt])
+            if self._norm0 is None:
+                self._norm0 = (float(aux["m0"]), float(aux["c0"]))
+            self._last_aux = aux["last_aux"]
+            for j in range(cnt):
+                self._guard_residual(float(rns[j, 0]), it0 + j)
+                hist.append((it0 + j, float(rns[j, 0]), float(rns[j, 1])))
+                self._log_iteration(
+                    f"{self.name}: {it0 + j}: mom {rns[j, 0]:.6e} "
+                    f"cont {rns[j, 1]:.6e}"
+                )
+            it0 += cnt
+            if bool(aux["done"]):
+                break
+        return hist
+
     def advance(self, niter: int = 1) -> ResidualHistory:
         if not self._initialized:
             raise ConfigError("call init() before advance()")
@@ -1828,6 +1967,15 @@ class FlowModel(Model):
         # round trip (~30 ms on the TPU tunnel), which would dominate a
         # ~100 ms step.  Callers own the final sync.
         sync = bool(opts.get("residualSync", True)) or bool(opts["verbose"])
+        chunk = int(opts.get("outerChunk") or 0)
+        if (
+            chunk > 1
+            and niter > 1
+            and not accel
+            and sync
+            and getattr(self, "_step_raw", None)
+        ):
+            return self._advance_chunked_flow(niter, chunk, bcvals)
         for it in range(niter):
             self.state, aux = self._step(self.mesh, self.params, self.state, bcvals)
             self._last_aux = aux
@@ -1851,6 +1999,7 @@ class FlowModel(Model):
                 continue
             mom_norm = float(aux["mom_norm"])
             cont_norm = float(aux["cont_norm"])
+            self._guard_residual(mom_norm, it)
             if self._norm0 is None:
                 self._norm0 = (max(mom_norm, 1e-300), max(cont_norm, 1e-300))
             hist.append((it, mom_norm, cont_norm))

@@ -124,7 +124,8 @@ class PlateModel(Model):
         if self._dist:
             self.state = self.partition.device_put(self.state)
             self.params = self.partition.device_put(self.params)
-        self._step = self._wrap_step(self._build_step())
+        self._step_raw = self._build_step()
+        self._step = self._wrap_step(self._step_raw)
         self._initial_norm = None
         self._initialized = True
 
@@ -403,9 +404,13 @@ class PlateModel(Model):
         opts = self.options
         hist = ResidualHistory()
         bcvals = self._resolve_bcvals()
+        chunk = self._chunk_size(niter)
+        if chunk:
+            return self._advance_chunked(niter, chunk, bcvals)
         for it in range(niter):
             self.state, aux = self._step(self.mesh, self.params, self.state, bcvals)
             rnorm = float(aux["rnorm"])
+            self._guard_residual(rnorm, it)
             if self._initial_norm is None or self._initial_norm == 0.0:
                 self._initial_norm = rnorm
             hist.append((it, rnorm))

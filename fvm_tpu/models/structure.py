@@ -134,6 +134,7 @@ class StructureModel(Model):
         self._E, self._nu = E, nu  # kept for solve_tangent chain rule
         mu = E / (2.0 * (1.0 + nu))
         lam = E * nu / ((1.0 + nu) * (1.0 - 2.0 * nu))
+        self._mu0, self._lam0 = mu, lam  # undegraded base (fracture coupling)
         body_keys = ("bodyForceX", "bodyForceY", "bodyForceZ")[:dim]
         self.params = {
             "mu": mu,
@@ -161,7 +162,8 @@ class StructureModel(Model):
         if self._dist:
             self.state = self.partition.device_put(self.state)
             self.params = self.partition.device_put(self.params)
-        self._step = self._wrap_step(self._build_step())
+        self._step_raw = self._build_step()
+        self._step = self._wrap_step(self._step_raw)
         self._initial_norm = None
         self._initialized = True
 
@@ -461,9 +463,13 @@ class StructureModel(Model):
         opts = self.options
         hist = ResidualHistory()
         bcvals = self._resolve_bcvals()
+        chunk = self._chunk_size(niter)
+        if chunk:
+            return self._advance_chunked(niter, chunk, bcvals)
         for it in range(niter):
             self.state, aux = self._step(self.mesh, self.params, self.state, bcvals)
             rnorm = float(aux["rnorm"])
+            self._guard_residual(rnorm, it)
             if self._initial_norm is None or self._initial_norm == 0.0:
                 self._initial_norm = rnorm
             hist.append((it, rnorm))
@@ -501,6 +507,52 @@ class StructureModel(Model):
         if ep is not None:
             sigma = sigma - 2.0 * mu[:, None, None] * ep
         return np.asarray(sigma[: mesh.n_interior_cells])
+
+    def getStrain(self) -> np.ndarray:
+        """Cell small-strain tensors eps = sym(grad w), (n_interior, dim,
+        dim) (reference: StructureModel::getStrain, used by the homoCase
+        fracture driver, demos/homoCase/homoCase.py:566)."""
+        mesh = self.mesh
+        w = self.state["deformation"]
+        G = gradient(mesh, self.params["grad_coeff"], w)
+        eps = 0.5 * (G + jnp.swapaxes(G, 1, 2))
+        return np.asarray(eps[: mesh.n_interior_cells])
+
+    def getElasticEnergyDensity(self) -> np.ndarray:
+        """UNDEGRADED elastic energy density psi0 = lam/2 tr(eps)^2 +
+        mu eps:eps per interior cell — the phase-field fracture driving
+        force (reference: the ElasticEnergyField assembled at
+        demos/homoCase/homoCase.py:688-707; degraded energy = g(d) *
+        psi0).  Uses the BASE moduli so the driving force does not
+        vanish as damage grows."""
+        mesh = self.mesh
+        w = self.state["deformation"]
+        G = gradient(mesh, self.params["grad_coeff"], w)
+        eps = 0.5 * (G + jnp.swapaxes(G, 1, 2))
+        tr = jnp.trace(eps, axis1=1, axis2=2)
+        ee = jnp.einsum("nij,nij->n", eps, eps)
+        psi0 = 0.5 * self._lam0 * tr * tr + self._mu0 * ee
+        return np.asarray(psi0[: mesh.n_interior_cells])
+
+    def set_stiffness_degradation(self, g) -> None:
+        """Scale the elastic moduli by a per-cell degradation factor g
+        (typically d^2 + eta from a phase-field fracture model;
+        reference: demos/homoCase/homoCase.py:906-911 sets
+        eta = G*(PF^2 + StiffnessResidual), eta1 = Lamda*(...)).
+
+        ``g`` covers the interior cells (ghosts take their owner's
+        value, like every VC field).  Resets from the UNDEGRADED base
+        each call (g=1 restores the virgin stiffness)."""
+        from ..core import bcs as bck
+
+        mesh = self.mesh
+        g = jnp.asarray(g, self.params["mu"].dtype)
+        full = jnp.ones(mesh.n_cells, g.dtype)
+        full = full.at[: g.shape[0]].set(g)
+        full = bck.extend_to_ghosts(mesh, full)
+        self.params = dict(
+            self.params, mu=self._mu0 * full, lam=self._lam0 * full
+        )
 
     # -------------------------------------------------- creep / plasticity
 

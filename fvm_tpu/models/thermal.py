@@ -185,7 +185,8 @@ class ThermalModel(TangentMixin, Model):
             self.state = self.partition.device_put(self.state)
             self.params = self.partition.device_put(self.params)
 
-        self._step = self._wrap_step(self._build_step())
+        self._step_raw = self._build_step()
+        self._step = self._wrap_step(self._step_raw)
         self._initial_norm = None
         self._initialized = True
 
@@ -319,6 +320,9 @@ class ThermalModel(TangentMixin, Model):
         # residualSync=False: residuals stay device scalars (no per-step
         # host round trip); convergence checks are skipped
         sync = bool(opts.get("residualSync", True)) or bool(opts["verbose"])
+        chunk = self._chunk_size(niter)
+        if chunk:
+            return self._advance_chunked(niter, chunk, bcvals)
         for it in range(niter):
             with self._phase("step"):
                 self.state, aux = self._step(
@@ -328,6 +332,7 @@ class ThermalModel(TangentMixin, Model):
                 hist.append((it, aux["rnorm"]))
                 continue
             rnorm = float(aux["rnorm"])
+            self._guard_residual(rnorm, it)
             if self._initial_norm is None or self._initial_norm == 0.0:
                 self._initial_norm = rnorm
             hist.append((it, rnorm))

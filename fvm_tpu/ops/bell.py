@@ -113,9 +113,17 @@ class BlockELLMatrix:
         return v
 
     def dot(self, a, b):
+        from . import compdot
+
+        if compdot.use_for(a):
+            return compdot.dot(a, b, psum=self.psum)
         return self.psum(jnp.sum(a * b))
 
     def norm(self, x):
+        from . import compdot
+
+        if compdot.use_for(x):
+            return compdot.norm(x, psum=self.psum)
         return jnp.sqrt(self.psum(jnp.sum(x * x)))
 
     def _mask_owned(self, y):

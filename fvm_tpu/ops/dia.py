@@ -395,9 +395,17 @@ class DIAMatrix:
         return v
 
     def dot(self, a, b):
+        from . import compdot
+
+        if compdot.use_for(a):
+            return compdot.dot(a, b)
         return jnp.sum(a * b)
 
     def norm(self, x):
+        from . import compdot
+
+        if compdot.use_for(x):
+            return compdot.norm(x)
         return jnp.sqrt(jnp.sum(x * x))
 
     def mv(self, x):

@@ -132,10 +132,21 @@ class ELLMatrix:
         return v
 
     def dot(self, a: jnp.ndarray, b: jnp.ndarray):
-        """Global inner product (psum across shards when distributed)."""
+        """Global inner product (psum across shards when distributed).
+        f64 on emulated-f64 backends uses the compensated double-word
+        path (ops/compdot.py) — plain emulated dots carry only ~f32
+        accuracy and stall Krylov recurrences below rel ~1e-7."""
+        from . import compdot
+
+        if compdot.use_for(a):
+            return compdot.dot(a, b, psum=self.psum)
         return self.psum(jnp.sum(a * b))
 
     def norm(self, x: jnp.ndarray):
+        from . import compdot
+
+        if compdot.use_for(x):
+            return compdot.norm(x, psum=self.psum)
         return jnp.sqrt(self.psum(jnp.sum(x * x)))
 
     def _mask_owned(self, y):

@@ -1,0 +1,88 @@
+"""Compensated double-word f32 reductions (ops/compdot.py).
+
+On CPU the f64 reference is exact, so these tests check the error-free
+transformation algebra itself: the compensated dot must (a) match the
+exact value far better than a pure-f32 reduction on ill-conditioned
+inputs, and (b) agree with the plain f64 dot to f64 round-off on
+ordinary inputs.  (The accuracy WIN only shows on emulated-f64
+backends; the round-4 gotcha this addresses is the TPU f64 Krylov floor
+at rel ~1e-7.)"""
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fvm_tpu.ops import compdot
+
+
+def _exact_dot(a, b):
+    return math.fsum([float(x) * float(y) for x, y in zip(a, b)])
+
+
+def test_comp_dot_matches_exact_on_cancelling_input():
+    rng = np.random.default_rng(7)
+    n = 4096
+    # ill-conditioned: large cancelling pairs + small signal
+    big = rng.standard_normal(n // 2) * 1e8
+    a = np.concatenate([big, -big]) + rng.standard_normal(n)
+    b = np.ones(n)
+    rng.shuffle(a)
+    exact = _exact_dot(a, b)
+    got = float(compdot.comp_dot_local(jnp.asarray(a), jnp.asarray(b)))
+    # the double-word split keeps ~48 of the 53 input mantissa bits, so
+    # the attainable absolute error scales with 2^-48 * sum|a_i b_i|
+    # (the f32 reduction loses the answer entirely under cancellation)
+    f32 = float(np.dot(a.astype(np.float32), b.astype(np.float32)))
+    S = float(np.sum(np.abs(a * b)))
+    assert abs(got - exact) <= 64.0 * 2.0**-48 * S
+    assert abs(got - exact) < 1e-4 * abs(f32 - exact)
+
+
+def test_comp_dot_matches_f64_on_ordinary_input():
+    rng = np.random.default_rng(3)
+    a = rng.standard_normal(1000)
+    b = rng.standard_normal(1000)
+    exact = _exact_dot(a, b)
+    got = float(compdot.comp_dot_local(jnp.asarray(a), jnp.asarray(b)))
+    assert abs(got - exact) <= 1e-12 * (abs(exact) + 1.0)
+
+
+def test_comp_norm_under_jit_and_odd_sizes():
+    for n in (1, 3, 7, 1000, 1024):
+        x = np.linspace(-1.0, 2.0, n)
+        f = jax.jit(lambda v: compdot.norm(v))
+        got = float(f(jnp.asarray(x)))
+        assert got == pytest.approx(float(np.linalg.norm(x)), rel=1e-13)
+
+
+def test_matrices_use_compdot_when_forced(monkeypatch):
+    """With FVM_TPU_COMPDOT=1 the ELL dot/norm run the compensated path
+    and still agree with the plain path to f64 round-off on CPU."""
+    monkeypatch.setenv("FVM_TPU_COMPDOT", "1")
+    compdot.enabled.cache_clear()
+    try:
+        assert compdot.enabled()
+        import fvm_tpu as fvm
+        from fvm_tpu.mesh.generate import quad_2d
+
+        m = quad_2d(12, 12)
+        dm = fvm.mesh.build_device_mesh(m)
+        t = fvm.models.ThermalModel(dm)
+        t.bc["left"].bc_type = "SpecifiedTemperature"
+        t.bc["left"]["specifiedTemperature"] = 400.0
+        t.bc["right"].bc_type = "SpecifiedTemperature"
+        t.bc["right"]["specifiedTemperature"] = 300.0
+        t.bc["bottom"].bc_type = "Symmetry"
+        t.bc["top"].bc_type = "Symmetry"
+        t.options["verbose"] = False
+        t.init()
+        h = t.advance(3)
+        T = np.asarray(t.getTemperature())
+        xc = np.asarray(dm.cell_centroid[: T.shape[0], 0])
+        exact = 400.0 + (300.0 - 400.0) * xc
+        assert np.abs(T - exact).max() < 1e-8
+    finally:
+        compdot.enabled.cache_clear()

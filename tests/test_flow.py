@@ -419,6 +419,30 @@ def test_advance_newton_quadratic_endgame():
     assert float(h2[0][1]) / n0 < 1e-9
 
 
+def test_advance_newton_gmres_inner():
+    """The chunked Newton path with the GMRES(m) inner solver
+    (newtonInnerSolver='gmres', round 5: replaces BiCGStab's f32-noise
+    transient) reaches the same SIMPLE fixed point."""
+    dm = fvm.mesh.build_device_mesh(quad_2d(32, 32))
+    f = FlowModel(dm)
+    f.options["verbose"] = False
+    f.vc["viscosity"] = 0.01
+    for side in ("left", "right", "bottom", "top"):
+        f.bc[side].bc_type = "NoSlipWall"
+    f.bc["top"]["specifiedXVelocity"] = 1.0
+    f.init()
+    h = f.advance(60)
+    n0 = float(h[0][1])
+    f.options["newtonChunkIterations"] = 150
+    f.options["newtonInnerSolver"] = "gmres"
+    f.options["newtonGmresRestart"] = 30
+    f.advanceNewton(4)
+    # every traced step must have run a bounded inner solve
+    assert all(tr["inner_its"] <= 600 for tr in f._newton_trace)
+    h2 = f.advance(1)
+    assert float(h2[0][1]) / n0 < 1e-9
+
+
 def test_advance_newton_tri_mesh():
     """Newton endgame on a tri mesh: the non-orthogonal correction and
     LS-gradient paths inside the residual stay exact under jax.jvp."""
