@@ -31,13 +31,22 @@ def two_way_load_loop(dm, top_group, bot_group, free_groups,
                       E=1e9, nu=0.3, G_c=1.0, l_c=None,
                       n_load_steps=6, dtraction=2e5, n_picard=8,
                       pf_floor=1e-3, eta=1e-6, picard_tol=1e-4,
-                      traction_axis="Y", verbose=True, notch=None):
+                      traction_axis="Y", verbose=True, notch=None,
+                      loading="displacement", ddisp=None):
     """The reference's structure<->fracture equilibrium loop.
 
-    Returns (curve, d_hist, diag): curve rows are (traction, mean top
-    displacement); d_hist the final (irreversible) phase field; diag
-    per-step dicts (picard iterations, converged flag, damaged count).
-    """
+    ``loading``: "displacement" (the reference's DispStep protocol —
+    stable through crack propagation, so the softening branch of the
+    load-displacement curve is resolved) prescribes top displacements in
+    increments of ``ddisp`` and records the top reaction force;
+    "traction" prescribes traction increments ``dtraction`` and records
+    the mean top displacement (no equilibrium exists past the peak
+    load — expect failure to run away there).
+
+    Returns (curve, d_hist, diag): curve rows are (displacement, load)
+    ((load, displacement) for traction control); d_hist the final
+    (irreversible) phase field; diag per-step dicts (picard iterations,
+    converged flag, damaged count)."""
     nc_i = dm.n_interior_cells
     if l_c is None:
         # a couple of cells wide, like the reference's cLoC
@@ -48,7 +57,10 @@ def two_way_load_loop(dm, top_group, bot_group, free_groups,
     s.vc["youngsModulus"] = E
     s.vc["poissonsRatio"] = nu
     s.bc[bot_group].bc_type = "SpecifiedDeformation"
-    s.bc[top_group].bc_type = "SpecifiedTraction"
+    if loading == "displacement":
+        s.bc[top_group].bc_type = "SpecifiedDeformation"
+    else:
+        s.bc[top_group].bc_type = "SpecifiedTraction"
     for g in free_groups:
         s.bc[g].bc_type = "ZeroTraction"
     s.init()
@@ -70,13 +82,24 @@ def two_way_load_loop(dm, top_group, bot_group, free_groups,
     H = np.zeros(nc_i)  # elastic-energy history (irreversibility)
     curve = [(0.0, 0.0)]
     diag = []
-    tr_key = f"specified{traction_axis.upper()}Traction"
     axis = {"X": 0, "Y": 1, "Z": 2}[traction_axis.upper()]
+    if loading == "displacement":
+        bc_key = f"specified{traction_axis.upper()}Deformation"
+        if ddisp is None:
+            # a small fraction of the homogeneous AT2 damage-onset
+            # displacement (measured: 0.5x fails the whole specimen in
+            # one step on a 24^2 notch case; 0.05x resolves progressive
+            # localized growth over ~8 steps)
+            ddisp = 0.05 * float(np.sqrt(G_c / (4.0 * l_c * E)))
+        dstep = ddisp
+    else:
+        bc_key = f"specified{traction_axis.upper()}Traction"
+        dstep = dtraction
     top_sl = dm.group_faces(dm.group_by_name(top_group))
 
     for step in range(1, n_load_steps + 1):
-        load = step * dtraction
-        s.bc[top_group][tr_key] = load
+        load = step * dstep
+        s.bc[top_group][bc_key] = load
         converged = False
         for pic in range(n_picard):
             s.advance(8)
@@ -100,20 +123,23 @@ def two_way_load_loop(dm, top_group, bot_group, free_groups,
                 converged = True
                 break
         s.advance(8)  # final equilibrium at the degraded stiffness
-        w = s.getDeformation()
-        # mean displacement of the cells that own the loaded faces
-        own = np.unique(np.asarray(dm.face_cell0[top_sl]))
-        own = own[own < nc_i]
-        disp = float(np.mean(w[own, axis]))
-        curve.append((load, disp))
+        if loading == "displacement":
+            F = s.getBoundaryForceIntegral(top_group)
+            curve.append((load, float(F[axis])))
+        else:
+            w = s.getDeformation()
+            # mean displacement of the cells that own the loaded faces
+            own = np.unique(np.asarray(dm.face_cell0[top_sl]))
+            own = own[own < nc_i]
+            curve.append((load, float(np.mean(w[own, axis]))))
         damaged = int((d_hist < 0.9).sum())
         diag.append({"step": step, "picard": pic + 1,
                      "converged": converged, "damaged_cells": damaged,
                      "min_d": float(d_hist.min())})
         if verbose:
-            print(f"load {load:.3e}: disp {disp:.4e}, damaged {damaged} "
-                  f"cells, min d {d_hist.min():.3f}, picard {pic+1} "
-                  f"({'ok' if converged else 'cap'})")
+            print(f"step {step}: ({curve[-1][0]:.3e}, {curve[-1][1]:.3e}),"
+                  f" damaged {damaged} cells, min d {d_hist.min():.3f}, "
+                  f"picard {pic+1} ({'ok' if converged else 'cap'})")
     return curve, d_hist, diag
 
 
@@ -124,11 +150,12 @@ def main():
         dm, top_group="assembly.top", bot_group="assembly.bot",
         free_groups=["assembly.left", "assembly.right",
                      "assembly.front", "assembly.back"],
-        E=1e9, nu=0.3, G_c=1.0, n_load_steps=6, dtraction=2e5,
+        E=1e9, nu=0.3, G_c=1.0, n_load_steps=8,
+        loading="displacement",
     )
-    print("\nload-displacement curve:")
-    for load, disp in curve:
-        print(f"  {load:12.4e}  {disp:12.5e}")
+    print("\ndisplacement-load curve:")
+    for u, F in curve:
+        print(f"  {u:12.4e}  {F:12.5e}")
     print(f"final damage: min {d.min():.4f}, "
           f"{(d < 0.9).sum()} cells below 0.9")
 

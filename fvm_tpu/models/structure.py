@@ -508,6 +508,33 @@ class StructureModel(Model):
             sigma = sigma - 2.0 * mu[:, None, None] * ep
         return np.asarray(sigma[: mesh.n_interior_cells])
 
+    def getBoundaryForceIntegral(self, group_name) -> np.ndarray:
+        """Reaction force vector on a boundary group: sum over its faces
+        of sigma_owner . A (reference role: the ComputeForce helper the
+        homoCase driver imports; single-device)."""
+        mesh = self.mesh
+        g = (
+            mesh.group_by_name(group_name)
+            if isinstance(group_name, str)
+            else group_name
+        )
+        sl = mesh.group_faces(g)
+        w = self.state["deformation"]
+        G = gradient(mesh, self.params["grad_coeff"], w)
+        mu, lam = self.params["mu"], self.params["lam"]
+        tr = jnp.trace(G, axis1=1, axis2=2)
+        eye = jnp.eye(mesh.dim, dtype=w.dtype)
+        sigma = (
+            mu[:, None, None] * (G + jnp.swapaxes(G, 1, 2))
+            + lam[:, None, None] * tr[:, None, None] * eye
+        )
+        ep = self.state.get("plastic_strain")
+        if ep is not None:
+            sigma = sigma - 2.0 * mu[:, None, None] * ep
+        own = mesh.face_cell0[sl]
+        F = jnp.einsum("fij,fj->fi", sigma[own], mesh.face_area[sl])
+        return np.asarray(jnp.sum(F, axis=0))
+
     def getStrain(self) -> np.ndarray:
         """Cell small-strain tensors eps = sym(grad w), (n_interior, dim,
         dim) (reference: StructureModel::getStrain, used by the homoCase

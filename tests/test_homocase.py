@@ -36,24 +36,26 @@ def test_two_way_homocase_notched_tension():
     curve, d, diag = two_way_load_loop(
         dm, top_group="top", bot_group="bottom",
         free_groups=["left", "right"],
-        E=1e3, nu=0.3, G_c=1.0, n_load_steps=4, dtraction=6.0,
-        n_picard=10, verbose=False, notch=notch,
+        E=1e3, nu=0.3, G_c=1.0, n_load_steps=7, ddisp=3e-3,
+        n_picard=25, verbose=False, notch=notch,
+        loading="displacement",
     )
     # every load step's picard (structure<->fracture) loop converged
     assert all(st["converged"] for st in diag), diag
     # damage grows beyond the initial notch and stays localized
-    assert diag[-1]["damaged_cells"] > notch.size
+    assert diag[-1]["damaged_cells"] > 2 * notch.size
     assert diag[-1]["damaged_cells"] < 0.5 * dm.n_interior_cells
     # damage is irreversible across steps
     counts = [st["damaged_cells"] for st in diag]
     assert counts == sorted(counts)
-    # load-displacement curve: monotone displacement, and SOFTENING —
-    # the secant compliance disp/load grows as damage spreads
-    loads = np.array([p[0] for p in curve[1:]])
-    disps = np.array([p[1] for p in curve[1:]])
-    assert (np.diff(disps) > 0).all()
-    compliance = disps / loads
-    assert compliance[-1] > compliance[0] * 1.01
+    # load-displacement curve (displacement control): reaction force
+    # rises monotonically here, but the secant compliance u/F grows as
+    # the crack spreads — SOFTENING
+    disps = np.array([p[0] for p in curve[1:]])
+    forces = np.array([p[1] for p in curve[1:]])
+    assert (forces > 0).all() and (np.diff(disps) > 0).all()
+    compliance = disps / forces
+    assert compliance[-1] > compliance[0] * 1.05
 
 
 def test_degradation_softens_structure():
