@@ -33,6 +33,10 @@ def main():
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_fvm")
     import jax
 
+    if os.environ.get("FVM_BENCH_CPU"):
+        # CPU smoke runs (the TPU plugin ignores JAX_PLATFORMS; this
+        # config update, before any jax array work, does not)
+        jax.config.update("jax_platforms", "cpu")
     try:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
@@ -358,12 +362,15 @@ def main():
                     )
                     if nprec:
                         flow64.options["newtonInnerPrecision"] = nprec
-                    # inner Krylov method (round 5): GMRES(m) avoids
-                    # BiCGStab's f32-noise transient (800-1700 its/step
-                    # measured round 4); FVM_BENCH_NEWTON_SOLVER=bicgstab
-                    # restores the old inner
+                    # inner Krylov method (round 5): GMRES(32) was tried
+                    # against BiCGStab's f32-noise transient and MEASURED
+                    # STAGNANT at 1M (rel 1.000 after 1792 its — the
+                    # restart discards the growing Krylov space the
+                    # coupled spectrum needs; BiCGStab's unrestarted
+                    # recurrence eventually plunges).  BiCGStab stays the
+                    # default; FVM_BENCH_NEWTON_SOLVER=gmres opts in.
                     flow64.options["newtonInnerSolver"] = os.environ.get(
-                        "FVM_BENCH_NEWTON_SOLVER", "gmres"
+                        "FVM_BENCH_NEWTON_SOLVER", "bicgstab"
                     )
                     flow64.options["newtonGmresRestart"] = int(
                         os.environ.get("FVM_BENCH_NEWTON_RESTART", "32")

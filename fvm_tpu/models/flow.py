@@ -156,11 +156,16 @@ class FlowModelOptions(ModelOptions):
         # echo per-chunk inner-Krylov progress to stderr (bench harness)
         "newtonVerboseInner": False,
         # inner Krylov method for the chunked Newton path: "bicgstab"
-        # (historical default) or "gmres" — restarted right-
-        # preconditioned GMRES(newtonGmresRestart), whose least-squares
-        # residual is monotone within a cycle and avoids BiCGStab's
-        # f32-noise transient (measured round 4: 800-1700 BiCGStab
-        # its/step at 1M before the plunge)
+        # (default) or "gmres" — restarted right-preconditioned
+        # GMRES(newtonGmresRestart).  GMRES's least-squares residual is
+        # monotone within a cycle, and it beats BiCGStab on SMALL
+        # problems (32^2: clean 22-119-it solves where BiCGStab hit its
+        # cap); at 1M it STAGNATES (measured round 5: rel 1.000 after
+        # 1792 its at restart 32 — the restart discards the growing
+        # Krylov space the coupled spectrum needs, while BiCGStab's
+        # unrestarted recurrence rides out its 800-1700-it f32-noise
+        # transient and then plunges).  Memory bounds the restart
+        # (~12 MB/basis vector f32 at 1M), so BiCGStab stays default.
         "newtonInnerSolver": "bicgstab",
         "newtonGmresRestart": 32,
         # chunked-path inexact-Newton forcing: "ew" = Eisenstat-Walker
