@@ -225,13 +225,61 @@ def main():
     print(f"# first step (compile): {time.time()-t0:.1f}s", file=sys.stderr)
     sync(outer_step())
 
-    t0 = time.time()
-    for _ in range(iters):
-        hists = outer_step()
-    resids = sync(hists)  # forces completion of the whole queue
-    dt = time.time() - t0
-    print(f"# final residuals: {resids}", file=sys.stderr)
-    cells_per_sec = n_cells * iters / dt
+    # fused timed loop (round 5, FVM_BENCH_FUSE=0 restores the
+    # per-step dispatch): all `iters` coupled outers run as ONE device
+    # program (lax.scan over flow step -> massFlux handoff -> thermal
+    # step), eliminating per-outer dispatch/queue overhead — the same
+    # device-resident outer-loop capability models expose via
+    # options["outerChunk"]
+    if os.environ.get("FVM_BENCH_FUSE", "1") != "0":
+        fstep, tstep = flow._step_raw, thermal._step_raw
+        fbc = flow._resolve_bcvals()
+        tbc = thermal._resolve_bcvals()
+
+        def one(carry, _):
+            fstate, tstate = carry
+            fstate, faux = fstep(flow.mesh, flow.params, fstate, fbc)
+            tstate = dict(tstate, massFlux=fstate["massFlux"])
+            tstate, taux = tstep(
+                thermal.mesh, thermal.params, tstate, tbc
+            )
+            return (fstate, tstate), (
+                faux["mom_norm"], faux["cont_norm"], taux["rnorm"]
+            )
+
+        import jax as _jax
+
+        @_jax.jit
+        def run_iters(fstate, tstate):
+            (fstate, tstate), res = _jax.lax.scan(
+                one, (fstate, tstate), None, length=iters
+            )
+            return fstate, tstate, res
+
+        t0 = time.time()
+        fs, ts, res = run_iters(flow.state, thermal.state)
+        _jax.block_until_ready(res)
+        print(
+            f"# fused-loop compile+run: {time.time()-t0:.1f}s",
+            file=sys.stderr,
+        )
+        t0 = time.time()
+        fs, ts, res = run_iters(fs, ts)
+        _jax.block_until_ready(res)
+        dt = time.time() - t0
+        flow.state, thermal.state = fs, ts
+        resids = [float(v[-1]) for v in res]
+        assert all(v == v for v in resids), "NaN residual"
+        print(f"# final residuals: {resids}", file=sys.stderr)
+        cells_per_sec = n_cells * iters / dt
+    else:
+        t0 = time.time()
+        for _ in range(iters):
+            hists = outer_step()
+        resids = sync(hists)  # forces completion of the whole queue
+        dt = time.time() - t0
+        print(f"# final residuals: {resids}", file=sys.stderr)
+        cells_per_sec = n_cells * iters / dt
     print(
         f"# {iters} coupled steps in {dt:.2f}s -> {cells_per_sec:.3e} cells/s",
         file=sys.stderr,
