@@ -272,7 +272,9 @@ def main():
         assert all(v == v for v in resids), "NaN residual"
         print(f"# final residuals: {resids}", file=sys.stderr)
         cells_per_sec = n_cells * iters / dt
+        fused_run = run_iters
     else:
+        fused_run = None
         t0 = time.time()
         for _ in range(iters):
             hists = outer_step()
@@ -322,10 +324,25 @@ def main():
             "polish_setup_s": 0.0, "newton": [],
         }
         while steps < max_steps:
-            for _ in range(check):
-                hists = outer_step()
-            steps += check
-            rel = sync(hists)[0] / norm0
+            if fused_run is not None and check % iters == 0:
+                # device-resident outer chunks (round 5): the f32 phase
+                # is dispatch-bound and its wall time varies 4.5x with
+                # tunnel/worker load (measured 59 s r4 vs 263 s r5 for
+                # the SAME 1300 steps while the device-bound Newton
+                # chunks ran at identical speed) — scanning `iters`
+                # coupled outers per dispatch makes it device-bound too
+                for _ in range(check // iters):
+                    fs_c, ts_c, res_c = fused_run(
+                        flow.state, thermal.state
+                    )
+                    flow.state, thermal.state = fs_c, ts_c
+                steps += check
+                rel = float(res_c[0][-1]) / norm0
+            else:
+                for _ in range(check):
+                    hists = outer_step()
+                steps += check
+                rel = sync(hists)[0] / norm0
             print(
                 f"# converge: step {steps} mom rel {rel:.3e}",
                 file=sys.stderr,
