@@ -129,11 +129,16 @@ def _dw_reduce(hi, lo):
 
 def comp_dot_local(a, b):
     """Shard-local compensated <a, b> as an f64 scalar."""
-    ah, al = _dw_from_f64(a)
-    bh, bl = _dw_from_f64(b)
-    p, e = _two_prod(ah, bh)
-    # cross terms are O(eps32) relative; their own rounding is O(eps32^2)
-    e = e + (ah * bl + al * bh)
+    if a.dtype == jnp.float32:
+        # native-f32 inputs: the TwoProd already captures the exact
+        # per-element product, no double-word input split needed
+        p, e = _two_prod(a, b)
+    else:
+        ah, al = _dw_from_f64(a)
+        bh, bl = _dw_from_f64(b)
+        p, e = _two_prod(ah, bh)
+        # cross terms are O(eps32) relative; their rounding is O(eps32^2)
+        e = e + (ah * bl + al * bh)
     # barrier between the product and reduction stages: fused end-to-end,
     # XLA's cross-stage rewrites reintroduce ~1e-6 absolute error
     # (measured n=1000 on CPU; each stage alone compiles exactly)
@@ -141,18 +146,38 @@ def comp_dot_local(a, b):
     return _dw_reduce(p, e)
 
 
+@lru_cache(maxsize=1)
+def f32_enabled() -> bool:
+    """FVM_TPU_COMPDOT_F32=1: also run FLOAT32 dot/norm through the
+    compensated path (result still f64-accurate).  Experimental lever
+    for the mixed-precision Newton inner, whose BiCGStab recurrence
+    loses shadow orthogonality to f32 dot round-off (the round-3/4
+    stall_restart rationale)."""
+    return os.environ.get("FVM_TPU_COMPDOT_F32", "0") in ("1", "on", "true")
+
+
 def use_for(x) -> bool:
-    """Compensated path applies to f64 data when enabled()."""
-    return enabled() and x.dtype == jnp.float64
+    """Compensated path applies to f64 data when enabled(), and to f32
+    data when additionally FVM_TPU_COMPDOT_F32 is set."""
+    if x.dtype == jnp.float64:
+        return enabled()
+    if x.dtype == jnp.float32:
+        return enabled() and f32_enabled()
+    return False
 
 
 def dot(a, b, psum=None):
     s = comp_dot_local(a, b)
-    return psum(s) if psum is not None else s
+    if psum is not None:
+        s = psum(s)
+    # keep the caller's dtype: an f64 scalar leaking into an f32 graph
+    # promotes every downstream vector op to (emulated) f64.  Rounding
+    # the CORRECT sum to f32 still beats a noisy f32 tree sum.
+    return s.astype(a.dtype)
 
 
 def norm(x, psum=None):
     s = comp_dot_local(x, x)
     if psum is not None:
         s = psum(s)
-    return jnp.sqrt(s)
+    return jnp.sqrt(s).astype(x.dtype)
