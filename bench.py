@@ -440,6 +440,13 @@ def main():
                     flow64.options["newtonGmresRestart"] = int(
                         os.environ.get("FVM_BENCH_NEWTON_RESTART", "32")
                     )
+                    # Eisenstat-Walker cap: the measured first-step
+                    # contraction at 1M is NONLINEARITY-limited (1.5x
+                    # even at inner rel 0.089), so a loose early eta is
+                    # nearly free — FVM_BENCH_NEWTON_FMAX tunes it
+                    fmax = os.environ.get("FVM_BENCH_NEWTON_FMAX")
+                    if fmax:
+                        flow64.options["newtonForcingMax"] = float(fmax)
                     # chunk size bounds each device program (the worker
                     # kills long programs): f64 inner iterations cost
                     # ~2.6 s each at 1M -> chunk 80; f32 ~0.15-0.3 s ->
