@@ -507,6 +507,18 @@ def main():
                     thermal64.options["residualSync"] = False
                     restore_state(flow64, snap_flow)
                     restore_state(thermal64, snap_thermal)
+                    # refreeze the Rhie-Chow momAp/massFlux at f64
+                    # fidelity before the first Newton step (the
+                    # restored aP is the f32-inherited one, and the
+                    # first frozen-aP Jacobian then mismatches the f64
+                    # rhs — measured: step 1 contracts only 1.5-2.3x
+                    # while step 2 gets ~11x at the same eta).  Uses the
+                    # already-compiled "finish" program with dq=0 — no
+                    # extra compile.  FVM_BENCH_NEWTON_REFREEZE=0 off.
+                    if os.environ.get(
+                        "FVM_BENCH_NEWTON_REFREEZE", "1"
+                    ) != "0":
+                        flow64.options["newtonRefreeze"] = True
                     # stop as soon as the post-update residual meets the
                     # target (the per-call loop used to overshoot by one
                     # full Newton step); ONE advanceNewton call keeps the

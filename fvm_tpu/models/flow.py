@@ -168,6 +168,10 @@ class FlowModelOptions(ModelOptions):
         # (~12 MB/basis vector f32 at 1M), so BiCGStab stays default.
         "newtonInnerSolver": "bicgstab",
         "newtonGmresRestart": 32,
+        # refreeze momAp/massFlux at the current state before the first
+        # Newton step (finish program with dq=0) — for entry states
+        # restored from a lower-precision phase whose frozen aP is stale
+        "newtonRefreeze": False,
         # chunked-path inexact-Newton forcing: "ew" = Eisenstat-Walker
         # adaptive inner tolerance in [newtonKrylovTolerance,
         # newtonForcingMax]; "fixed" = newtonKrylovTolerance every step
@@ -1315,6 +1319,19 @@ class FlowModel(Model):
             eta_prev = None
             self._newton_trace = []  # per-step diagnostics (bench)
             import time as _time
+
+            if self.options.get("newtonRefreeze"):
+                # refreeze the relaxed momAp (and the Rhie-Chow mass
+                # flux) at the CURRENT state before the first step: a
+                # state restored from a lower-precision phase carries a
+                # stale aP, and the first frozen-aP Jacobian then
+                # mismatches the rhs (measured at 1M: step 1 contracts
+                # 1.5-2.3x vs ~11x for step 2 at the same eta).  Reuses
+                # the "finish" program with dq = 0 — no extra compile.
+                self.state, _ = self._step_newton_finish(
+                    self.mesh, self.params, self.state, bcvals,
+                    jnp.zeros((nc, B), dtype),
+                )
 
             for it in range(niter):
                 t_step = _time.time()
