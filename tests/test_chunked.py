@@ -114,6 +114,83 @@ def test_flow_chunked_matches_classic():
     assert np.abs(v0 - v1).max() == 0.0
 
 
+def test_species_chunked_matches_classic():
+    from fvm_tpu.models import SpeciesModel
+
+    def drive(chunk):
+        dm = fvm.mesh.build_device_mesh(quad_2d(16, 4))
+        m = SpeciesModel(dm, n_species=2)
+        m.options["verbose"] = False
+        m.options["outerChunk"] = chunk
+        for i, (lo, hi) in enumerate(((1.0, 0.0), (0.2, 0.8))):
+            bcm = m.bc_for(i)
+            bcm["left"].bc_type = "SpecifiedMassFraction"
+            bcm["left"]["specifiedMassFraction"] = lo
+            bcm["right"].bc_type = "SpecifiedMassFraction"
+            bcm["right"]["specifiedMassFraction"] = hi
+            bcm["bottom"].bc_type = "Symmetry"
+            bcm["top"].bc_type = "Symmetry"
+        m.init()
+        h = m.advance(5)
+        return h, np.asarray(m.getMassFraction(0))
+
+    h0, c0 = drive(0)
+    h1, c1 = drive(3)
+    _assert_hist_equal(h0, h1)
+    assert np.abs(c0 - c1).max() == 0.0
+
+
+def test_phonon_chunked_matches_classic():
+    from fvm_tpu.kinetic import PhononModel
+
+    def drive(chunk):
+        dm = fvm.mesh.build_device_mesh(quad_2d(12, 3))
+        m = PhononModel(dm, n_polar=2, n_azimuthal=4)
+        m.options["verbose"] = False
+        m.options["outerChunk"] = chunk
+        m.vc["relaxationTime"] = 0.1
+        m.bc["left"].bc_type = "Isothermal"
+        m.bc["left"]["specifiedTemperature"] = 310.0
+        m.bc["right"].bc_type = "Isothermal"
+        m.bc["right"]["specifiedTemperature"] = 290.0
+        m.bc["bottom"].bc_type = "Symmetry"
+        m.bc["top"].bc_type = "Symmetry"
+        m.init()
+        h = m.advance(6)
+        return h, m.getTemperature()
+
+    h0, T0 = drive(0)
+    h1, T1 = drive(4)
+    _assert_hist_equal(h0, h1, rtol=1e-10)
+    assert np.abs(T0 - T1).max() == 0.0
+
+
+def test_plate_chunked_matches_classic():
+    from fvm_tpu.models import PlateModel
+
+    def drive(chunk):
+        dm = fvm.mesh.build_device_mesh(quad_2d(10, 4, lx=2.5, ly=1.0))
+        m = PlateModel(dm)
+        m.options["verbose"] = False
+        m.options["outerChunk"] = chunk
+        m.vc["ym"] = 1e6
+        m.vc["nu"] = 0.3
+        m.vc["thickness"] = 0.1
+        m.vc["pressure"] = -1.0
+        m.bc["left"].bc_type = "Clamped"
+        m.bc["right"].bc_type = "Clamped"
+        m.bc["bottom"].bc_type = "Symmetry"
+        m.bc["top"].bc_type = "Symmetry"
+        m.init()
+        h = m.advance(4)
+        return h, np.asarray(m.getDeflection())
+
+    h0, w0 = drive(0)
+    h1, w1 = drive(3)
+    _assert_hist_equal(h0, h1, rtol=1e-10)
+    assert np.abs(w0 - w1).max() == 0.0
+
+
 def test_structure_chunked_matches_classic():
     def drive(chunk):
         m = quad_2d(12, 12)
