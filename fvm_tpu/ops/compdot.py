@@ -166,6 +166,80 @@ def use_for(x) -> bool:
     return False
 
 
+def _dd_mul(ah, al, bh, bl):
+    """(ah+al)*(bh+bl) as a double-word value (cross terms first-order)."""
+    p, e = _two_prod(ah, bh)
+    e = e + (ah * bl + al * bh)
+    return p, e
+
+
+def _dd_add(ah, ae, bh, be):
+    s, e = _two_sum(ah, bh)
+    return s, e + (ae + be)
+
+
+@lru_cache(maxsize=1)
+def mv_enabled() -> bool:
+    """FVM_TPU_COMPMV: double-word f32 SpMV for f64 DIA applies.
+    "auto" (default) = on wherever f64 is emulated — the emulated-f64
+    matvec arithmetic floors Krylov residuals at ~5e-8 (measured round
+    5 on cav_tetra with trustworthy compdot norms); the double-word
+    path carries ~2^-48 per-element error instead."""
+    mode = os.environ.get("FVM_TPU_COMPMV", "auto").lower()
+    if mode in ("0", "off", "false"):
+        return False
+    if mode in ("1", "on", "true"):
+        return True
+    return enabled()
+
+
+def comp_dia_apply(offsets, diag, coef, x, b=None, mode="mv"):
+    """Double-word f32 DIA apply for f64 inputs: y = A x ("mv") or
+    b - A x ("residual"), accumulated in error-free f32 pairs.  Exact
+    rolls; per-slot barriers stop XLA from re-fusing the compensation
+    away (see _dw_reduce)."""
+    two_d = x.ndim == 2
+
+    def dw(v, bcast):
+        h, l = _dw_from_f64(v)
+        if two_d and bcast:
+            h, l = h[:, None], l[:, None]
+        return h, l
+
+    xh, xl = dw(x, False)
+    dh, dl = dw(diag, True)
+    acc_h, acc_e = _dd_mul(dh, dl, xh, xl)
+    for i, d in enumerate(offsets):
+        ch, cl = dw(coef[i], True)
+        rh = jnp.roll(xh, -d, axis=0)
+        rl = jnp.roll(xl, -d, axis=0)
+        ph, pe = _dd_mul(ch, cl, rh, rl)
+        acc_h, acc_e = _opaque(_dd_add(acc_h, acc_e, ph, pe))
+    if mode == "residual":
+        bh, bl = dw(b, False)
+        acc_h, acc_e = _opaque(_dd_add(bh, bl, -acc_h, -acc_e))
+    y = acc_h.astype(jnp.float64) + acc_e.astype(jnp.float64)
+    return y
+
+
+def comp_ell_rows(diag, off, cols, x):
+    """Double-word f32 ELL row sums for f64 inputs:
+    y[n, m] = diag[n] x[n, m] + sum_k off[k, n] x[cols[k, n], m],
+    accumulated in error-free f32 pairs (gathers are exact; per-slot
+    barriers stop XLA re-fusion — see _dw_reduce)."""
+    xh, xl = _dw_from_f64(x)
+    dh, dl = _dw_from_f64(diag)
+    acc_h, acc_e = _dd_mul(dh[:, None], dl[:, None], xh, xl)
+    K = off.shape[0]
+    for k in range(K):
+        oh, ol = _dw_from_f64(off[k])
+        gh = xh[cols[k]]
+        gl = xl[cols[k]]
+        ph, pe = _dd_mul(oh[:, None], ol[:, None], gh, gl)
+        acc_h, acc_e = _opaque(_dd_add(acc_h, acc_e, ph, pe))
+    return acc_h.astype(jnp.float64) + acc_e.astype(jnp.float64)
+
+
 def dot(a, b, psum=None):
     s = comp_dot_local(a, b)
     if psum is not None:

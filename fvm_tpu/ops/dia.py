@@ -279,6 +279,12 @@ def build_coef(dia: DIAInfo, off, mask):
     return coef, fb_vals
 
 
+def _compmv_active() -> bool:
+    from .compdot import mv_enabled
+
+    return mv_enabled()
+
+
 def fused_apply(offsets, diag, coef, x, b=None, omega=None, mode="mv",
                 fb_rows=None, fb_cols=None, fb_vals=None, pk=None):
     """Fused DIA op with precomputed per-offset coefficients.
@@ -298,6 +304,17 @@ def fused_apply(offsets, diag, coef, x, b=None, omega=None, mode="mv",
     if pkm.use_pallas(n) and diag.dtype == jnp.float32:
         y = pkm.dia_apply(offsets, mode, coef, diag, x, b=b, omega=omega,
                           pk=pk)
+    elif (
+        diag.dtype == jnp.float64
+        and mode in ("mv", "residual")
+        and _compmv_active()
+    ):
+        # double-word f32 accumulation for f64-on-emulated backends:
+        # the emulated-f64 roll-sum floors Krylov residuals at ~5e-8
+        # (ops/compdot.comp_dia_apply docstring)
+        from .compdot import comp_dia_apply
+
+        y = comp_dia_apply(offsets, diag, coef, x, b=b, mode=mode)
     else:
         ax = diag[:, None] * x if x.ndim == 2 else diag * x
         for i, d in enumerate(offsets):

@@ -174,9 +174,17 @@ class ELLMatrix:
         squeeze = x.ndim == 1
         if squeeze:
             x = x[:, None]
-        xn = x[self.cols]  # (K, n, m) gather
         off = jnp.where(self.mask, self.off, 0.0)
-        y = self.diag[:, None] * x + jnp.einsum("kn,knm->nm", off, xn)
+        from . import compdot
+
+        if x.dtype == jnp.float64 and compdot.mv_enabled():
+            # double-word f32 row accumulation: the emulated-f64
+            # gather-sum floors Krylov residuals at ~5e-8 on chip
+            # (ops/compdot.comp_ell_rows docstring)
+            y = compdot.comp_ell_rows(self.diag, off, self.cols, x)
+        else:
+            xn = x[self.cols]  # (K, n, m) gather
+            y = self.diag[:, None] * x + jnp.einsum("kn,knm->nm", off, xn)
         if self.n_owned is not None and self.n_owned < self.n:
             owned = (jnp.arange(self.n) < self.n_owned)[:, None]
             y = jnp.where(owned, y, 0.0)

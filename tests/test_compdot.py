@@ -58,6 +58,43 @@ def test_comp_norm_under_jit_and_odd_sizes():
         assert got == pytest.approx(float(np.linalg.norm(x)), rel=1e-13)
 
 
+def test_comp_mv_matches_plain_f64(monkeypatch):
+    """Double-word SpMV (FVM_TPU_COMPMV=1): DIA and gather-ELL applies
+    match the plain f64 path to f64 round-off on CPU."""
+    import fvm_tpu as fvm
+    from fvm_tpu.mesh.generate import quad_2d, tri_2d
+    from fvm_tpu.linear.base import prepared, condensed
+
+    rng = np.random.default_rng(0)
+
+    def system(gen):
+        dm = fvm.mesh.build_device_mesh(gen(12, 12))
+        t = fvm.models.ThermalModel(dm)
+        for g in ("left", "right"):
+            t.bc[g].bc_type = "SpecifiedTemperature"
+        t.bc["bottom"].bc_type = "Symmetry"
+        t.bc["top"].bc_type = "Symmetry"
+        t.options["verbose"] = False
+        t.init()
+        bcv = t._resolve_bcvals()
+        A, r = t._linearize(t.mesh, t.params, t.state, bcv)
+        return condensed(A, r)[:2]
+
+    for gen in (quad_2d, tri_2d):  # DIA path and gather path
+        A, b = system(gen)
+        x = jnp.asarray(rng.standard_normal(b.shape[0]))
+        monkeypatch.setenv("FVM_TPU_COMPMV", "1")
+        compdot.mv_enabled.cache_clear()
+        try:
+            yc = np.asarray(prepared(A).mv(x))
+        finally:
+            monkeypatch.setenv("FVM_TPU_COMPMV", "0")
+            compdot.mv_enabled.cache_clear()
+        yp = np.asarray(prepared(A).mv(x))
+        compdot.mv_enabled.cache_clear()
+        assert np.abs(yc - yp).max() <= 1e-13 * np.abs(yp).max()
+
+
 def test_matrices_use_compdot_when_forced(monkeypatch):
     """With FVM_TPU_COMPDOT=1 the ELL dot/norm run the compensated path
     and still agree with the plain path to f64 round-off on CPU."""
