@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.ell import ELLMatrix
+from ..ops import compdot
 from .base import LinearSolver, SolveStats, norm, prepared, condensed
 
 
@@ -138,6 +139,7 @@ class BiCGStab(LinearSolver):
         atol = self.absoluteTolerance
         (i0, x, r, p, v, rho, alpha, omega, rn, bx, brn, rhat, rnorm0) = carry
         dtype = x.dtype
+        _compvec = compdot.use_vec(x)
         tiny = jnp.asarray(
             1e-300 if dtype == jnp.float64 else 1e-30, dtype
         )
@@ -161,18 +163,34 @@ class BiCGStab(LinearSolver):
             beta = (rho_new / jnp.where(jnp.abs(rho) > tiny, rho, tiny)) * (
                 alpha / jnp.where(jnp.abs(omega) > tiny, omega, tiny)
             )
-            p = jnp.where(stall, r, r + beta * (p - omega * v))
+            if _compvec:
+                p_upd = compdot.lincomb(
+                    (1.0, r), (beta, p), (-beta * omega, v)
+                )
+            else:
+                p_upd = r + beta * (p - omega * v)
+            p = jnp.where(stall, r, p_upd)
             phat = M(p)
             v = A.mv(phat)
             denom = A.dot(rhat, v)
             alpha = rho_new / jnp.where(jnp.abs(denom) > tiny, denom, tiny)
-            s = r - alpha * v
+            s = (
+                compdot.lincomb((1.0, r), (-alpha, v))
+                if _compvec
+                else r - alpha * v
+            )
             shat = M(s)
             t = A.mv(shat)
             tt = A.dot(t, t)
             omega = A.dot(t, s) / jnp.where(tt > tiny, tt, tiny)
-            x = x + alpha * phat + omega * shat
-            r = s - omega * t
+            if _compvec:
+                x = compdot.lincomb(
+                    (1.0, x), (alpha, phat), (omega, shat)
+                )
+                r = compdot.lincomb((1.0, s), (-omega, t))
+            else:
+                x = x + alpha * phat + omega * shat
+                r = s - omega * t
             rn = A.norm(r)
             better = jnp.isfinite(rn) & (rn < brn)
             bx = jnp.where(better, x, bx)
@@ -208,6 +226,7 @@ class BiCGStab(LinearSolver):
             self.nMaxIterations,
         )
         tiny = jnp.asarray(1e-300, b.dtype) if b.dtype == jnp.float64 else jnp.asarray(1e-30, b.dtype)
+        _compvec = compdot.use_vec(b)
 
         r0 = b - A.mv(x0)
         rnorm0 = A.norm(r0)
@@ -241,18 +260,34 @@ class BiCGStab(LinearSolver):
             beta = (rho_new / jnp.where(jnp.abs(rho) > tiny, rho, tiny)) * (
                 alpha / jnp.where(jnp.abs(omega) > tiny, omega, tiny)
             )
-            p = jnp.where(stall, r, r + beta * (p - omega * v))
+            if _compvec:
+                p_upd = compdot.lincomb(
+                    (1.0, r), (beta, p), (-beta * omega, v)
+                )
+            else:
+                p_upd = r + beta * (p - omega * v)
+            p = jnp.where(stall, r, p_upd)
             phat = M(p)
             v = A.mv(phat)
             denom = A.dot(rhat, v)
             alpha = rho_new / jnp.where(jnp.abs(denom) > tiny, denom, tiny)
-            s = r - alpha * v
+            s = (
+                compdot.lincomb((1.0, r), (-alpha, v))
+                if _compvec
+                else r - alpha * v
+            )
             shat = M(s)
             t = A.mv(shat)
             tt = A.dot(t, t)
             omega = A.dot(t, s) / jnp.where(tt > tiny, tt, tiny)
-            x = x + alpha * phat + omega * shat
-            r = s - omega * t
+            if _compvec:
+                x = compdot.lincomb(
+                    (1.0, x), (alpha, phat), (omega, shat)
+                )
+                r = compdot.lincomb((1.0, s), (-omega, t))
+            else:
+                x = x + alpha * phat + omega * shat
+                r = s - omega * t
             rn = A.norm(r)
             better = jnp.isfinite(rn) & (rn < brn)
             bx = jnp.where(better, x, bx)

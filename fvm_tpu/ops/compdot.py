@@ -240,6 +240,48 @@ def comp_ell_rows(diag, off, cols, x):
     return acc_h.astype(jnp.float64) + acc_e.astype(jnp.float64)
 
 
+@lru_cache(maxsize=1)
+def vec_enabled() -> bool:
+    """FVM_TPU_COMPVEC: double-word evaluation of the f64 Krylov
+    recurrence's vector updates (x/r/p/s linear combinations).  "auto"
+    (default) = on wherever f64 is emulated: with compensated dots AND
+    matvecs the on-chip floor only moved 5.3e-8 -> 4.2e-8, implicating
+    the emulated-f64 elementwise updates."""
+    mode = os.environ.get("FVM_TPU_COMPVEC", "auto").lower()
+    if mode in ("0", "off", "false"):
+        return False
+    if mode in ("1", "on", "true"):
+        return True
+    return enabled()
+
+
+def lincomb(*terms):
+    """sum_i c_i * v_i over (scalar, vector) pairs, evaluated in
+    double-word f32 and rounded once to f64.  Scalars may be traced f64
+    scalars; pass c_i = 1.0 for plain adds."""
+    acc_h = acc_e = None
+    for c, v in terms:
+        vh, vl = _dw_from_f64(v)
+        if isinstance(c, (int, float)) and c == 1.0:
+            ph, pe = vh, vl
+        else:
+            c = jnp.asarray(c, jnp.float64)
+            ch, cl = _dw_from_f64(c)
+            ph, pe = _dd_mul(
+                jnp.broadcast_to(ch, vh.shape), jnp.broadcast_to(cl, vh.shape),
+                vh, vl,
+            )
+        if acc_h is None:
+            acc_h, acc_e = ph, pe
+        else:
+            acc_h, acc_e = _opaque(_dd_add(acc_h, acc_e, ph, pe))
+    return acc_h.astype(jnp.float64) + acc_e.astype(jnp.float64)
+
+
+def use_vec(x) -> bool:
+    return x.dtype == jnp.float64 and vec_enabled()
+
+
 def dot(a, b, psum=None):
     s = comp_dot_local(a, b)
     if psum is not None:
