@@ -127,21 +127,122 @@ def _dw_reduce(hi, lo):
     return hi[0].astype(jnp.float64) + lo[0].astype(jnp.float64)
 
 
+@lru_cache(maxsize=1)
+def dot_width() -> int:
+    """FVM_TPU_COMPDOT_WIDTH: limbs in the compensated dot.  3 (default)
+    = triple-word: inputs split EXACTLY (3x24 > 53 bits) and the
+    pairwise tree accumulates in three f32 limbs (~2^-72-grade), which
+    BEATS native f64 under Krylov-grade cancellation; 2 = the round-5
+    double-word path (~2^-48 * kappa — measured to floor BiCGStab at
+    1.5e-8 on the cav_tetra solve, worse than CPU-native f64)."""
+    return int(os.environ.get("FVM_TPU_COMPDOT_WIDTH", "3"))
+
+
+def _tw_from_f64(x):
+    """EXACT 3-limb f32 split of an f64 array (24*3 = 72 > 53 bits)."""
+    h1 = x.astype(jnp.float32)
+    r1 = x - h1.astype(x.dtype)
+    h2 = r1.astype(jnp.float32)
+    r2 = r1 - h2.astype(x.dtype)
+    return h1, h2, r2.astype(jnp.float32)
+
+
+def _tw_fold(a1, a2, a3, b1, b2, b3):
+    """Add two 3-limb values; rounding confined to the third limb."""
+    s1, e1 = _two_sum(a1, b1)
+    s2, e2 = _two_sum(a2, b2)
+    t2, e3 = _two_sum(s2, e1)
+    return s1, t2, a3 + b3 + (e2 + e3)
+
+
+def _tw_reduce(l1, l2, l3):
+    """Pairwise 3-limb tree sum -> f64 scalar (same barrier/padding
+    rationale as _dw_reduce)."""
+    l1, l2, l3 = l1.ravel(), l2.ravel(), l3.ravel()
+    n = l1.shape[0]
+    m = 1 << n.bit_length()
+    z = jnp.zeros(m - n, l1.dtype)
+    l1 = jnp.concatenate([l1, z])
+    l2 = jnp.concatenate([l2, z])
+    l3 = jnp.concatenate([l3, z])
+    while m > 1:
+        m //= 2
+        l1, l2, l3 = _opaque((l1, l2, l3))
+        l1, l2, l3 = _tw_fold(
+            l1[:m], l2[:m], l3[:m], l1[m:2 * m], l2[m:2 * m], l3[m:2 * m]
+        )
+    return (
+        l1[0].astype(jnp.float64)
+        + l2[0].astype(jnp.float64)
+        + l3[0].astype(jnp.float64)
+    )
+
+
+def _tw_dot_local(a, b):
+    """<a, b> via exact 3-limb splits and 3-limb accumulation."""
+    a1, a2, a3 = _tw_from_f64(a)
+    b1, b2, b3 = _tw_from_f64(b)
+    # leading product, exact
+    p, e = _two_prod(a1, b1)
+    # second-order cross products, errors tracked into limb 3
+    c2a, f2a = _two_prod(a1, b2)
+    c2b, f2b = _two_prod(a2, b1)
+    l2, g1 = _two_sum(e, c2a)
+    l2, g2 = _two_sum(l2, c2b)
+    # third-order terms: plain f32 products/adds round at ~2^-72 of a*b
+    l3 = (f2a + f2b) + (g1 + g2) + (a1 * b3 + a2 * b2 + a3 * b1)
+    p, l2, l3 = _opaque((p, l2, l3))
+    return _tw_reduce(p, l2, l3)
+
+
+def _pow2_scale(v):
+    """Exact power-of-two scale bringing max|v| into [1, 2): returns
+    (v * 2^k, -k).  Multiplying an f64 by a power of two is EXACT, so
+    this changes no information — it protects the f32 limbs from
+    exponent-range underflow (measured: electrostatics residuals at
+    rel 1e-8 have |r| ~ 1e-22; their squared products sit at 1e-44,
+    BELOW the f32 subnormal floor, and the unscaled compensated dot
+    returns 0 — the actual mechanism behind the 'compensated dots
+    floor at 1e-8' finding, not accumulator width)."""
+    m = jnp.max(jnp.abs(v))
+    k = jnp.where(
+        m > 0, jnp.floor(jnp.log2(m)), 0.0
+    ).astype(jnp.int32)
+    scale = jnp.exp2((-k).astype(v.dtype))
+    return v * scale, k
+
+
 def comp_dot_local(a, b):
     """Shard-local compensated <a, b> as an f64 scalar."""
-    if a.dtype == jnp.float32:
-        # native-f32 inputs: the TwoProd already captures the exact
-        # per-element product, no double-word input split needed
-        p, e = _two_prod(a, b)
-    else:
-        ah, al = _dw_from_f64(a)
-        bh, bl = _dw_from_f64(b)
-        p, e = _two_prod(ah, bh)
-        # cross terms are O(eps32) relative; their rounding is O(eps32^2)
-        e = e + (ah * bl + al * bh)
+    if a.dtype == jnp.float64:
+        a, ka = _pow2_scale(a)
+        b, kb = _pow2_scale(b)
+        if dot_width() >= 3:
+            s = _tw_dot_local(a, b)
+        else:
+            s = _dw_dot_local(a, b)
+        return s * jnp.exp2((ka + kb).astype(s.dtype))
+    # native-f32 inputs: the TwoProd already captures the exact
+    # per-element product, no double-word input split needed; the same
+    # exponent-range scaling guards deep-residual underflow
+    a, ka = _pow2_scale(a)
+    b, kb = _pow2_scale(b)
+    p, e = _two_prod(a, b)
     # barrier between the product and reduction stages: fused end-to-end,
     # XLA's cross-stage rewrites reintroduce ~1e-6 absolute error
     # (measured n=1000 on CPU; each stage alone compiles exactly)
+    p, e = _opaque((p, e))
+    s = _dw_reduce(p, e)
+    return s * jnp.exp2((ka + kb).astype(s.dtype))
+
+
+def _dw_dot_local(a, b):
+    """Double-word (48-bit) variant, pre-scaled f64 inputs."""
+    ah, al = _dw_from_f64(a)
+    bh, bl = _dw_from_f64(b)
+    p, e = _two_prod(ah, bh)
+    # cross terms are O(eps32) relative; their rounding is O(eps32^2)
+    e = e + (ah * bl + al * bh)
     p, e = _opaque((p, e))
     return _dw_reduce(p, e)
 
@@ -199,6 +300,16 @@ def comp_dia_apply(offsets, diag, coef, x, b=None, mode="mv"):
     rolls; per-slot barriers stop XLA from re-fusing the compensation
     away (see _dw_reduce)."""
     two_d = x.ndim == 2
+    x, kx = _pow2_scale(x)
+    mA = jnp.max(jnp.abs(diag))
+    for i in range(len(offsets)):
+        mA = jnp.maximum(mA, jnp.max(jnp.abs(coef[i])))
+    kA = jnp.where(
+        mA > 0, jnp.floor(jnp.log2(mA)), 0.0
+    ).astype(jnp.int32)
+    sA = jnp.exp2((-kA).astype(diag.dtype))
+    diag = diag * sA
+    ktot = kA + kx
 
     def dw(v, bcast):
         h, l = _dw_from_f64(v)
@@ -210,23 +321,36 @@ def comp_dia_apply(offsets, diag, coef, x, b=None, mode="mv"):
     dh, dl = dw(diag, True)
     acc_h, acc_e = _dd_mul(dh, dl, xh, xl)
     for i, d in enumerate(offsets):
-        ch, cl = dw(coef[i], True)
+        ch, cl = dw(coef[i] * sA, True)
         rh = jnp.roll(xh, -d, axis=0)
         rl = jnp.roll(xl, -d, axis=0)
         ph, pe = _dd_mul(ch, cl, rh, rl)
         acc_h, acc_e = _opaque(_dd_add(acc_h, acc_e, ph, pe))
     if mode == "residual":
-        bh, bl = dw(b, False)
+        # bring b onto the scaled axis (exact power-of-two multiply)
+        bs = b * jnp.exp2((-ktot).astype(b.dtype))
+        bh, bl = dw(bs, False)
         acc_h, acc_e = _opaque(_dd_add(bh, bl, -acc_h, -acc_e))
     y = acc_h.astype(jnp.float64) + acc_e.astype(jnp.float64)
-    return y
+    return y * jnp.exp2(ktot.astype(y.dtype))
 
 
 def comp_ell_rows(diag, off, cols, x):
     """Double-word f32 ELL row sums for f64 inputs:
     y[n, m] = diag[n] x[n, m] + sum_k off[k, n] x[cols[k, n], m],
     accumulated in error-free f32 pairs (gathers are exact; per-slot
-    barriers stop XLA re-fusion — see _dw_reduce)."""
+    barriers stop XLA re-fusion — see _dw_reduce).  Inputs are
+    power-of-two pre-scaled so the f32 limbs stay in exponent range
+    (see _pow2_scale — physical units like eps0-scaled matrices put
+    raw products far below the f32 subnormal floor)."""
+    x, kx = _pow2_scale(x)
+    mA = jnp.maximum(jnp.max(jnp.abs(diag)), jnp.max(jnp.abs(off)))
+    kA = jnp.where(
+        mA > 0, jnp.floor(jnp.log2(mA)), 0.0
+    ).astype(jnp.int32)
+    sA = jnp.exp2((-kA).astype(diag.dtype))
+    diag = diag * sA
+    off = off * sA
     xh, xl = _dw_from_f64(x)
     dh, dl = _dw_from_f64(diag)
     acc_h, acc_e = _dd_mul(dh[:, None], dl[:, None], xh, xl)
@@ -237,7 +361,8 @@ def comp_ell_rows(diag, off, cols, x):
         gl = xl[cols[k]]
         ph, pe = _dd_mul(oh[:, None], ol[:, None], gh, gl)
         acc_h, acc_e = _opaque(_dd_add(acc_h, acc_e, ph, pe))
-    return acc_h.astype(jnp.float64) + acc_e.astype(jnp.float64)
+    y = acc_h.astype(jnp.float64) + acc_e.astype(jnp.float64)
+    return y * jnp.exp2((kA + kx).astype(y.dtype))
 
 
 @lru_cache(maxsize=1)
@@ -258,24 +383,31 @@ def vec_enabled() -> bool:
 def lincomb(*terms):
     """sum_i c_i * v_i over (scalar, vector) pairs, evaluated in
     double-word f32 and rounded once to f64.  Scalars may be traced f64
-    scalars; pass c_i = 1.0 for plain adds."""
+    scalars.  The coefficients are jointly power-of-two scaled so the
+    f32 limb products stay in exponent range for deep-residual-scale
+    vectors (see _pow2_scale)."""
+    cs = [jnp.asarray(c, jnp.float64) for c, _ in terms]
+    vs = [v for _, v in terms]
+    m = None
+    for c, v in zip(cs, vs):
+        t = jnp.abs(c) * jnp.max(jnp.abs(v))
+        m = t if m is None else jnp.maximum(m, t)
+    K = jnp.where(m > 0, jnp.floor(jnp.log2(m)), 0.0).astype(jnp.int32)
+    sK = jnp.exp2((-K).astype(jnp.float64))
     acc_h = acc_e = None
-    for c, v in terms:
+    for c, v in zip(cs, vs):
         vh, vl = _dw_from_f64(v)
-        if isinstance(c, (int, float)) and c == 1.0:
-            ph, pe = vh, vl
-        else:
-            c = jnp.asarray(c, jnp.float64)
-            ch, cl = _dw_from_f64(c)
-            ph, pe = _dd_mul(
-                jnp.broadcast_to(ch, vh.shape), jnp.broadcast_to(cl, vh.shape),
-                vh, vl,
-            )
+        ch, cl = _dw_from_f64(c * sK)
+        ph, pe = _dd_mul(
+            jnp.broadcast_to(ch, vh.shape), jnp.broadcast_to(cl, vh.shape),
+            vh, vl,
+        )
         if acc_h is None:
             acc_h, acc_e = ph, pe
         else:
             acc_h, acc_e = _opaque(_dd_add(acc_h, acc_e, ph, pe))
-    return acc_h.astype(jnp.float64) + acc_e.astype(jnp.float64)
+    y = acc_h.astype(jnp.float64) + acc_e.astype(jnp.float64)
+    return y * jnp.exp2(K.astype(y.dtype))
 
 
 def use_vec(x) -> bool:
