@@ -279,6 +279,32 @@ def _dd_add(ah, ae, bh, be):
     return s, e + (ae + be)
 
 
+def _tw_mul(a1, a2, a3, b1, b2, b3):
+    """Elementwise product of two 3-limb values -> 3-limb (rounding
+    confined to the third limb, ~2^-72 of the leading product).  Same
+    algebra as _tw_dot_local's per-element stage."""
+    p, e = _two_prod(a1, b1)
+    c2a, f2a = _two_prod(a1, b2)
+    c2b, f2b = _two_prod(a2, b1)
+    l2, g1 = _two_sum(e, c2a)
+    l2, g2 = _two_sum(l2, c2b)
+    l3 = (f2a + f2b) + (g1 + g2) + (a1 * b3 + a2 * b2 + a3 * b1)
+    return p, l2, l3
+
+
+@lru_cache(maxsize=1)
+def mv_width() -> int:
+    """FVM_TPU_COMPMV_WIDTH: limbs in the compensated SpMV.  3 (default)
+    = exact 3-limb input split + 3-limb accumulation (~2^-72/element).
+    Measured round-5 closeout: the double-word SpMV left the on-chip
+    cav_tetra BiCGStab floor at 2.3e-8, which is 2^-48 * kappa_eff
+    (kappa_eff ~ 6e6) — the matvec noise floor, not the dots.  Width 3
+    moves that term to 2^-72 * kappa (~1e-15 grade), restoring the
+    reference's 1e-10-class tolerances (LinearSolver.h:22-23) on the
+    emulated-f64 backend.  2 = the round-5 double-word path."""
+    return int(os.environ.get("FVM_TPU_COMPMV_WIDTH", "3"))
+
+
 @lru_cache(maxsize=1)
 def mv_enabled() -> bool:
     """FVM_TPU_COMPMV: double-word f32 SpMV for f64 DIA applies.
@@ -310,6 +336,36 @@ def comp_dia_apply(offsets, diag, coef, x, b=None, mode="mv"):
     sA = jnp.exp2((-kA).astype(diag.dtype))
     diag = diag * sA
     ktot = kA + kx
+
+    if mv_width() >= 3:
+        def tw(v, bcast):
+            l1, l2, l3 = _tw_from_f64(v)
+            if two_d and bcast:
+                l1, l2, l3 = l1[:, None], l2[:, None], l3[:, None]
+            return l1, l2, l3
+
+        x1, x2, x3 = tw(x, False)
+        d1, d2, d3 = tw(diag, True)
+        a1, a2, a3 = _tw_mul(d1, d2, d3, x1, x2, x3)
+        for i, d in enumerate(offsets):
+            c1, c2, c3 = tw(coef[i] * sA, True)
+            r1 = jnp.roll(x1, -d, axis=0)
+            r2 = jnp.roll(x2, -d, axis=0)
+            r3 = jnp.roll(x3, -d, axis=0)
+            p1, p2, p3 = _tw_mul(c1, c2, c3, r1, r2, r3)
+            a1, a2, a3 = _opaque(_tw_fold(a1, a2, a3, p1, p2, p3))
+        if mode == "residual":
+            bs = b * jnp.exp2((-ktot).astype(b.dtype))
+            b1, b2, b3 = tw(bs, False)
+            a1, a2, a3 = _opaque(
+                _tw_fold(b1, b2, b3, -a1, -a2, -a3)
+            )
+        y = (
+            a1.astype(jnp.float64)
+            + a2.astype(jnp.float64)
+            + a3.astype(jnp.float64)
+        )
+        return y * jnp.exp2(ktot.astype(y.dtype))
 
     def dw(v, bcast):
         h, l = _dw_from_f64(v)
@@ -351,6 +407,27 @@ def comp_ell_rows(diag, off, cols, x):
     sA = jnp.exp2((-kA).astype(diag.dtype))
     diag = diag * sA
     off = off * sA
+    if mv_width() >= 3:
+        x1, x2, x3 = _tw_from_f64(x)
+        d1, d2, d3 = _tw_from_f64(diag)
+        a1, a2, a3 = _tw_mul(
+            d1[:, None], d2[:, None], d3[:, None], x1, x2, x3
+        )
+        for k in range(off.shape[0]):
+            o1, o2, o3 = _tw_from_f64(off[k])
+            g1 = x1[cols[k]]
+            g2 = x2[cols[k]]
+            g3 = x3[cols[k]]
+            p1, p2, p3 = _tw_mul(
+                o1[:, None], o2[:, None], o3[:, None], g1, g2, g3
+            )
+            a1, a2, a3 = _opaque(_tw_fold(a1, a2, a3, p1, p2, p3))
+        y = (
+            a1.astype(jnp.float64)
+            + a2.astype(jnp.float64)
+            + a3.astype(jnp.float64)
+        )
+        return y * jnp.exp2((kA + kx).astype(y.dtype))
     xh, xl = _dw_from_f64(x)
     dh, dl = _dw_from_f64(diag)
     acc_h, acc_e = _dd_mul(dh[:, None], dl[:, None], xh, xl)

@@ -58,6 +58,73 @@ def test_comp_norm_under_jit_and_odd_sizes():
         assert got == pytest.approx(float(np.linalg.norm(x)), rel=1e-13)
 
 
+def test_comp_dot_survives_deep_residual_scales():
+    """Regression for the round-5 'compensated dots floor at 1e-8'
+    finding: vectors at |x| ~ 1e-22 (electrostatics residuals near rel
+    1e-8) have squared products BELOW the f32 subnormal floor, and the
+    unscaled compensated dot returned 0.  The exact power-of-two
+    pre-scale (_pow2_scale) must keep the answer."""
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal(4096) * 1e-22
+    exact = _exact_dot(x, x)
+    got = float(compdot.comp_dot_local(jnp.asarray(x), jnp.asarray(x)))
+    assert got == pytest.approx(exact, rel=1e-10)
+    # and under jit through the public norm()
+    n = float(jax.jit(compdot.norm)(jnp.asarray(x)))
+    assert n == pytest.approx(math.sqrt(exact), rel=1e-10)
+    # huge scales too (the scale is exact, so no precision loss)
+    y = rng.standard_normal(1000) * 1e30
+    assert float(
+        compdot.comp_dot_local(jnp.asarray(y), jnp.asarray(y))
+    ) == pytest.approx(_exact_dot(y, y), rel=1e-10)
+
+
+def test_triple_word_beats_double_word_under_cancellation(monkeypatch):
+    """The width-3 accumulator (default) carries ~72 bits vs width-2's
+    ~48: on a dot with condition ~1e13 the triple-word error must sit at
+    f64 round-off while double-word shows its 2^-48*kappa signature."""
+    rng = np.random.default_rng(5)
+    n = 2048
+    big = rng.standard_normal(n // 2) * 1e10
+    a = np.concatenate([big, -big]) + rng.standard_normal(n) * 1e-3
+    b = np.ones(n)
+    rng.shuffle(a)
+    exact = _exact_dot(a, b)
+    errs = {}
+    for w in (2, 3):
+        monkeypatch.setenv("FVM_TPU_COMPDOT_WIDTH", str(w))
+        compdot.dot_width.cache_clear()
+        got = float(compdot.comp_dot_local(jnp.asarray(a), jnp.asarray(b)))
+        errs[w] = abs(got - exact)
+    compdot.dot_width.cache_clear()
+    S = float(np.sum(np.abs(a * b)))
+    # tw spec: ~2^-72 * S under cancellation (measured ~9e-11 on this
+    # input with S ~ 1.6e13; dw sits ~3 decades higher at 2^-48 * S)
+    assert errs[3] <= 256.0 * 2.0**-72 * S
+    assert errs[3] < 1e-2 * errs[2]  # and decisively better than dw
+    assert errs[2] <= 64.0 * 2.0**-48 * S  # dw stays in its own spec
+
+
+def test_lincomb_matches_f64_combination():
+    """Compensated vector updates (FVM_TPU_COMPVEC path): lincomb must
+    agree with the exact per-element combination, including at deep
+    residual scales."""
+    rng = np.random.default_rng(2)
+    for scale in (1.0, 1e-20):
+        x = jnp.asarray(rng.standard_normal(777) * scale)
+        y = jnp.asarray(rng.standard_normal(777) * scale)
+        z = jnp.asarray(rng.standard_normal(777) * scale)
+        a, bb, c = 1.0, -0.37251, 2.25e-3
+        got = np.asarray(
+            jax.jit(compdot.lincomb)((a, x), (bb, y), (c, z))
+        )
+        ref = a * np.asarray(x) + bb * np.asarray(y) + c * np.asarray(z)
+        m = np.abs(ref).max()
+        # dw limbs carry ~48 bits: per-element error ~2^-48 * m (still
+        # far below the emulated-f64 update error this path replaces)
+        assert np.abs(got - ref).max() <= 32.0 * 2.0**-48 * m
+
+
 def test_comp_mv_matches_plain_f64(monkeypatch):
     """Double-word SpMV (FVM_TPU_COMPMV=1): DIA and gather-ELL applies
     match the plain f64 path to f64 round-off on CPU."""
@@ -83,16 +150,20 @@ def test_comp_mv_matches_plain_f64(monkeypatch):
     for gen in (quad_2d, tri_2d):  # DIA path and gather path
         A, b = system(gen)
         x = jnp.asarray(rng.standard_normal(b.shape[0]))
-        monkeypatch.setenv("FVM_TPU_COMPMV", "1")
-        compdot.mv_enabled.cache_clear()
-        try:
-            yc = np.asarray(prepared(A).mv(x))
-        finally:
-            monkeypatch.setenv("FVM_TPU_COMPMV", "0")
+        for w in ("2", "3"):  # double-word and triple-word variants
+            monkeypatch.setenv("FVM_TPU_COMPMV", "1")
+            monkeypatch.setenv("FVM_TPU_COMPMV_WIDTH", w)
             compdot.mv_enabled.cache_clear()
-        yp = np.asarray(prepared(A).mv(x))
-        compdot.mv_enabled.cache_clear()
-        assert np.abs(yc - yp).max() <= 1e-13 * np.abs(yp).max()
+            compdot.mv_width.cache_clear()
+            try:
+                yc = np.asarray(prepared(A).mv(x))
+            finally:
+                monkeypatch.setenv("FVM_TPU_COMPMV", "0")
+                compdot.mv_enabled.cache_clear()
+            yp = np.asarray(prepared(A).mv(x))
+            compdot.mv_enabled.cache_clear()
+            compdot.mv_width.cache_clear()
+            assert np.abs(yc - yp).max() <= 1e-13 * np.abs(yp).max()
 
 
 def test_matrices_use_compdot_when_forced(monkeypatch):
