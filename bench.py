@@ -815,24 +815,22 @@ def suite():
     # ---- 3) electrostatics on unstructured tets + BCGStab ------------
     # f64 like the reference driver: the BCGStab target is below f32
     # resolution (measured: f32 caps at 2000 iterations unconverged).
-    # Round 5: the compensated double-word dot/norm path
-    # (ops/compdot.py, auto-on for emulated-f64 backends) makes the
-    # Krylov norms TRUSTWORTHY on TPU (solver-claimed rel now equals
-    # the true recomputed residual; round 4's plain emulated dots
-    # rho-broke early) and moves the on-chip floor from ~1e-7 to a
-    # measured 5.3e-8.  The remaining limit is the emulated-f64 MATVEC
-    # arithmetic (a double-word SpMV is the follow-up); the target is
-    # 1e-7 on chip (above the measured floor), 1e-10 on CPU
-    # (FVM_BENCH_TET_TOL overrides; reference-grade is 1e-8..1e-10,
-    # LinearSolver.h:22-23).  stall_restart stays as a safety net.
+    # Round 5/6: reference-grade 1e-10 is now reached ON CHIP (measured
+    # rel 9.9e-11 in 44 its) via (a) compensated dot/norm/SpMV/vector
+    # paths (ops/compdot.py, auto-on for emulated-f64 backends) making
+    # the Krylov arithmetic trustworthy, and (b) exact power-of-two
+    # system equilibration (linear/base.pow2_equilibrate): the old
+    # 1e-7..2e-8 "floor" was the emulated format's f32-grade EXPONENT
+    # range underflowing rho = |r|^2 on this eps0-scaled (~1e-11)
+    # system, not a precision limit.  FVM_BENCH_TET_TOL overrides;
+    # reference-grade is 1e-8..1e-10 (LinearSolver.h:22-23).
+    # stall_restart stays as a safety net.
     fvm.set_default_dtype("float64")
     mesh = read_fluent_mesh(f"{ref}/src/fvm/test/cav_tetra.cas")
     dm = fvm.mesh.build_device_mesh(mesh)
     em = ElectricModel(dm)
     em.options["verbose"] = False
-    import jax as _jax
-
-    tet_default = "1e-10" if _jax.default_backend() == "cpu" else "1e-7"
+    tet_default = "1e-10"  # same target on chip and CPU (see above)
     solver = BiCGStab(
         preconditioner=JacobiSolver(sweeps=2),
         relative_tolerance=float(

@@ -10,6 +10,7 @@ mirrors the reference driver API
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -41,6 +42,62 @@ def condensed(A, b):
     if hasattr(A, "condense"):
         return A.condense(b)
     return A, b, (lambda x: x)
+
+
+def pow2_equilibrate(A, b, x0):
+    """Exact power-of-two scaling of a solve, for emulated-f64 backends.
+
+    The axon TPU emulates f64 with an f32-grade EXPONENT range: on
+    physically-scaled systems (eps0 ~ 1e-11 electrostatics rows) the
+    BiCGStab recurrence scalars rho = |r|^2 and tt = |t|^2 fall below
+    the f32 subnormal floor once the absolute residual passes ~1e-19,
+    and the iteration breaks down (measured round-5 closeout: the
+    cav_tetra f64 floor pinned at rel ~2.3e-8 = sqrt(f32_min_normal) /
+    |r0| with FULLY compensated dot/SpMV/vector paths — an exponent-
+    RANGE artifact, not a precision one).  Power-of-two scaling is
+    exact in binary floating point: solving (2^-kA A) y = (2^-kb b)
+    walks a bit-identically scaled trajectory with every internal
+    magnitude near O(1).
+
+    Returns (A2, b2, x02, unscale, nscale): iterate on (A2, b2) from
+    x02; ``unscale(y)`` restores solution units; reported residual
+    norms multiply by ``nscale``.  No-op unless the dtype is f64, the
+    backend emulates f64 (ops.compdot.enabled), and A exposes
+    scale_coeffs (assembled matrices; matrix-free operators pass
+    through).  Non-finite entries (dead padded dist rows) are ignored
+    when picking the scale.
+    """
+    from ..ops import compdot
+
+    one = jnp.ones((), b.dtype)
+    if (
+        b.dtype != jnp.float64
+        or not compdot.enabled()
+        or not hasattr(A, "scale_coeffs")
+    ):
+        return A, b, x0, (lambda y: y), one
+
+    ax = getattr(A, "axis_name", None)
+
+    def _absmax(v):
+        m = jnp.max(jnp.where(jnp.isfinite(v), jnp.abs(v), 0.0))
+        if ax is not None:
+            m = jax.lax.pmax(m, ax)
+        return m
+
+    def _k(m):
+        return jnp.where(m > 0, jnp.floor(jnp.log2(m)), 0.0).astype(b.dtype)
+
+    kA = _k(_absmax(A.diag))
+    kb = _k(_absmax(b))
+    A2 = A.scale_coeffs(jnp.exp2(-kA))
+    b2 = b * jnp.exp2(-kb)
+    x02 = x0 * jnp.exp2(kA - kb)
+    return (
+        A2, b2, x02,
+        (lambda y: y * jnp.exp2(kb - kA)),
+        jnp.exp2(kb),
+    )
 
 
 class MatrixFreeOperator:

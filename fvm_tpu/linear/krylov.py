@@ -15,7 +15,9 @@ import jax.numpy as jnp
 
 from ..ops.ell import ELLMatrix
 from ..ops import compdot
-from .base import LinearSolver, SolveStats, norm, prepared, condensed
+from .base import (
+    LinearSolver, SolveStats, norm, prepared, condensed, pow2_equilibrate,
+)
 
 
 def _identity_precond(A: ELLMatrix, r: jnp.ndarray) -> jnp.ndarray:
@@ -42,6 +44,8 @@ class CG(LinearSolver):
 
     def solve_fn(self, A: ELLMatrix, b: jnp.ndarray, x0: jnp.ndarray):
         A, b, recover = condensed(A, b)
+        # see base.pow2_equilibrate (no-op off emulated-f64 backends)
+        A, b, x0, unscale, nscale = pow2_equilibrate(A, b, x0)
         A = prepared(A)
         M = _setup_precond(self.preconditioner, A)
         rtol = self.relativeTolerance
@@ -51,7 +55,7 @@ class CG(LinearSolver):
         r0 = b - A.mv(x0)
         z0 = M(r0)
         rnorm0 = A.norm(r0)
-        target = jnp.maximum(rtol * rnorm0, atol)
+        target = jnp.maximum(rtol * rnorm0, atol / nscale)
 
         def cond(state):
             i, x, r, z, p, rz, rn = state
@@ -72,7 +76,9 @@ class CG(LinearSolver):
         state = (jnp.int32(0), x0, r0, z0, z0, A.dot(r0, z0), rnorm0)
         i, x, r, *_ = jax.lax.while_loop(cond, body, state)
         rn = A.norm(r)
-        return recover(x), SolveStats(i, rnorm0, rn, rn <= target)
+        return recover(unscale(x)), SolveStats(
+            i, rnorm0 * nscale, rn * nscale, rn <= target
+        )
 
 
 def _stall_tol(dtype):
@@ -218,6 +224,10 @@ class BiCGStab(LinearSolver):
         """``target``: optional traced ABSOLUTE residual-norm target that
         overrides the default max(rtol*|b - A x0|, atol)."""
         A, b, recover = condensed(A, b)
+        # emulated-f64 backends: exact pow2 scaling keeps the recurrence
+        # scalars inside the emulation's f32-grade exponent range (see
+        # base.pow2_equilibrate; no-op on CPU / for operators)
+        A, b, x0, unscale, nscale = pow2_equilibrate(A, b, x0)
         A = prepared(A)
         M = _setup_precond(self.preconditioner, A)
         rtol, atol, maxit = (
@@ -231,9 +241,9 @@ class BiCGStab(LinearSolver):
         r0 = b - A.mv(x0)
         rnorm0 = A.norm(r0)
         if target is None:
-            target = jnp.maximum(rtol * rnorm0, atol)
+            target = jnp.maximum(rtol * rnorm0, atol / nscale)
         else:
-            target = jnp.asarray(target, b.dtype)
+            target = jnp.asarray(target, b.dtype) / nscale
 
         # breakdown safety: when rhat . r or t . t degenerate (which
         # happens whenever the outer loop feeds a residual already at the
@@ -313,7 +323,9 @@ class BiCGStab(LinearSolver):
         )
         out = jax.lax.while_loop(cond, body, state)
         (i, x, r, p, v, rho, alpha, omega, rn, bx, brn, rhat, rhn) = out
-        return recover(bx), SolveStats(i, rnorm0, brn, brn <= target)
+        return recover(unscale(bx)), SolveStats(
+            i, rnorm0 * nscale, brn * nscale, brn <= target
+        )
 
 
 class GMRES(LinearSolver):

@@ -112,6 +112,11 @@ class BlockELLMatrix:
             return jax.lax.psum(v, self.axis_name)
         return v
 
+    def scale_coeffs(self, s):
+        """Multiply every stored coefficient by the scalar ``s`` (used by
+        linear.base.pow2_equilibrate — exact for powers of two)."""
+        return self.replace(diag=self.diag * s, off=self.off * s)
+
     def dot(self, a, b):
         from . import compdot
 

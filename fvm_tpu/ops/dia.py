@@ -411,6 +411,11 @@ class DIAMatrix:
     def psum(self, v):
         return v
 
+    def scale_coeffs(self, s):
+        """Multiply every stored coefficient by the scalar ``s`` (used by
+        linear.base.pow2_equilibrate — exact for powers of two)."""
+        return DIAMatrix(self.diag * s, self.coef * s, self.offsets)
+
     def dot(self, a, b):
         from . import compdot
 

@@ -72,6 +72,19 @@ class ELLMatrix:
     def width(self) -> int:
         return self.off.shape[0]
 
+    def scale_coeffs(self, s):
+        """Multiply every stored coefficient by the scalar ``s`` (used by
+        linear.base.pow2_equilibrate — exact for powers of two)."""
+        return self.replace(
+            diag=self.diag * s,
+            off=self.off * s,
+            dia_coef=None if self.dia_coef is None else self.dia_coef * s,
+            dia_fb_vals=(
+                None if self.dia_fb_vals is None else self.dia_fb_vals * s
+            ),
+            dia_pk=None,
+        )
+
     def condense(self, b):
         """Eliminate boundary-ghost/padding rows exactly before the solve.
 

@@ -166,6 +166,52 @@ def test_comp_mv_matches_plain_f64(monkeypatch):
             assert np.abs(yc - yp).max() <= 1e-13 * np.abs(yp).max()
 
 
+def test_pow2_equilibrate_preserves_solution_and_units(monkeypatch):
+    """The emulated-f64 exponent-range guard (linear.base.
+    pow2_equilibrate, active when compdot is enabled): solving an
+    eps0-scale system (coefficients ~1e-11) with the guard on must give
+    the same solution as the plain path, and the reported residual
+    norms must stay in ORIGINAL units."""
+    import fvm_tpu as fvm
+    from fvm_tpu.mesh.generate import quad_2d
+    from fvm_tpu.linear.base import condensed
+    from fvm_tpu.linear.krylov import BiCGStab, JacobiSolver
+
+    dm = fvm.mesh.build_device_mesh(quad_2d(12, 12))
+    t = fvm.models.ThermalModel(dm)
+    for g in ("left", "right"):
+        t.bc[g].bc_type = "SpecifiedTemperature"
+    t.bc["left"]["specifiedTemperature"] = 1.0
+    t.bc["bottom"].bc_type = "Symmetry"
+    t.bc["top"].bc_type = "Symmetry"
+    t.options["verbose"] = False
+    t.init()
+    bcv = t._resolve_bcvals()
+    A0, r0 = t._linearize(t.mesh, t.params, t.state, bcv)
+    A, b, _ = condensed(A0, r0)
+    # physical eps0-like scale (not a power of two, deliberately)
+    A = A.scale_coeffs(jnp.asarray(8.854e-12, b.dtype))
+    b = b * 8.854e-12
+    solver = BiCGStab(
+        preconditioner=JacobiSolver(sweeps=2),
+        relative_tolerance=1e-11, max_iterations=500,
+    )
+    sols = {}
+    for mode in ("0", "1"):
+        monkeypatch.setenv("FVM_TPU_COMPDOT", mode)
+        compdot.enabled.cache_clear()
+        x, st = solver.solve_fn(A, b, jnp.zeros_like(b))
+        sols[mode] = (np.asarray(x), float(st.residual0), float(st.residual))
+    compdot.enabled.cache_clear()
+    x_off, r0_off, rn_off = sols["0"]
+    x_on, r0_on, rn_on = sols["1"]
+    m = np.abs(x_off).max()
+    assert np.abs(x_on - x_off).max() <= 1e-9 * m
+    # stats back in original (eps0-scaled) units
+    assert r0_on == pytest.approx(r0_off, rel=1e-10)
+    assert rn_on <= 1e-10 * r0_on
+
+
 def test_matrices_use_compdot_when_forced(monkeypatch):
     """With FVM_TPU_COMPDOT=1 the ELL dot/norm run the compensated path
     and still agree with the plain path to f64 round-off on CPU."""
