@@ -405,6 +405,54 @@ def test_dist_amg_thermal_matches_single():
     assert np.abs(T8 - T1).max() < 1e-3
 
 
+def test_dist_solve_forced_compdot_equilibrate(monkeypatch):
+    """Forcing the emulated-f64 comp paths (FVM_TPU_COMPDOT=1) on the
+    8-shard mesh exercises the DIST pow2_equilibrate branch (pmax scale
+    agreement across shards inside shard_map) plus the psum'd
+    compensated dots; the solution must match the unforced dist
+    solve."""
+    import numpy as np
+    import fvm_tpu as fvm
+    from fvm_tpu.ops import compdot
+    from fvm_tpu.parallel import Partition
+    from fvm_tpu.models import ThermalModel
+    from fvm_tpu.linear import BiCGStab, JacobiSolver
+
+    def run():
+        mesh = fvm.mesh.generate.quad_2d(24, 24)
+        part = Partition(mesh, 8)
+        t = ThermalModel(part.sharded_mesh, partition=part)
+        t.options["verbose"] = False
+        t.options["linearSolver"] = BiCGStab(
+            preconditioner=JacobiSolver(sweeps=2),
+            relative_tolerance=1e-11, max_iterations=200,
+        )
+        t.bc["left"].bc_type = "SpecifiedTemperature"
+        t.bc["left"]["specifiedTemperature"] = 400.0
+        t.bc["right"].bc_type = "SpecifiedTemperature"
+        t.bc["right"]["specifiedTemperature"] = 300.0
+        t.bc["bottom"].bc_type = "Symmetry"
+        t.bc["top"].bc_type = "Symmetry"
+        t.init()
+        t.advance(2)
+        return np.asarray(t.partition.gather_cells(t.state["T"]))
+
+    def clear():
+        compdot.enabled.cache_clear()
+        compdot.mv_enabled.cache_clear()
+        compdot.vec_enabled.cache_clear()
+
+    T_plain = run()
+    monkeypatch.setenv("FVM_TPU_COMPDOT", "1")
+    clear()
+    try:
+        T_comp = run()
+    finally:
+        monkeypatch.setenv("FVM_TPU_COMPDOT", "0")
+        clear()
+    assert np.abs(T_comp - T_plain).max() < 1e-8 * np.abs(T_plain).max()
+
+
 def test_dist_amg_flow_default():
     """The dist FlowModel default pressure solver picks shard-local AMG on
     regular structured partitions and converges."""
